@@ -1,0 +1,58 @@
+"""Named deterministic datasets, generated on demand under ``data/``.
+
+The driver's tables live read-only in /root/testdata (TPC-H-ish); the
+engine's own image/polygon/query tables are synthesized here (FIXTURES.md:
+"no external data"). Generation is idempotent: a marker file records the
+recipe; existing data with a matching marker is reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+DATA_ROOT = Path(os.environ.get("JIMMY_SPARK_DATA", str(REPO_ROOT / "data")))
+
+# name -> (n_images, n_polygons, n_queries, skew_frac, corrupt_every)
+DATASETS: dict[str, dict] = {
+    "t1": dict(n_images=500, n_polygons=30, n_queries=30, skew_frac=0.3, corrupt_every=0),
+    "t2": dict(n_images=2000, n_polygons=40, n_queries=60, skew_frac=0.3, corrupt_every=0),
+    "t2err": dict(n_images=400, n_polygons=20, n_queries=15, skew_frac=0.3, corrupt_every=50),
+    "bench": dict(n_images=200_000, n_polygons=60, n_queries=300, skew_frac=0.4, corrupt_every=0),
+}
+SEED = 42
+
+
+def dataset_dir(name: str) -> Path:
+    return DATA_ROOT / name
+
+
+def ensure_dataset(name: str) -> Path:
+    from jimmy_spark.datagen.images import write_images
+    from jimmy_spark.datagen.knn_queries import write_knn_queries
+    from jimmy_spark.datagen.polygons import write_polygons
+
+    cfg = DATASETS[name]
+    d = dataset_dir(name)
+    marker = d / "_MARKER.json"
+    recipe = {"seed": SEED, "v": 3, **cfg}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == recipe:
+                return d
+        except Exception:
+            pass
+    d.mkdir(parents=True, exist_ok=True)
+    write_images(
+        str(d / "images.parquet"),
+        cfg["n_images"],
+        SEED,
+        skew_frac=cfg["skew_frac"],
+        corrupt_every=cfg["corrupt_every"],
+    )
+    write_polygons(str(d / "polygons.parquet"), cfg["n_polygons"], SEED)
+    write_knn_queries(str(d / "knn_queries.parquet"), cfg["n_queries"], SEED)
+    marker.write_text(json.dumps(recipe))
+    return d

@@ -1,0 +1,104 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md §1).
+
+Schema exactly per BASELINE.json ``input_hint``:
+(image_id string, bytes binary, w int32, h int32, fmt string,
+ caption string, phash int64).
+
+Pixel content is a deterministic per-row gradient + hash-seeded phase (no
+RNG objects in the hot loop, compresses well so bench tables stay small);
+captions include unicode/markdown edge cases mirroring jimmy's caption
+fidelity tests. ``skew_frac`` remaps a fraction of rows into 3 hot hex
+cells (FIXTURES.md skew fixture); ``corrupt_every`` yields rows with
+truncated bytes / mismatched fmt (error-isolation fixture, mirroring
+/root/reference/src/jimmy/common.py:66-82 per-record isolation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from jimmy_spark.codecs.registry import encode_image
+from jimmy_spark.datagen.core import phash_for_index, splitmix64
+from jimmy_spark.functions.georef import invert_latlon_e7
+
+WIDTHS = (16, 32, 64)
+HEIGHTS = (16, 24, 48)
+FMTS = ("png", "jpeg", "bmp")
+
+# Hot-cell centers for the skew fixture (lat_e7, lon_e7): three "cities".
+HOT_CENTERS = ((407128000, -740060000), (515074000, -1278000), (356895000, 1396917000))
+
+
+def make_pixels(i: int, w: int, h: int, phase: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8: linear gradients with per-row phase."""
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    p = phase & 0xFFFF
+    return ((p + xs * (3 + (phase >> 16) % 5) + ys * (7 + (phase >> 20) % 3) + cs * 37) % 256).astype(
+        np.uint8
+    )
+
+
+def make_caption(i: int, phash: int) -> str:
+    return (
+        f"Caption {i:08d} — “geo” #tag{i % 7} [asset](https://example.org/img/{i}) "
+        f"émoji✓ h={phash & 0xFFFF:04x} 'quoted' \\backslash\ttab"
+    )
+
+
+def generate_images(
+    n: int,
+    seed: int = 42,
+    skew_frac: float = 0.0,
+    corrupt_every: int = 0,
+) -> pa.Table:
+    idx = np.arange(n, dtype=np.uint64)
+    phash = phash_for_index(idx, seed)
+
+    if skew_frac > 0.0:
+        # Deterministically remap the first ceil(skew_frac*n) of a shuffled
+        # ordering into jittered hot centers (invert the georef bit-split).
+        h2 = splitmix64(idx ^ np.uint64(seed * 7919))
+        skewed = (h2 % np.uint64(1_000_000)) < np.uint64(int(skew_frac * 1_000_000))
+        which = (h2 >> np.uint64(8)) % np.uint64(len(HOT_CENTERS))
+        jit_lat = ((h2 >> np.uint64(16)) % np.uint64(40_000)).astype(np.int64) - 20_000
+        jit_lon = ((h2 >> np.uint64(32)) % np.uint64(40_000)).astype(np.int64) - 20_000
+        lat = np.choose(which.astype(np.int64), [c[0] for c in HOT_CENTERS]) + jit_lat
+        lon = np.choose(which.astype(np.int64), [c[1] for c in HOT_CENTERS]) + jit_lon
+        phash = np.where(skewed, invert_latlon_e7(lat, lon), phash)
+
+    ws = np.array(WIDTHS, dtype=np.int32)[idx.astype(np.int64) % 3]
+    hs = np.array(HEIGHTS, dtype=np.int32)[idx.astype(np.int64) % 3]
+    fmts = [FMTS[int(i) % 3] for i in range(n)]
+    phases = splitmix64(idx ^ np.uint64(seed)).astype(np.int64) & np.int64(2**31 - 1)
+
+    blobs: list[bytes] = []
+    captions: list[str] = []
+    for i in range(n):
+        arr = make_pixels(i, int(ws[i]), int(hs[i]), int(phases[i]))
+        data = encode_image(arr, fmts[i])
+        if corrupt_every and i % corrupt_every == 3:
+            data = data[: max(8, len(data) // 2)]  # truncated stream
+        elif corrupt_every and i % corrupt_every == 5:
+            fmts[i] = FMTS[(int(i) + 1) % 3]  # fmt mismatching payload
+        blobs.append(data)
+        captions.append(make_caption(i, int(phash[i])))
+
+    return pa.table(
+        {
+            "image_id": pa.array([f"img_{i:012d}" for i in range(n)], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phash, pa.int64()),
+        }
+    )
+
+
+def write_images(path: str, n: int, seed: int = 42, **kw) -> None:
+    pq.write_table(generate_images(n, seed, **kw), path, compression="zstd")

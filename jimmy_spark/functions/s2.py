@@ -1,0 +1,150 @@
+"""S2 cell IDs (levels 12-16), vectorized pure NumPy.
+
+A faithful implementation of the public S2 geometry cell-id scheme
+(s2geometry.io: lat/lon -> unit sphere XYZ -> cube face -> (u,v) ->
+quadratic (s,t) -> 30-bit (i,j) -> Hilbert-curve position -> 64-bit id),
+using the standard 4-bit lookup-table iteration. No ``s2sphere`` wheel
+exists in this container (SURVEY §7.2), so this module is the build-time
+fallback; IDs follow the real S2 bit layout (face(3) | Hilbert pos | 1-lsb).
+
+Vectorization: all stages are NumPy array ops; the Hilbert stage is a fixed
+8-iteration loop of table lookups over the whole batch (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LOOKUP_BITS = 4
+SWAP_MASK = 1
+INVERT_MASK = 2
+MAX_LEVEL = 30
+POS_BITS = 2 * MAX_LEVEL + 1
+
+# Canonical S2 traversal-order tables (public s2geometry constants).
+POS_TO_IJ = np.array(
+    [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]], dtype=np.int64
+)
+POS_TO_ORIENTATION = np.array(
+    [SWAP_MASK, 0, 0, INVERT_MASK + SWAP_MASK], dtype=np.int64
+)
+
+_LOOKUP_POS = np.zeros(1 << (2 * LOOKUP_BITS + 2), dtype=np.int64)
+_LOOKUP_IJ = np.zeros(1 << (2 * LOOKUP_BITS + 2), dtype=np.int64)
+
+
+def _init_lookup(level: int, i: int, j: int, orig_orientation: int, pos: int, orientation: int):
+    if level == LOOKUP_BITS:
+        ij = (i << LOOKUP_BITS) + j
+        _LOOKUP_POS[(ij << 2) + orig_orientation] = (pos << 2) + orientation
+        _LOOKUP_IJ[(pos << 2) + orig_orientation] = (ij << 2) + orientation
+        return
+    level += 1
+    i <<= 1
+    j <<= 1
+    pos <<= 2
+    r = POS_TO_IJ[orientation]
+    for index in range(4):
+        _init_lookup(
+            level,
+            i + (int(r[index]) >> 1),
+            j + (int(r[index]) & 1),
+            orig_orientation,
+            pos + index,
+            orientation ^ int(POS_TO_ORIENTATION[index]),
+        )
+
+
+for _o in range(4):
+    _init_lookup(0, 0, 0, _o, 0, _o)
+
+
+def xyz_from_latlon_e7(lat_e7: np.ndarray, lon_e7: np.ndarray):
+    lat = lat_e7.astype(np.float64) * (np.pi / 180.0 / 1e7)
+    lon = lon_e7.astype(np.float64) * (np.pi / 180.0 / 1e7)
+    cos_lat = np.cos(lat)
+    return cos_lat * np.cos(lon), cos_lat * np.sin(lon), np.sin(lat)
+
+
+def face_uv_from_xyz(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    comp = np.choose(face, [x, y, z])
+    face = np.where(comp < 0, face + 3, face)
+    # u/v per face (standard S2 table)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (ue, ve) in enumerate(
+        [
+            (lambda: y / x, lambda: z / x),
+            (lambda: -x / y, lambda: z / y),
+            (lambda: -x / z, lambda: -y / z),
+            (lambda: z / x, lambda: y / x),
+            (lambda: z / y, lambda: -x / y),
+            (lambda: -y / z, lambda: -x / z),
+        ]
+    ):
+        m = face == f
+        if m.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = np.where(m, ue(), u)
+                v = np.where(m, ve(), v)
+    return face.astype(np.int64), u, v
+
+
+def st_from_uv(uv: np.ndarray) -> np.ndarray:
+    """S2's quadratic projection."""
+    with np.errstate(invalid="ignore"):  # unused np.where branch may sqrt(<0)
+        return np.where(
+            uv >= 0.0,
+            0.5 * np.sqrt(1.0 + 3.0 * uv),
+            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * uv),
+        )
+
+
+def ij_from_st(st: np.ndarray) -> np.ndarray:
+    return np.clip((st * (1 << MAX_LEVEL)).astype(np.int64), 0, (1 << MAX_LEVEL) - 1)
+
+
+def cell_id_from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Level-30 S2 cell id, vectorized Hilbert-position computation."""
+    n = face.astype(np.uint64) << np.uint64(POS_BITS - 1)
+    bits = (face & np.int64(SWAP_MASK)).astype(np.int64)
+    mask = (1 << LOOKUP_BITS) - 1
+    for k in range(7, -1, -1):
+        bits += ((i >> (k * LOOKUP_BITS)) & mask) << (LOOKUP_BITS + 2)
+        bits += ((j >> (k * LOOKUP_BITS)) & mask) << 2
+        bits = _LOOKUP_POS[bits]
+        n |= (bits >> np.int64(2)).astype(np.uint64) << np.uint64(k * 2 * LOOKUP_BITS)
+        bits &= SWAP_MASK | INVERT_MASK
+    return (n * np.uint64(2) + np.uint64(1)).view(np.int64)
+
+
+def parent(cell_id: np.ndarray, level: int) -> np.ndarray:
+    """Truncate a level-30 id to ``level`` (standard S2 lsb arithmetic)."""
+    u = cell_id.view(np.uint64) if cell_id.dtype == np.int64 else cell_id
+    new_lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return ((u & ~(new_lsb - np.uint64(1))) | new_lsb).view(np.int64)
+
+
+def encode(lat_e7: np.ndarray, lon_e7: np.ndarray, level: int) -> np.ndarray:
+    """Fixed-point coords -> int64 S2 cell id at ``level``."""
+    x, y, z = xyz_from_latlon_e7(lat_e7, lon_e7)
+    face, u, v = face_uv_from_xyz(x, y, z)
+    i = ij_from_st(st_from_uv(u))
+    j = ij_from_st(st_from_uv(v))
+    leaf = cell_id_from_face_ij(face, i, j)
+    return parent(leaf, level)
+
+
+def level_of(cell_id: np.ndarray) -> np.ndarray:
+    """Level from lsb position (S2 invariant: lsb at bit 2*(30-level))."""
+    u = cell_id.view(np.uint64)
+    lsb = u & (~u + np.uint64(1))
+    lvl = np.zeros(len(cell_id), dtype=np.int64)
+    b = lsb.copy()
+    while (b > np.uint64(1)).any():
+        m = b > np.uint64(1)
+        lvl[m] += 1
+        b = np.where(m, b >> np.uint64(2), b)
+    return MAX_LEVEL - lvl

@@ -1,0 +1,50 @@
+"""Codec round-trip + fidelity gates (BASELINE.json input_hint:
+lossless exact, lossy PSNR >= 40 dB)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jimmy_spark.codecs import decode_image, encode_image
+from jimmy_spark.codecs.registry import FORMATS, LOSSLESS
+
+
+def _img(seed: int, w: int, h: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+@pytest.mark.parametrize("wh", [(16, 16), (32, 24), (64, 48), (5, 3), (1, 1)])
+def test_roundtrip(fmt, wh):
+    w, h = wh
+    arr = _img(w * 1000 + h, w, h)
+    out = decode_image(encode_image(arr, fmt), fmt)
+    assert out.shape == (h, w, 3)
+    if fmt in LOSSLESS:
+        np.testing.assert_array_equal(out, arr)
+    else:
+        mse = ((arr.astype(np.float64) - out.astype(np.float64)) ** 2).mean()
+        psnr = 10 * np.log10(255.0**2 / mse)
+        assert psnr >= 40.0, psnr
+
+
+def test_truncated_raises():
+    arr = _img(7, 16, 16)
+    for fmt in FORMATS:
+        data = encode_image(arr, fmt)
+        with pytest.raises(ValueError):
+            decode_image(data[: len(data) // 2], fmt)
+
+
+def test_wrong_fmt_raises():
+    arr = _img(8, 16, 16)
+    png = encode_image(arr, "png")
+    with pytest.raises(ValueError):
+        decode_image(png, "bmp")
+
+
+def test_unknown_fmt():
+    with pytest.raises(ValueError):
+        encode_image(_img(9, 4, 4), "tiff")

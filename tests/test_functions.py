@@ -1,0 +1,150 @@
+"""Unit tests for georef / hexgrid / s2 / tiles kernels, including the
+NumPy <-> DuckDB float-determinism contracts the driver oracle relies on."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from jimmy_spark.functions import georef, hexgrid, s2, tiles
+
+
+@pytest.fixture(scope="module")
+def coords():
+    rng = np.random.default_rng(7)
+    phash = rng.integers(-(2**63), 2**63, 5000, dtype=np.int64)
+    lat, lon = georef.latlon_e7_np(phash)
+    return phash, lat, lon
+
+
+class TestGeoref:
+    def test_bounds(self, coords):
+        _, lat, lon = coords
+        assert lat.min() >= -georef.LAT_MAX_E7 and lat.max() <= georef.LAT_MAX_E7
+        assert lon.min() >= -georef.LON_MAX_E7 and lon.max() <= georef.LON_MAX_E7
+
+    def test_duckdb_parity(self, coords):
+        phash, lat, lon = coords
+        pdf = pd.DataFrame({"phash": phash})
+        lat_sql, lon_sql = georef.duckdb_lat_lon_sql("phash")
+        got = duckdb.sql(
+            f"SELECT {lat_sql} AS lat, {lon_sql} AS lon FROM pdf"
+        ).df()
+        np.testing.assert_array_equal(got["lat"].to_numpy(), lat)
+        np.testing.assert_array_equal(got["lon"].to_numpy(), lon)
+
+    def test_invert_close(self):
+        lat = np.array([407128000, -330000000], dtype=np.int64)
+        lon = np.array([-740060000, 1511000000], dtype=np.int64)
+        ph = georef.invert_latlon_e7(lat, lon)
+        lat2, lon2 = georef.latlon_e7_np(ph)
+        assert np.abs(lat2 - lat).max() <= 2
+        assert np.abs(lon2 - lon).max() <= 2
+
+
+class TestHexgrid:
+    def test_pack_unpack(self, coords):
+        _, lat, lon = coords
+        for res in hexgrid.RESOLUTIONS:
+            cell = hexgrid.encode(lat, lon, res)
+            r2, q, r = hexgrid.unpack(cell)
+            assert (r2 == res).all()
+            np.testing.assert_array_equal(hexgrid.pack(res, q, r), cell)
+
+    def test_center_distance(self, coords):
+        """Every point is within circumradius of its cell center."""
+        _, lat, lon = coords
+        for res in hexgrid.RESOLUTIONS:
+            cell = hexgrid.encode(lat, lon, res)
+            cy, cx = hexgrid.center(cell)
+            d = np.sqrt((cy - lat) ** 2 + (cx - lon) ** 2)
+            assert d.max() <= hexgrid.SIZES[res] * 1.0000001
+
+    def test_duckdb_parity(self, coords):
+        _, lat, lon = coords
+        pdf = pd.DataFrame({"id": np.arange(len(lat)), "lat": lat, "lon": lon})
+        q = hexgrid.duckdb_hex_query("SELECT * FROM pdf", "id", "lat", "lon")
+        got = duckdb.sql(q + " ORDER BY id").df()
+        for res in hexgrid.RESOLUTIONS:
+            np.testing.assert_array_equal(
+                got[f"hex_r{res}"].to_numpy(), hexgrid.encode(lat, lon, res)
+            )
+
+    def test_disk_sizes(self):
+        for radius in (0, 1, 2, 5):
+            assert len(hexgrid.disk_offsets(radius)) == 3 * radius * (radius + 1) + 1
+
+    def test_disk_contains_neighbors(self):
+        cell = int(hexgrid.encode(np.array([407128000]), np.array([-740060000]), 8)[0])
+        d1 = set(hexgrid.disk(cell, 1).tolist())
+        assert cell in d1 and len(d1) == 7
+
+    def test_min_center_distance_bound(self):
+        """Centers of cells at hex distance D are >= 1.5*s*D apart."""
+        res = 8
+        s = hexgrid.SIZES[res]
+        offs = hexgrid.disk_offsets(6)
+        q, r = offs[:, 0], offs[:, 1]
+        d = hexgrid.hex_distance(q, r, 0, 0)
+        x = s * (np.sqrt(3.0) * (q + r * 0.5))
+        y = s * 1.5 * r
+        eu = np.sqrt(x * x + y * y)
+        m = d > 0
+        assert (eu[m] >= 1.5 * s * d[m] - 1e-6).all()
+
+
+class TestS2:
+    def test_known_values(self):
+        """Canonical S2 anchors: face centers and the NYC 89c2... prefix."""
+        lat = np.array([0, 407128000], dtype=np.int64)
+        lon = np.array([0, -740060000], dtype=np.int64)
+        leaf = s2.encode(lat, lon, 30).view(np.uint64)
+        assert leaf[0] == np.uint64(0x1000000000000001)  # center of face 0
+        assert (leaf[1] >> np.uint64(48)) == np.uint64(0x89C2)  # NYC S2 prefix
+
+    def test_levels_and_hierarchy(self, coords):
+        _, lat, lon = coords
+        c12 = s2.encode(lat, lon, 12)
+        c14 = s2.encode(lat, lon, 14)
+        c16 = s2.encode(lat, lon, 16)
+        assert (s2.level_of(c12) == 12).all()
+        assert (s2.level_of(c16) == 16).all()
+        np.testing.assert_array_equal(s2.parent(c16, 12), c12)
+        np.testing.assert_array_equal(s2.parent(c14, 12), c12)
+
+    def test_face_distribution(self, coords):
+        """Uniform-ish sphere coverage should hit all 6 faces."""
+        _, lat, lon = coords
+        faces = s2.encode(lat, lon, 12).view(np.uint64) >> np.uint64(61)
+        assert set(np.unique(faces).tolist()) == {0, 1, 2, 3, 4, 5}
+
+
+class TestTiles:
+    def test_known_tiles(self):
+        # Public slippy-map example: lat=51.5074 lon=-0.1278 z=12 -> x=2046, y=1362
+        x, y = tiles.xy_np(np.array([515074000]), np.array([-1278000]), 12)
+        assert (int(x[0]), int(y[0])) == (2046, 1362)
+        # Origin at z=0 and z=1
+        x, y = tiles.xy_np(np.array([0]), np.array([0]), 0)
+        assert (int(x[0]), int(y[0])) == (0, 0)
+        x, y = tiles.xy_np(np.array([1]), np.array([1]), 1)
+        assert (int(x[0]), int(y[0])) == (1, 0)
+
+    def test_duckdb_parity(self, coords):
+        _, lat, lon = coords
+        pdf = pd.DataFrame({"lat": lat, "lon": lon})
+        for z in tiles.ZOOMS:
+            xs, ys = tiles.duckdb_xy_sql("lat", "lon", z)
+            got = duckdb.sql(f"SELECT {xs} AS x, {ys} AS y FROM pdf").df()
+            ex, ey = tiles.xy_np(lat, lon, z)
+            np.testing.assert_array_equal(got["x"].to_numpy(), ex)
+            np.testing.assert_array_equal(got["y"].to_numpy(), ey)
+
+    def test_range(self, coords):
+        _, lat, lon = coords
+        for z in tiles.ZOOMS:
+            x, y = tiles.xy_np(lat, lon, z)
+            assert x.min() >= 0 and x.max() < (1 << z)
+            assert y.min() >= 0 and y.max() < (1 << z)
