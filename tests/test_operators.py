@@ -1,0 +1,164 @@
+"""Operator-level tests: cells (both execution paths), decode isolation,
+PIP (two Spark strategies + DuckDB oracle, exact set equality)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from jimmy_spark.functions import georef, hexgrid, s2
+from jimmy_spark.operators import cells, decode, pip
+
+
+@pytest.fixture(scope="module")
+def images(spark, t1_dir):
+    return spark.read.parquet(f"{t1_dir}/images.parquet")
+
+
+@pytest.fixture(scope="module")
+def points(spark, images):
+    return cells.with_georef(images.select("image_id", "phash")).cache()
+
+
+class TestCells:
+    def test_hex_udf_vs_expr_vs_numpy(self, points):
+        pdf = points.toPandas().sort_values("image_id").reset_index(drop=True)
+        lat = pdf["lat_e7"].to_numpy(np.int64)
+        lon = pdf["lon_e7"].to_numpy(np.int64)
+        udf_df = (
+            cells.with_hex_cells(points, use_arrow_udf=True)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        expr_df = (
+            cells.with_hex_cells(points, use_arrow_udf=False)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        for res in hexgrid.RESOLUTIONS:
+            expected = hexgrid.encode(lat, lon, res)
+            np.testing.assert_array_equal(udf_df[f"hex_r{res}"].to_numpy(), expected)
+            np.testing.assert_array_equal(expr_df[f"hex_r{res}"].to_numpy(), expected)
+
+    def test_s2_udf_vs_numpy(self, points):
+        got = (
+            cells.with_s2_cells(points)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        lat = got["lat_e7"].to_numpy(np.int64)
+        lon = got["lon_e7"].to_numpy(np.int64)
+        for lvl in (12, 14, 16):
+            np.testing.assert_array_equal(
+                got[f"s2_l{lvl}"].to_numpy(), s2.encode(lat, lon, lvl)
+            )
+
+    def test_expr_plan_stays_jvm(self, points):
+        """The expression path must not contain a Python worker stage."""
+        plan = (
+            cells.with_hex_cells(points, use_arrow_udf=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestDecode:
+    def test_all_ok_on_clean_data(self, spark, images):
+        out = decode.decode_stage(images).cache()
+        n = images.count()
+        assert out.count() == n
+        assert out.filter("ok").count() == n
+        row = out.filter("image_id = 'img_000000000000'").first()
+        assert row.dec_w == row.w and row.dec_h == row.h
+        assert row.px_checksum != 0
+
+    def test_error_isolation(self, spark, t2err_dir):
+        imgs = spark.read.parquet(f"{t2err_dir}/images.parquet")
+        out = decode.decode_stage(imgs).cache()
+        bad = out.filter(~F.col("ok"))
+        n_bad = bad.count()
+        assert n_bad > 0  # corrupt fixtures exist
+        assert out.count() == imgs.count()  # nothing dropped, job survived
+        assert bad.filter(F.col("error").isNull()).count() == 0
+        # corrupt rows are exactly the planted ones (i % 50 in {3, 5})
+        ids = sorted(r.image_id for r in bad.collect())
+        planted = sorted(
+            f"img_{i:012d}" for i in range(400) if i % 50 in (3, 5)
+        )
+        assert ids == planted
+
+    def test_checksums_deterministic_across_runs(self, spark, images):
+        a = decode.decode_stage(images).select("image_id", "px_checksum")
+        b = decode.decode_stage(images.repartition(7)).select(
+            "image_id", "px_checksum"
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestPIP:
+    @pytest.fixture(scope="class")
+    def poly_pdf(self, t1_dir):
+        return pq.read_table(f"{t1_dir}/polygons.parquet").to_pandas()
+
+    @pytest.fixture(scope="class")
+    def expected_pairs(self, points, t1_dir):
+        pts = points.select("image_id", "lat_e7", "lon_e7").toPandas()
+        duckdb.register("pts_reg", pts)
+        sql = pip.duckdb_pip_sql(
+            "SELECT image_id, lat_e7, lon_e7 FROM pts_reg",
+            f"{t1_dir}/polygons.parquet",
+        )
+        return {
+            (r[0], r[1]) for r in duckdb.sql(sql).fetchall()
+        }
+
+    def test_rtree_matches_oracle(self, points, poly_pdf, expected_pairs):
+        got = {
+            (r.image_id, r.polygon_id)
+            for r in pip.pip_join_rtree(points, poly_pdf).collect()
+        }
+        assert got == expected_pairs
+        assert len(expected_pairs) > 0  # hot-center polygons guarantee matches
+
+    def test_broadcast_matches_oracle(self, spark, points, t1_dir, expected_pairs):
+        polys = spark.read.parquet(f"{t1_dir}/polygons.parquet")
+        got = {
+            (r.image_id, r.polygon_id)
+            for r in pip.pip_join_broadcast(points, polys).collect()
+        }
+        assert got == expected_pairs
+
+    def test_on_edge_is_inside(self, spark, poly_pdf):
+        """Corner + edge midpoint of the grid-aligned rectangle count inside."""
+        rect = poly_pdf[poly_pdf["polygon_id"] == "poly_0003"].iloc[0]
+        lat0, lon0 = rect["min_lat"], rect["min_lon"]
+        lat1, lon1 = rect["max_lat"], rect["max_lon"]
+        probes = pd.DataFrame(
+            {
+                "image_id": ["corner", "edge_mid", "center", "outside"],
+                "lat_e7": [lat0, lat0, (lat0 + lat1) // 2, lat0 - 1],
+                "lon_e7": [lon0, (lon0 + lon1) // 2, (lon0 + lon1) // 2, lon0],
+            }
+        )
+        sdf = spark.createDataFrame(probes)
+        got = {
+            (r.image_id, r.polygon_id)
+            for r in pip.pip_join_rtree(sdf, poly_pdf).collect()
+            if r.polygon_id == "poly_0003"
+        }
+        assert ("corner", "poly_0003") in got
+        assert ("edge_mid", "poly_0003") in got
+        assert ("center", "poly_0003") in got
+        assert ("outside", "poly_0003") not in got
+
+    def test_empty_polygon_matches_nothing(self, points, poly_pdf, expected_pairs):
+        assert not any(p == "poly_0004" for _, p in expected_pairs)
