@@ -1,0 +1,158 @@
+"""Per-partition lineage/metrics checkpoint table + idempotent resume.
+
+North_rule: "every stage writes per-partition lineage + row-count /
+throughput metrics to a checkpoint table so the job resumes idempotently".
+Reference analogue: jimmy's content-identical idempotent writes
+(/root/reference/src/jimmy/common.py:171-202 — re-running the sink is safe)
+and its parsed/filtered/written stats triple
+(/root/reference/src/jimmy/main.py:123,135,146).
+
+Design (batch + checkpoint table, per SURVEY §2.9 — not Structured
+Streaming):
+
+- Work is keyed by a deterministic bucket: pmod(xxhash64(id), n_buckets).
+  On a cluster the bucket maps 1:1 to an output partition directory.
+- A stage processes only buckets absent from the checkpoint table
+  (anti-join on committed buckets), writes output with *dynamic partition
+  overwrite* (a re-run of a crashed bucket replaces its partial files —
+  the Spark version of get_unique_path idempotence), and only then appends
+  per-bucket commit rows (write-then-commit, FIXTURES.md §6).
+- Checkpoint rows: (run_id, stage, bucket, rows_in, rows_out, wall_ms,
+  status, ts). Tiny; written driver-side as one parquet file per commit
+  batch. At production scale this is the Iceberg checkpoint table; the
+  parquet-dir adapter keeps the same API (SURVEY §7.2 Iceberg fallback).
+
+``chunk_buckets`` lets tests interrupt a stage between chunks to prove
+kill->rerun produces byte-identical results.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+_METRICS_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.string()),
+        ("stage", pa.string()),
+        ("bucket", pa.int32()),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("wall_ms", pa.int64()),
+        ("status", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+class CheckpointTable:
+    def __init__(self, root: str, run_id: str):
+        self.dir = Path(root) / run_id / "metrics"
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def committed_buckets(self, stage: str) -> set[int]:
+        out: set[int] = set()
+        for f in sorted(self.dir.glob("*.parquet")):
+            t = pq.read_table(f, columns=["stage", "bucket", "status"])
+            for s, b, st in zip(
+                t["stage"].to_pylist(), t["bucket"].to_pylist(), t["status"].to_pylist()
+            ):
+                if s == stage and st == "committed":
+                    out.add(b)
+        return out
+
+    def append(self, rows: list[dict]) -> None:
+        t = pa.Table.from_pylist(rows, schema=_METRICS_SCHEMA)
+        pq.write_table(t, self.dir / f"commit-{uuid.uuid4().hex}.parquet")
+
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.dir))
+
+
+class StageRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_root: str,
+        run_id: str,
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.run_id = run_id
+        self.n_buckets = n_buckets
+        self.table = CheckpointTable(checkpoint_root, run_id)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def run_stage(
+        self,
+        stage: str,
+        input_df: DataFrame,
+        stage_fn,
+        out_dir: str,
+        id_col: str = "image_id",
+        chunk_buckets: int | None = None,
+        fail_after_chunks: int | None = None,
+    ) -> DataFrame:
+        """Apply ``stage_fn(df) -> df`` bucket-wise with resume.
+
+        Returns the stage output DataFrame (all buckets, read from disk).
+        ``fail_after_chunks`` is a test hook: raise after N committed
+        chunks to simulate a mid-stage crash.
+        """
+        bucketed = input_df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.n_buckets))
+        )
+        done = self.table.committed_buckets(stage)
+        todo = sorted(set(range(self.n_buckets)) - done)
+        chunk = chunk_buckets or len(todo) or 1
+        chunks = [todo[i : i + chunk] for i in range(0, len(todo), chunk)]
+        for ci, bucket_ids in enumerate(chunks):
+            if fail_after_chunks is not None and ci >= fail_after_chunks:
+                raise RuntimeError(
+                    f"injected failure before chunk {ci} of stage {stage}"
+                )
+            t0 = time.monotonic()
+            part = bucketed.filter(F.col(BUCKET_COL).isin(bucket_ids))
+            rows_in = {
+                r[BUCKET_COL]: r["cnt"]
+                for r in part.groupBy(BUCKET_COL).agg(F.count("*").alias("cnt")).collect()
+            }
+            out = stage_fn(part.drop(BUCKET_COL)).withColumn(
+                BUCKET_COL, F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.n_buckets))
+            )
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
+            written = self.spark.read.parquet(out_dir).filter(
+                F.col(BUCKET_COL).isin(bucket_ids)
+            )
+            rows_out = {
+                r[BUCKET_COL]: r["cnt"]
+                for r in written.groupBy(BUCKET_COL)
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            now = int(time.time() * 1_000_000)
+            self.table.append(
+                [
+                    dict(
+                        run_id=self.run_id,
+                        stage=stage,
+                        bucket=int(b),
+                        rows_in=int(rows_in.get(b, 0)),
+                        rows_out=int(rows_out.get(b, 0)),
+                        wall_ms=wall_ms,
+                        status="committed",
+                        ts=now,
+                    )
+                    for b in bucket_ids
+                ]
+            )
+        return self.spark.read.parquet(out_dir).drop(BUCKET_COL)
