@@ -1,0 +1,334 @@
+"""Query registry backing ``__spark_entry__`` (the driver contract).
+
+Each entry couples a Spark implementation (spark, sf_dir) -> DataFrame with
+a DuckDB oracle SQL string computing the same result on the same inputs.
+Engine-native tables (images/polygons/knn_queries) are the deterministic
+synthetic t2 dataset generated under data/t2 (FIXTURES.md); generic
+operator-semantics queries (jimmy's filters/joins/aggs/windows, SURVEY §2)
+run over the driver's /root/testdata parquet views.
+
+Column-name and column-type parity with the oracle is part of each query's
+contract (the driver hash-compares values after sorting by column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jimmy_spark.datagen import ensure_dataset
+from jimmy_spark.functions import georef, hexgrid, tiles
+from jimmy_spark.operators import cells, decode, knn, pip, tiling
+
+# --------------------------------------------------------------------------
+# engine tables
+
+
+def _t2() -> str:
+    return str(ensure_dataset("t2"))
+
+
+def _images(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(f"{_t2()}/images.parquet")
+
+
+def _points(spark: SparkSession) -> DataFrame:
+    return cells.with_georef(_images(spark).select("image_id", "phash"))
+
+
+def _georef_sql() -> str:
+    lat, lon = georef.duckdb_lat_lon_sql("phash")
+    return (
+        f"SELECT image_id, {lat} AS lat_e7, {lon} AS lon_e7 "
+        f"FROM '{_t2()}/images.parquet'"
+    )
+
+
+# --------------------------------------------------------------------------
+# spatial core queries
+
+
+def q_georef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark).select("image_id", "lat_e7", "lon_e7")
+
+
+def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cells.with_hex_cells(_points(spark), use_arrow_udf=True)
+    return out.select("image_id", "hex_r7", "hex_r8", "hex_r9")
+
+
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cells.with_s2_cells(_points(spark))
+    return out.select("image_id", "s2_l12", "s2_l14", "s2_l16")
+
+
+def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiling.tile_assignments(_points(spark))
+
+
+def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    poly_pdf = pd.read_parquet(f"{_t2()}/polygons.parquet")
+    return pip.pip_join_rtree(_points(spark), poly_pdf)
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries_pdf = pd.read_parquet(f"{_t2()}/knn_queries.parquet")
+    out = knn.knn_join(_points(spark), queries_pdf)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "image_id")
+
+
+def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = cells.with_hex_cells(_points(spark), (8,), use_arrow_udf=False)
+    return tiling.salted_counts(pts, ["hex_r8"])
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiling.plain_counts(q_tiles(spark, sf_dir), ["z", "x", "y"])
+
+
+def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster<->vector overlay: images per (polygon, z12 tile)."""
+    pts = _points(spark)
+    poly_pdf = pd.read_parquet(f"{_t2()}/polygons.parquet")
+    pairs = pip.pip_join_rtree(pts, poly_pdf)
+    t12 = pts.select(
+        "image_id",
+        tiles.x_col(F.col("lon_e7"), 12).alias("x"),
+        tiles.y_col(F.col("lat_e7"), 12).alias("y"),
+    )
+    return (
+        pairs.join(t12, "image_id")
+        .groupBy("polygon_id", "x", "y")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = decode.decode_stage(_images(spark))
+    return out.select("image_id", "ok", "px_checksum", "px_mean_milli")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup (jimmy Resource.__eq__ md5 semantics,
+    /root/reference/src/jimmy/intermediate_format.py:123-131)."""
+    return (
+        _images(spark)
+        .groupBy("phash")
+        .agg(F.min("image_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def _oracle_spatial() -> dict[str, str]:
+    t2 = _t2()
+    g = _georef_sql()
+    tile_union = " UNION ALL ".join(
+        "SELECT image_id, {z} AS z, {x} AS x, {y} AS y FROM ({g})".format(
+            z=z, g=g, x=tiles.duckdb_xy_sql("lat_e7", "lon_e7", z)[0],
+            y=tiles.duckdb_xy_sql("lat_e7", "lon_e7", z)[1],
+        )
+        for z in tiles.ZOOMS
+    )
+    x12, y12 = tiles.duckdb_xy_sql("lat_e7", "lon_e7", 12)
+    return {
+        "georef": g,
+        "hex_cells": hexgrid.duckdb_hex_query(g, "image_id", "lat_e7", "lon_e7"),
+        "tiles": tile_union,
+        "pip": pip.duckdb_pip_sql(g, f"{t2}/polygons.parquet"),
+        "knn": knn.duckdb_knn_sql(g, f"{t2}/knn_queries.parquet"),
+        "cell_counts": (
+            "SELECT hex_r8, count(*) AS cnt FROM ("
+            + hexgrid.duckdb_hex_query(g, "image_id", "lat_e7", "lon_e7", (8,))
+            + ") GROUP BY hex_r8"
+        ),
+        "tile_counts": (
+            f"SELECT z, x, y, count(*) AS cnt FROM ({tile_union}) GROUP BY z, x, y"
+        ),
+        "overlay": f"""
+WITH pip AS ({pip.duckdb_pip_sql(g, f"{t2}/polygons.parquet")}),
+t AS (SELECT image_id, {x12} AS x, {y12} AS y FROM ({g}))
+SELECT pip.polygon_id, t.x, t.y, count(*) AS cnt
+FROM pip JOIN t USING (image_id) GROUP BY pip.polygon_id, t.x, t.y
+""",
+        "dedup_exact": (
+            f"SELECT phash, min(image_id) AS keep_id, count(*) AS dup_cnt "
+            f"FROM '{t2}/images.parquet' GROUP BY phash"
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# operator-semantics queries over the driver's testdata views (SURVEY §2)
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jimmy get_import_stats analogue (common.py:433-451): one-row counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_select_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filters.select_notes analogue (filters.py:8-41): include/exclude by
+    pattern on title-ish and tag-ish fields."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.col("lang").isin("en", "de"))
+        .filter(~F.col("text").like("%xylophone%"))
+        .filter(F.col("text").like("%the%"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_linkres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """note-link resolution analogue (writer.py:214-266): left join with
+    broken-link fallback via coalesce."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_name"), F.lit("broken-link")).alias("resolved"),
+        )
+    )
+
+
+def q_unique_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_unique_name analogue (day_one.py:93-111): suffix duplicate keys
+    with a deterministic ordinal."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    rn = F.row_number().over(w)
+    return docs.select(
+        "doc_id",
+        F.when(rn == 1, F.concat(F.col("lang"), F.lit("/"), F.col("source")))
+        .otherwise(
+            F.concat(
+                F.col("lang"), F.lit("/"), F.col("source"), F.lit("-"),
+                F.lpad((rn - 1).cast("string"), 4, "0"),
+            )
+        )
+        .alias("unique_name"),
+    )
+
+
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joplin tag two-hop join analogue (joplin.py:145-157):
+    lineitem -> orders -> customer rollup."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )
+
+
+def q_rollup_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telegram chat rollup analogue (telegram.py:12-46): fold events of a
+    user into one sorted summary string."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k (engine kNN's secondary-sort shape over plain data)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", F.col("rk").cast("long").alias("rk"), "event_id")
+    )
+
+
+def _oracle_generic() -> dict[str, str]:
+    return {
+        "stats_agg": (
+            "SELECT count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            "count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources "
+            "FROM documents"
+        ),
+        "select_glob": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE lang IN ('en','de') AND text NOT LIKE '%xylophone%' "
+            "AND text LIKE '%the%'"
+        ),
+        "linkres": (
+            "SELECT o_orderkey, coalesce(c_name, 'broken-link') AS resolved "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
+        ),
+        "unique_names": (
+            "SELECT doc_id, CASE WHEN rn = 1 THEN lang || '/' || source "
+            "ELSE lang || '/' || source || '-' || lpad((rn - 1)::VARCHAR, 4, '0') END "
+            "AS unique_name FROM (SELECT doc_id, lang, source, "
+            "row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn "
+            "FROM documents)"
+        ),
+        "two_hop": (
+            "SELECT c_mktsegment, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "rollup_concat": (
+            "SELECT user_id, count(*) AS n_events, "
+            "array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types "
+            "FROM events GROUP BY user_id"
+        ),
+        "topk_per_group": (
+            "SELECT event_type, rk, event_id FROM (SELECT event_type, event_id, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) "
+            "AS rk FROM events) WHERE rk <= 5"
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "georef": q_georef,
+    "hex_cells": q_hex_cells,
+    "s2_cells": q_s2_cells,
+    "tiles": q_tiles,
+    "pip": q_pip,
+    "knn": q_knn,
+    "cell_counts": q_cell_counts,
+    "tile_counts": q_tile_counts,
+    "overlay": q_overlay,
+    "decode_stats": q_decode_stats,
+    "dedup_exact": q_dedup_exact,
+    "stats_agg": q_stats_agg,
+    "select_glob": q_select_glob,
+    "linkres": q_linkres,
+    "unique_names": q_unique_names,
+    "two_hop": q_two_hop,
+    "rollup_concat": q_rollup_concat,
+    "topk_per_group": q_topk_per_group,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_spatial()
+    out.update(_oracle_generic())
+    # s2_cells, decode_stats: genuinely non-SQL-expressible (Hilbert LUT /
+    # image decode) -> rows-only driver check, validated instead by
+    # tests/test_functions.py + tests/test_operators.py oracles.
+    return out
