@@ -101,4 +101,9 @@ def generate_images(
 
 
 def write_images(path: str, n: int, seed: int = 42, **kw) -> None:
-    pq.write_table(generate_images(n, seed, **kw), path, compression="zstd")
+    # Small row groups so Spark file splits actually parallelize the scan
+    # (one giant row group would pin the whole table to one task).
+    pq.write_table(
+        generate_images(n, seed, **kw), path, compression="zstd",
+        row_group_size=4096,
+    )

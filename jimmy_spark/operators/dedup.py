@@ -1,0 +1,264 @@
+"""Deduplication operators for the training-data pipeline.
+
+Jimmy's dedup semantics are content-hash equality
+(Resource.__eq__ on md5, /root/reference/src/jimmy/intermediate_format.py:
+123-131; order-preserving distinct via dict.fromkeys, writer.py:273,285).
+Scaled up, a 10^12-row corpus needs the standard near-dup ladder:
+
+- ``exact_dedup``          — hash groupBy (md5 / phash)
+- ``ngram_jaccard_pairs``  — word-bigram shingle Jaccard >= tau, computed
+  with *integer cross-multiplication* (no float threshold) so the DuckDB
+  oracle is bit-exact
+- ``minhash_lsh_pairs``    — 16 minhashes (md5-derived 28-bit token ids ×
+  deterministic odd multipliers mod 2^61-1) in 4 bands of 4; band-equality
+  candidates are then *verified* with exact Jaccard, so the final pair set
+  is deterministic and SQL-checkable end to end
+- ``simhash64``            — 64-bit simhash over token md5 hashes (bit-level
+  ops; no SQL oracle — verified against a NumPy reference in tests)
+
+Scale notes: the token self-joins explode on high-document-frequency
+tokens; at 10^12 scale the shuffle key is the token/shingle hash, and the
+standard mitigations apply unchanged (drop df > threshold shingles, salt
+the band join). minhash bands keep candidate pairs ~linear in corpus size
+vs the quadratic all-pairs join — that is the point of the ladder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from jimmy_spark.datagen.core import splitmix64
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_P = (1 << 61) - 1
+# Deterministic odd multipliers/offsets (< 2^32 so A*token28 < 2^60).
+_H = splitmix64(np.arange(2 * MINHASH_K, dtype=np.uint64) ^ np.uint64(0xD3D0B))
+MINHASH_A = [int(x | np.uint64(1)) & 0xFFFFFFFF for x in _H[:MINHASH_K]]
+MINHASH_B = [int(x) & 0xFFFFFFFF for x in _H[MINHASH_K:]]
+
+
+def exact_dedup(df: DataFrame, key_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Keep min id per content key; report duplicate counts."""
+    return df.groupBy(key_col).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt")
+    )
+
+
+# --- shared tokenization (identical in the SQL oracles) -------------------
+
+
+def _tokens(text_col: str):
+    return F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+
+
+def _bigrams(text_col: str):
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, tau_pct: int = 60, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs (a < b) with word-bigram Jaccard >= tau_pct/100.
+
+    Threshold test is ``100*common >= tau_pct*(na+nb-common)`` — integers
+    only. Output carries (common, union_cnt) for auditability.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(_bigrams(text_col)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("nsh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_cnt", F.col("na") + F.col("nb") - F.col("common"))
+        .filter(F.lit(100) * F.col("common") >= F.lit(tau_pct) * F.col("union_cnt"))
+        .select("doc_a", "doc_b", "common", "union_cnt")
+    )
+
+
+# --- minhash + LSH --------------------------------------------------------
+
+
+def _token28(col):
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig_0..sig_{K-1}) — min over tokens of (A_i*tok28+B_i) % P."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("t")
+    ).withColumn("t28", _token28(F.col("t")))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("t28") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"sig_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return tok.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, tau_pct: int = 60, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH candidates (band equality on 4 bands of 4 sigs) verified with
+    exact token-set Jaccard >= tau_pct/100. Deterministic output."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"sig_{bi * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    tok = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("ts"),
+                    F.size(_tokens(text_col)).alias("n"))
+    ta = tok.select(F.col("id").alias("doc_a"), F.col("ts").alias("ts_a"),
+                    F.col("n").alias("na"))
+    tb = tok.select(F.col("id").alias("doc_b"), F.col("ts").alias("ts_b"),
+                    F.col("n").alias("nb"))
+    j = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("ts_a", "ts_b")))
+        .withColumn("union_cnt", F.col("na") + F.col("nb") - F.col("common"))
+        .filter(F.lit(100) * F.col("common") >= F.lit(tau_pct) * F.col("union_cnt"))
+    )
+    return j.select("doc_a", "doc_b", "common", "union_cnt")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash from token md5s (pandas UDF; NumPy bit counting)."""
+
+    @F.pandas_udf("long")
+    def sh(tokens: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                val |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(val.view(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sh(_tokens(text_col)).alias("simhash"))
+
+
+# --- DuckDB oracles -------------------------------------------------------
+
+
+def duckdb_dedup_sql(table: str = "documents", tau_pct: int = 60) -> dict[str, str]:
+    toks = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+    raw = "string_split_regex(lower(trim(text)), '\\s+')"
+    bigr = (
+        f"list_distinct(list_transform(generate_series(1, len({raw}) - 1), "
+        f"i -> {raw}[i] || ' ' || {raw}[i + 1]))"
+    )
+    t28 = "('0x' || substring(md5(t), 1, 7))::BIGINT"
+    sig_exprs = ", ".join(
+        f"min(({MINHASH_A[i]} * {t28} + {MINHASH_B[i]}) % {MINHASH_P}) AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, "
+        + " || '_' || ".join(
+            f"sig_{bi * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+        )
+        + " AS sig FROM sigs"
+        for bi in range(MINHASH_BANDS)
+    )
+    return {
+        "ngram_dedup": f"""
+WITH sh AS (SELECT doc_id AS id, unnest({bigr}) AS s FROM {table}),
+sizes AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT doc_a, doc_b, common, (na + nb - common) AS union_cnt
+FROM common
+JOIN (SELECT id AS doc_a, nsh AS na FROM sizes) USING (doc_a)
+JOIN (SELECT id AS doc_b, nsh AS nb FROM sizes) USING (doc_b)
+WHERE 100 * common >= {tau_pct} * (na + nb - common)
+""",
+        "minhash_dedup": f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({toks}) AS t FROM {table}
+),
+sigs AS (SELECT id, {sig_exprs} FROM tok GROUP BY id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+tsets AS (SELECT doc_id AS id, {toks} AS ts, len({toks}) AS n FROM {table})
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(ta.ts, tb.ts)) AS common,
+       (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) AS union_cnt
+FROM cand c
+JOIN tsets ta ON ta.id = c.doc_a
+JOIN tsets tb ON tb.id = c.doc_b
+WHERE 100 * len(list_intersect(ta.ts, tb.ts))
+      >= {tau_pct} * (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts)))
+""",
+    }

@@ -6,29 +6,32 @@ Reference analogue: the Evernote fuzzy-title join (SURVEY §2.4,
 scalable shape is *blocking key + candidate join + exact score sort* —
 here the blocking key is the hex cell and the score is planar distance.
 
-Algorithm (all DataFrame ops; the driver loop only adjusts a per-query
-radius — queries table is tiny relative to points):
+Algorithm (candidate generation and ranking are DataFrame ops; the driver
+loop only adjusts per-query radii and gathers the tiny top-k result rows):
 
 1. radius r := 1 for every query.
 2. candidates := explode(disk cells of each query at radius r) ⋈ points
-   (hash join on cell id) — the points side is scanned with the cell id
-   precomputed, so this is one shuffle-free broadcast join when the query
-   side is small, or a shuffle hash join keyed by cell at scale.
-3. per query: k-th smallest distance d_k over candidates (window).
-4. A query is *settled* when it has >= k candidates AND
-   disk(r) provably covers every point within d_k:
-   r >= rings_needed(d_k)  (hexgrid bound: min dist to ring-D cell is
-   1.5*s*D - 2*s). Unsettled queries double r and repeat from 2.
+   (hash join on the precomputed point cell id; the query side is tiny and
+   broadcast, so the points side never shuffles).
+3. rank candidates per query by (dist2, image_id); collect rank <= k rows
+   (at most sum(k) rows — driver-safe at any scale).
+4. A query is *settled* when it has >= k candidates AND the disk provably
+   covers every point within its k-th distance:
+   r >= rings_needed(d_k)  (hexgrid bound: any point of a cell at hex
+   distance D is >= 1.5*s*D - 2*s away). Unsettled queries grow
+   r := max(2r, rings_needed(d_k)) and repeat from 2.
 5. Queries still unsettled at r > MAX_RADIUS (genuinely empty regions)
-   fall back to one brute-force pass — a single broadcast of those few
-   queries against the full points table (exact, DECIMAL distance to avoid
-   overflow at planetary deltas).
+   take one brute-force pass over the full points table, shared by all
+   such queries: a double-precision prune keeps every candidate within
+   kth_double + MARGIN (MARGIN = 4096 >> the <=2048 ulp error of double
+   dist2 at planetary magnitude, so no true top-k row can be pruned),
+   then DECIMAL(38,0)-exact dist2 ranks the survivors.
 
-Determinism: ranking key is (dist2, image_id) — a total order, so results
-are identical at any parallelism. dist2 fits int64 for ring candidates
-(deltas bounded by disk extent); the oracle compares with HUGEINT.
+Determinism: ranking key is (dist2, image_id) — a total order; results are
+identical at any parallelism. Ring-path dist2 fits int64 exactly (deltas
+bounded by the disk extent); the DuckDB oracle uses HUGEINT.
 
-Output: (query_id, rank, image_id) with rank 1..k.
+Output: (query_id, rank, image_id), rank 1..k.
 """
 
 from __future__ import annotations
@@ -42,10 +45,54 @@ from jimmy_spark.functions import hexgrid
 
 DEFAULT_RES = 7
 MAX_RADIUS = 64
+_PRUNE_MARGIN = 4096.0
 
 
-def _disk_cells_pdf(queries: pd.DataFrame, radius_by_query: dict[str, int], res: int) -> pd.DataFrame:
-    """Explode each query into its disk cells at its current radius."""
+def _initial_radii(
+    queries_pdf: pd.DataFrame, counts_pdf: pd.DataFrame, res: int
+) -> dict[str, int]:
+    """Pick each query's starting disk radius from per-cell point counts:
+    the smallest radius whose disk holds >= k points (so the first join
+    pass already yields k candidates — one iteration instead of log-many).
+    Queries whose MAX_RADIUS disk holds < k points go straight to the
+    brute-force fallback (radius -1).
+
+    Driver-side cost is O(|queries| * disk(MAX_RADIUS)) numpy lookups; at
+    production scale the counts table is a coarse density grid kept as a
+    broadcast aggregate (one groupBy over the points table, reused across
+    query batches).
+    """
+    counts = dict(
+        zip(counts_pdf["cell"].to_numpy(), counts_pdf["cnt"].to_numpy())
+    )
+    cell = hexgrid.encode(
+        queries_pdf["lat_e7"].to_numpy(np.int64),
+        queries_pdf["lon_e7"].to_numpy(np.int64),
+        res,
+    )
+    _, q0, r0 = hexgrid.unpack(cell)
+    offs = hexgrid.disk_offsets(MAX_RADIUS)
+    ring_of = hexgrid.hex_distance(offs[:, 0], offs[:, 1], 0, 0)
+    order = np.argsort(ring_of, kind="stable")
+    offs, ring_of = offs[order], ring_of[order]
+    out: dict[str, int] = {}
+    for i, row in enumerate(queries_pdf.itertuples()):
+        cells_i = hexgrid.pack(res, q0[i] + offs[:, 0], r0[i] + offs[:, 1])
+        cum = 0
+        radius = -1
+        k = int(row.k)
+        for ring_start in range(len(cells_i)):
+            cum += counts.get(cells_i[ring_start], 0)
+            if cum >= k:
+                radius = int(ring_of[ring_start])
+                break
+        out[str(row.query_id)] = radius
+    return out
+
+
+def _disk_cells_pdf(
+    queries: pd.DataFrame, radius_by_query: dict[str, int], res: int
+) -> pd.DataFrame:
     qids: list[np.ndarray] = []
     cells_out: list[np.ndarray] = []
     cell = hexgrid.encode(
@@ -53,8 +100,7 @@ def _disk_cells_pdf(queries: pd.DataFrame, radius_by_query: dict[str, int], res:
     )
     _, q0, r0 = hexgrid.unpack(cell)
     for i, qid in enumerate(queries["query_id"]):
-        rad = radius_by_query[qid]
-        offs = hexgrid.disk_offsets(rad)
+        offs = hexgrid.disk_offsets(radius_by_query[qid])
         cells_out.append(hexgrid.pack(res, q0[i] + offs[:, 0], r0[i] + offs[:, 1]))
         qids.append(np.full(len(offs), qid, dtype=object))
     return pd.DataFrame(
@@ -71,7 +117,6 @@ def knn_join(
     """points(id, lat_e7, lon_e7) x queries(query_id, lat_e7, lon_e7, k)
     -> (query_id, rank, image_id), exact planar kNN."""
     spark = points.sparkSession
-    # Precompute the point cell id once (JVM expression path — no UDF).
     from jimmy_spark.operators.cells import hex_cell_expr
 
     pts = points.select(
@@ -79,8 +124,7 @@ def knn_join(
         F.col("lat_e7").alias("p_lat"),
         F.col("lon_e7").alias("p_lon"),
         hex_cell_expr(F.col("lat_e7"), F.col("lon_e7"), res).alias("cell"),
-    )
-    pts.cache()
+    ).persist()
 
     qmeta = spark.createDataFrame(
         queries_pdf[["query_id", "lat_e7", "lon_e7", "k"]]
@@ -91,14 +135,26 @@ def knn_join(
         "k",
     )
 
-    unsettled = {str(q): 1 for q in queries_pdf["query_id"]}
-    results: list[DataFrame] = []
+    counts_pdf = (
+        pts.groupBy("cell").agg(F.count("*").alias("cnt")).toPandas()
+    )
+    unsettled = _initial_radii(queries_pdf, counts_pdf, res)
     qpdf = queries_pdf.set_index("query_id", drop=False)
+    k_of = {str(r.query_id): int(r.k) for r in queries_pdf.itertuples()}
+    result_rows: list[pd.DataFrame] = []
 
     while unsettled:
-        sub = qpdf.loc[list(unsettled)]
-        cells_pdf = _disk_cells_pdf(sub, unsettled, res)
-        cand_cells = spark.createDataFrame(cells_pdf)
+        active = [q for q, r in unsettled.items() if r >= 0]
+        fallback = [q for q, r in unsettled.items() if r == -1]
+        if fallback:
+            fb = _brute_force(pts, qmeta, fallback, id_col)
+            result_rows.append(fb)
+            for qid in fallback:
+                del unsettled[qid]
+            if not active:
+                break
+        sub = qpdf.loc[active]
+        cand_cells = spark.createDataFrame(_disk_cells_pdf(sub, unsettled, res))
         cand = (
             F.broadcast(cand_cells)
             .join(pts, "cell")
@@ -106,71 +162,90 @@ def knn_join(
             .withColumn(
                 "dist2",
                 (F.col("p_lat") - F.col("q_lat")) * (F.col("p_lat") - F.col("q_lat"))
-                + (F.col("p_lon") - F.col("q_lon")) * (F.col("p_lon") - F.col("q_lon")),
+                + (F.col("p_lon") - F.col("q_lon"))
+                * (F.col("p_lon") - F.col("q_lon")),
             )
         )
         w = Window.partitionBy("query_id").orderBy("dist2", id_col)
-        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= F.col("k")
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", id_col, "dist2")
+            .toPandas()
         )
-        got = ranked.groupBy("query_id").agg(
-            F.count("*").alias("n"), F.max("dist2").alias("dk")
-        )
-        stats = {r.query_id: (r.n, r.dk) for r in got.collect()}
-        settled_now: list[str] = []
-        for qid in list(unsettled):
+        by_q = dict(tuple(topk.groupby("query_id", sort=False)))
+        for qid in active:
             rad = unsettled[qid]
-            n, dk = stats.get(qid, (0, None))
-            k = int(qpdf.at[qid, "k"])
+            rows = by_q.get(qid)
+            n = 0 if rows is None else len(rows)
+            k = k_of[qid]
             if n >= k:
-                need = int(hexgrid.rings_needed(res, np.array([np.sqrt(float(dk))]))[0])
+                dk = float(rows["dist2"].max())
+                need = int(hexgrid.rings_needed(res, np.array([np.sqrt(dk)]))[0])
                 if rad >= need:
-                    settled_now.append(qid)
+                    result_rows.append(rows[["query_id", "rank", id_col]])
+                    del unsettled[qid]
                     continue
-                unsettled[qid] = min(max(need, rad * 2), MAX_RADIUS + 1)
+                unsettled[qid] = max(need, rad * 2, 1)
             else:
-                unsettled[qid] = rad * 2
+                unsettled[qid] = max(rad * 2, 1)
             if unsettled[qid] > MAX_RADIUS:
-                unsettled[qid] = -1  # brute-force fallback marker
-        if settled_now:
-            keep = ranked.filter(F.col("query_id").isin(settled_now)).select(
-                "query_id", "rank", id_col
-            )
-            results.append(keep)
-            for qid in settled_now:
-                del unsettled[qid]
-        fallback = [q for q, r in unsettled.items() if r == -1]
-        if fallback:
-            fb = _brute_force(pts, qmeta, fallback, id_col)
-            results.append(fb)
-            for qid in fallback:
-                del unsettled[qid]
+                unsettled[qid] = -1
 
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    pts.unpersist()
+    if not result_rows:
+        return spark.createDataFrame(
+            [], f"query_id string, rank int, {id_col} string"
+        )
+    out = pd.concat(result_rows, ignore_index=True)
+    out["rank"] = out["rank"].astype("int32")
+    return spark.createDataFrame(out[["query_id", "rank", id_col]])
 
 
 def _brute_force(
     pts: DataFrame, qmeta: DataFrame, qids: list[str], id_col: str
-) -> DataFrame:
-    """Exact fallback for empty-region queries: one pass of ALL points vs
-    the (few) fallback queries, DECIMAL distance (no int64 overflow at
-    planetary deltas)."""
+) -> pd.DataFrame:
+    """Exact shared pass for empty-region queries, two-phase:
+
+    Phase 1 (parallel local top-k): candidates are split into hash buckets
+    (pts' existing partition key via xxhash64); each (query, bucket) keeps
+    rows within its local k-th double-distance + MARGIN. The union of
+    bucket-local top-k supersets provably contains the global top-k (the
+    double-vs-exact MARGIN argument applies bucket-wise).
+
+    Phase 2 (tiny, exact): DECIMAL(38,0) dist2 ranks the survivors —
+    BigDecimal math touches only ~|queries| * buckets * k rows.
+    """
     q = F.broadcast(qmeta.filter(F.col("query_id").isin(qids)))
-    cand = pts.crossJoin(q).withColumn(
-        "dist2",
-        (F.col("p_lat").cast("decimal(20,0)") - F.col("q_lat"))
-        * (F.col("p_lat").cast("decimal(20,0)") - F.col("q_lat"))
-        + (F.col("p_lon").cast("decimal(20,0)") - F.col("q_lon"))
-        * (F.col("p_lon").cast("decimal(20,0)") - F.col("q_lon")),
+    dlat = (F.col("p_lat") - F.col("q_lat")).cast("double")
+    dlon = (F.col("p_lon") - F.col("q_lon")).cast("double")
+    cand = (
+        pts.withColumn("bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)))
+        .crossJoin(q)
+        .withColumn("dist2d", dlat * dlat + dlon * dlon)
     )
+    wd = Window.partitionBy("query_id", "bkt").orderBy("dist2d", id_col)
+    kth = Window.partitionBy("query_id", "bkt")
+    pruned = (
+        cand.withColumn("rankd", F.row_number().over(wd))
+        .withColumn(
+            "kth_d",
+            F.max(F.when(F.col("rankd") == F.col("k"), F.col("dist2d"))).over(kth),
+        )
+        .filter(
+            F.col("dist2d")
+            <= F.coalesce(F.col("kth_d"), F.lit(float("inf"))) + F.lit(_PRUNE_MARGIN)
+        )
+    )
+    dlat_e = F.col("p_lat").cast("decimal(20,0)") - F.col("q_lat").cast("decimal(20,0)")
+    dlon_e = F.col("p_lon").cast("decimal(20,0)") - F.col("q_lon").cast("decimal(20,0)")
+    exact = pruned.withColumn("dist2", dlat_e * dlat_e + dlon_e * dlon_e)
     w = Window.partitionBy("query_id").orderBy("dist2", id_col)
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", id_col)
+        .toPandas()
     )
 
 

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_topk_bruteforce`` — exact cosine top-k, the correctness baseline:
+  JVM higher-order functions (zip_with + aggregate) compute the dot
+  product and norms — no Python in the loop. Ranking key is
+  (round(cos, 6) DESC, vec_id) so cross-engine float noise below 1e-6
+  cannot reorder results (the DuckDB oracle ranks identically).
+- ``ann_topk_lsh`` — the scale path: random-hyperplane bit signatures
+  over T tables; candidates = union of same-bucket vectors; exact rerank.
+  Approximate by construction; tests measure recall vs brute force.
+  Bits/tables trade recall vs candidate volume: for weakly-correlated
+  neighbors (cos ~0.4, as in random embeddings) 4 bits x 8 tables gives
+  ~0.7 expected recall; high-similarity near-dup hunting (cos > 0.9)
+  supports 12-16 bits with far smaller buckets.
+
+Scale notes: brute force is O(Q*N*d) — fine for a broadcast query batch
+against a partitioned corpus (each task scores its slice, then a global
+top-k merge). LSH buckets turn it into a hash join keyed by signature with
+per-bucket rerank; skewed buckets salt like any hot key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jimmy_spark.datagen.core import splitmix64
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, vec_id) — exact cosine top-k, self-match excluded."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = F.broadcast(q).crossJoin(emb).filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.withColumn(
+        "cos_r", F.round(_cosine(F.col("qv"), F.col("v")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), id_col, "cos_r")
+    )
+
+
+def duckdb_ann_sql(
+    query_ids: list[int], k: int = 10, table: str = "embeddings"
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)),
+               6) AS cos_r
+  FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rank, vec_id, cos_r FROM (
+  SELECT query_id, vec_id, cos_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
+
+
+# --- LSH (approximate, scale path) ---------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, table: int) -> np.ndarray:
+    h = splitmix64(
+        np.arange(dim * n_bits, dtype=np.uint64)
+        ^ np.uint64(0xA1515 + 7919 * table)
+    )
+    # map uint64 -> (-1, 1) doubles, deterministic
+    return (h.astype(np.float64) / 2**63 - 1.0).reshape(n_bits, dim)
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH bucketing + exact
+    cosine rerank of the union of same-bucket candidates."""
+    from pyspark.sql import Window
+
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    planes = [_hyperplanes(dim, n_bits, t) for t in range(n_tables)]
+
+    @F.pandas_udf("array<long>")
+    def buckets(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy())
+        out = []
+        sigs = []
+        for t, pl in enumerate(planes):
+            proj = m @ pl.T  # (n, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            sig = (bits << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+            sigs.append(sig + (t << np.int64(n_bits + 1)))
+        stacked = np.stack(sigs, axis=1)
+        return pd.Series(list(stacked))
+
+    emb = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bkt", F.explode(buckets(F.col("v"))))
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bkt")
+    )
+    cand = (
+        F.broadcast(q)
+        .join(emb, "bkt")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "qv", id_col, "v")
+        .distinct()
+    )
+    scored = cand.withColumn("cos_r", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), id_col, "cos_r")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, tau_micro: int = 990_000, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with round(cos,6) >= tau_micro/1e6 (exact baseline;
+    at scale the LSH buckets above prefilter the pair space)."""
+    emb = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.withColumn("cos_r", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+    return scored.filter(
+        F.col("cos_r") * 1_000_000 >= F.lit(tau_micro)
+    ).select("vec_a", "vec_b", "cos_r")

@@ -1,0 +1,142 @@
+"""Text-analysis operators for the training-data pipeline.
+
+Caption/document analogues of jimmy's densest layer — the per-record string
+kernels of SURVEY §2.7 (safe_path, tag normalization, markdown header ids,
+inline-tag extraction ...) re-expressed as JVM-side column expressions.
+Everything here is built-ins only (split/regexp/md5/size/filter) — no
+Python in the hot path, and each op has an exact DuckDB oracle.
+
+Ops:
+- token_count      — whitespace tokenization + a regex word-ish count
+- quality_score    — length / punctuation / uppercase / stopword ratios
+- lang_id          — stopword-hit heuristic over a fixed 3-language table
+- fingerprint      — md5 content fingerprint (jimmy md5_hash,
+                     /root/reference/src/jimmy/common.py:346-350) plus a
+                     16-shingle minhash-style signature (see dedup.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed stopword tables (deterministic; shared verbatim with the SQL oracle).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "fr": ("le", "la", "et", "est", "un", "une", "des", "dans"),
+}
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.size(tokens_col(t)).alias("n_tokens"),
+        F.length(t).alias("n_chars_exact"),
+        F.size(F.filter(tokens_col(t), lambda w: F.length(w) >= 4)).alias(
+            "n_long_tokens"
+        ),
+    )
+
+
+def _stopword_hits(t: Column, words: tuple[str, ...]) -> Column:
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Integer sub-metrics (exact) + a derived milli-score (integer math so
+    the oracle is bit-exact — no float ratios)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(tokens_col(t))
+    punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    upper = n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    stop = _stopword_hits(t, STOPWORDS["en"])
+    # score_milli: integer floor-division only (DuckDB ::BIGINT on a double
+    # ROUNDS while Spark cast TRUNCATES — avoid the trap entirely).
+    score = (
+        F.floor(F.lit(1000) * stop / F.greatest(n_tokens, F.lit(1)))
+        - F.floor(F.lit(50) * punct / F.greatest(n_chars, F.lit(1)))
+    ).cast("long")
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_exact"),
+        n_tokens.alias("n_tokens"),
+        punct.alias("n_punct"),
+        upper.alias("n_upper"),
+        stop.alias("n_stop_en"),
+        score.alias("score_milli"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stopword-hit argmax with fixed precedence en>de>fr."""
+    t = F.col(text_col)
+    en = _stopword_hits(t, STOPWORDS["en"])
+    de = _stopword_hits(t, STOPWORDS["de"])
+    fr = _stopword_hits(t, STOPWORDS["fr"])
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return df.select(id_col, en.alias("hits_en"), de.alias("hits_de"),
+                     fr.alias("hits_fr"), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """md5 content fingerprint + 60-bit integer prefix (join-friendly)."""
+    t = F.col(text_col)
+    h = F.md5(t)
+    return df.select(
+        id_col,
+        h.alias("md5"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )
+
+
+def duckdb_text_sql(table: str = "documents") -> dict[str, str]:
+    """Exact oracles, same expression semantics."""
+    en = "', '".join(STOPWORDS["en"])
+    de = "', '".join(STOPWORDS["de"])
+    fr = "', '".join(STOPWORDS["fr"])
+    toks = "string_split_regex(trim(text), '\\s+')"
+    ltoks = "string_split_regex(lower(trim(text)), '\\s+')"
+    hits = lambda ws: f"len(list_filter({ltoks}, w -> w IN ('{ws}')))"
+    return {
+        "token_count": (
+            f"SELECT doc_id, len({toks}) AS n_tokens, length(text) AS n_chars_exact, "
+            f"len(list_filter({toks}, w -> length(w) >= 4)) AS n_long_tokens "
+            f"FROM {table}"
+        ),
+        "quality_score": f"""
+SELECT doc_id, n_chars_exact, n_tokens, n_punct, n_upper, n_stop_en,
+       (((1000 * n_stop_en) // greatest(n_tokens, 1))
+        - ((50 * n_punct) // greatest(n_chars_exact, 1)))::BIGINT AS score_milli
+FROM (
+  SELECT doc_id, length(text) AS n_chars_exact, len({toks}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         {hits(en)} AS n_stop_en
+  FROM {table}
+)""",
+        "lang_id": f"""
+SELECT doc_id, hits_en, hits_de, hits_fr,
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+            WHEN hits_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
+FROM (SELECT doc_id, {hits(en)} AS hits_en, {hits(de)} AS hits_de,
+             {hits(fr)} AS hits_fr FROM {table})""",
+        "fingerprint": (
+            f"SELECT doc_id, md5(text) AS md5, "
+            f"('0x' || substring(md5(text), 1, 15))::BIGINT AS fp60 FROM {table}"
+        ),
+    }

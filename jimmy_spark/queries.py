@@ -21,7 +21,17 @@ from pyspark.sql import functions as F
 
 from jimmy_spark.datagen import ensure_dataset
 from jimmy_spark.functions import georef, hexgrid, tiles
-from jimmy_spark.operators import cells, decode, knn, pip, tiling
+from jimmy_spark.operators import (
+    cells,
+    decode,
+    dedup,
+    knn,
+    multimodal,
+    pip,
+    similarity,
+    text,
+    tiling,
+)
 
 # --------------------------------------------------------------------------
 # engine tables
@@ -301,6 +311,72 @@ def _oracle_generic() -> dict[str, str]:
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline queries (dedup / text / similarity / multimodal)
+
+ANN_QUERY_IDS = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ngram_dedup(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), tau_pct=30)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), tau_pct=30)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_topk_bruteforce(emb, ANN_QUERY_IDS, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_topk_lsh(emb, ANN_QUERY_IDS, k=10)
+
+
+def q_image_features(spark, sf_dir):
+    return multimodal.image_features(_images(spark))
+
+
+def _oracle_training() -> dict[str, str]:
+    out = {}
+    t = text.duckdb_text_sql("documents")
+    out["token_count"] = t["token_count"]
+    out["quality_score"] = t["quality_score"]
+    out["lang_id"] = t["lang_id"]
+    out["fingerprint"] = t["fingerprint"]
+    d = dedup.duckdb_dedup_sql("documents", tau_pct=30)
+    out["ngram_dedup"] = d["ngram_dedup"]
+    out["minhash_dedup"] = d["minhash_dedup"]
+    out["ann_topk"] = similarity.duckdb_ann_sql(ANN_QUERY_IDS, k=10)
+    return out
+
+
+# --------------------------------------------------------------------------
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -322,13 +398,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "two_hop": q_two_hop,
     "rollup_concat": q_rollup_concat,
     "topk_per_group": q_topk_per_group,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ngram_dedup": q_ngram_dedup,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "image_features": q_image_features,
 }
+
+# Queries with no SQL oracle (driver records rows-only) and why:
+#   s2_cells       — Hilbert-curve LUT encoding is not SQL-expressible;
+#                    validated against canonical S2 anchors in tests
+#   decode_stats   — image decode; validated by codec tests + fixtures
+#   simhash        — 64-bit voting over md5 bits; validated vs NumPy ref
+#   ann_lsh        — approximate by design; recall measured vs brute force
+#   image_features — image decode; validated in tests/test_textops.py
+ROWS_ONLY = ("s2_cells", "decode_stats", "simhash", "ann_lsh", "image_features")
 
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_spatial()
     out.update(_oracle_generic())
-    # s2_cells, decode_stats: genuinely non-SQL-expressible (Hilbert LUT /
-    # image decode) -> rows-only driver check, validated instead by
-    # tests/test_functions.py + tests/test_operators.py oracles.
+    out.update(_oracle_training())
     return out

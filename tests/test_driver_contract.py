@@ -52,8 +52,10 @@ def test_entry_smoke(spark):
 
 def test_every_query_has_runnable_oracle_or_is_documented(contract):
     queries, oracles = contract
+    from jimmy_spark.queries import ROWS_ONLY
+
     no_oracle = set(queries) - set(oracles)
-    assert no_oracle == {"s2_cells", "decode_stats"}
+    assert no_oracle == set(ROWS_ONLY)
 
 
 @pytest.mark.parametrize(
@@ -62,6 +64,8 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "georef", "hex_cells", "tiles", "pip", "knn", "cell_counts",
         "tile_counts", "overlay", "dedup_exact", "stats_agg", "select_glob",
         "linkres", "unique_names", "two_hop", "rollup_concat", "topk_per_group",
+        "token_count", "quality_score", "lang_id", "fingerprint",
+        "ngram_dedup", "minhash_dedup", "ann_topk",
     ],
 )
 def test_query_matches_oracle(spark, con, contract, name):
@@ -76,7 +80,9 @@ def test_query_matches_oracle(spark, con, contract, name):
     pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=True)
 
 
-@pytest.mark.parametrize("name", ["s2_cells", "decode_stats"])
+@pytest.mark.parametrize(
+    "name", ["s2_cells", "decode_stats", "simhash", "ann_lsh", "image_features"]
+)
 def test_rows_only_queries_run(spark, contract, name):
     queries, _ = contract
     df = queries[name](spark, SF_DIR)

@@ -1,0 +1,152 @@
+"""Text / dedup / similarity operators vs DuckDB oracles + NumPy refs."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jimmy_spark.operators import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _cmp(got_df, exp_df, sort_cols):
+    g = got_df.toPandas().sort_values(sort_cols).reset_index(drop=True)
+    x = exp_df.df().sort_values(sort_cols).reset_index(drop=True)
+    g = g[sorted(g.columns)]
+    x = x[sorted(x.columns)]
+    pd.testing.assert_frame_equal(g, x, check_dtype=False)
+
+
+class TestText:
+    def test_token_count(self, docs, con):
+        _cmp(
+            text.token_count(docs),
+            con.sql(text.duckdb_text_sql()["token_count"]),
+            ["doc_id"],
+        )
+
+    def test_quality_score(self, docs, con):
+        _cmp(
+            text.quality_score(docs),
+            con.sql(text.duckdb_text_sql()["quality_score"]),
+            ["doc_id"],
+        )
+
+    def test_lang_id(self, docs, con):
+        _cmp(
+            text.lang_id(docs), con.sql(text.duckdb_text_sql()["lang_id"]), ["doc_id"]
+        )
+
+    def test_fingerprint(self, docs, con):
+        _cmp(
+            text.fingerprint(docs),
+            con.sql(text.duckdb_text_sql()["fingerprint"]),
+            ["doc_id"],
+        )
+
+
+class TestDedup:
+    def test_ngram_jaccard(self, docs, con):
+        got = dedup.ngram_jaccard_pairs(docs, tau_pct=30)
+        exp = con.sql(dedup.duckdb_dedup_sql(tau_pct=30)["ngram_dedup"])
+        _cmp(got, exp, ["doc_a", "doc_b"])
+
+    def test_minhash_lsh(self, docs, con):
+        got = dedup.minhash_lsh_pairs(docs, tau_pct=30)
+        exp = con.sql(dedup.duckdb_dedup_sql(tau_pct=30)["minhash_dedup"])
+        _cmp(got, exp, ["doc_a", "doc_b"])
+
+    def test_minhash_candidates_nonempty(self, docs):
+        # word-salad docs share vocabulary; LSH must find something at low tau
+        assert dedup.minhash_lsh_pairs(docs, tau_pct=20).count() > 0
+
+    def test_simhash_matches_numpy(self, docs):
+        got = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+        pdf = docs.select("doc_id", "text").toPandas()
+        import hashlib
+
+        for _, row in pdf.head(25).iterrows():
+            toks = sorted(set(row["text"].strip().lower().split()))
+            hs = np.array(
+                [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(int)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                val |= np.uint64(1) << np.uint64(b)
+            assert got[row["doc_id"]] == np.int64(val.view(np.int64))
+
+    def test_simhash_near_dup_property(self, spark):
+        """Nearly-identical docs get hamming-close simhashes."""
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappax"),
+            (3, "completely different words entirely unrelated content here now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        h = {r.doc_id: np.uint64(np.int64(r.simhash).view(np.uint64)) for r in dedup.simhash64(df).collect()}
+        ham = lambda a, b: bin(int(a ^ b)).count("1")
+        assert ham(h[1], h[2]) < ham(h[1], h[3])
+
+
+class TestSimilarity:
+    QIDS = [1, 2, 3, 4, 5]
+
+    def test_bruteforce_matches_oracle(self, emb, con):
+        got = similarity.ann_topk_bruteforce(emb, self.QIDS, k=10)
+        exp = con.sql(similarity.duckdb_ann_sql(self.QIDS, k=10))
+        _cmp(got, exp, ["query_id", "rank"])
+
+    def test_lsh_recall(self, emb):
+        exact = similarity.ann_topk_bruteforce(emb, self.QIDS, k=10).collect()
+        approx = similarity.ann_topk_lsh(emb, self.QIDS, k=10).collect()
+        e = {(r.query_id, r.vec_id) for r in exact}
+        a = {(r.query_id, r.vec_id) for r in approx}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5, recall  # 4-bit x 8-table expected ~0.7 on random vectors
+
+    def test_near_dup_pairs_consistent(self, emb):
+        out = similarity.embedding_near_dup_pairs(emb, tau_micro=500_000)
+        rows = out.collect()
+        assert all(r.vec_a < r.vec_b for r in rows)
+
+
+class TestMultimodal:
+    def test_image_features(self, spark, t1_dir):
+        imgs = spark.read.parquet(f"{t1_dir}/images.parquet")
+        out = multimodal.image_features(imgs).cache()
+        assert out.count() == imgs.count()
+        assert out.filter("ok").count() == imgs.count()
+        row = out.first()
+        assert 0 <= row.mean_r <= 255 and row.thumb_crc != 0
+
+    def test_stubs_marked(self, spark, t1_dir):
+        imgs = spark.read.parquet(f"{t1_dir}/images.parquet")
+        with pytest.raises(NotImplementedError):
+            multimodal.audio_features(imgs)
+        with pytest.raises(NotImplementedError):
+            multimodal.video_frame_sample(imgs)
