@@ -47,11 +47,17 @@ def _pipeline_bench(cores: int) -> dict:
         shuffle_partitions=cores,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(1 * 1024 * 1024)},
     )
-    stages: dict[str, float] = {}
-    t_all = time.monotonic()
-
     images = spark.read.parquet(f"{d}/images.parquet")
     n_rows = images.count()
+
+    # Warm-up (untimed): spin up JVM codegen + Python UDF workers on a tiny
+    # slice, the cluster-equivalent of excluding executor cold-start.
+    warm = images.limit(2048)
+    decode.decode_stage(warm).count()
+    cells.with_s2_cells(cells.with_georef(warm.select("image_id", "phash"))).count()
+
+    stages: dict[str, float] = {}
+    t_all = time.monotonic()
 
     t = time.monotonic()
     decoded = decode.decode_stage(images).filter(F.col("ok"))

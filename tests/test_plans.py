@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions — the 100-TB design contract.
+
+These lock in the properties that make the engine scale: column pruning
+(the binary column never leaves the decode stage), predicate pushdown to
+the parquet scan, shuffle-free broadcast R-tree PIP, whole-stage codegen
+for the expression paths, and the two-shuffle shape of salted aggregation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jimmy_spark.operators import cells, pip, tiling
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def images(spark, t1_dir):
+    return spark.read.parquet(f"{t1_dir}/images.parquet")
+
+
+def test_georef_scan_prunes_bytes(images):
+    """georef/cells only need phash — the image bytes must not be read."""
+    df = cells.with_georef(images.select("image_id", "phash"))
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "bytes" not in read_schema
+    assert "phash" in read_schema
+
+
+def test_filter_pushdown_reaches_scan(images):
+    df = images.filter(F.col("fmt") == "png").select("image_id", "fmt")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(fmt), EqualTo(fmt,png)]" in plan
+
+
+def test_pip_rtree_has_no_shuffle(images, t1_dir):
+    pts = cells.with_georef(images.select("image_id", "phash"))
+    poly_pdf = pd.read_parquet(f"{t1_dir}/polygons.parquet")
+    plan = _plan(pip.pip_join_rtree(pts, poly_pdf))
+    assert "Exchange" not in plan  # narrow map: scan -> project -> mapInPandas
+    assert "MapInPandas" in plan
+
+
+def test_hex_expr_whole_stage_codegen(images):
+    pts = cells.with_georef(images.select("image_id", "phash"))
+    df = cells.with_hex_cells(pts, use_arrow_udf=False)
+    plan = _plan(df)
+    # Spark marks codegen'd stages with "*(n)" in executedPlan.toString()
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_salted_counts_two_stage(images):
+    pts = cells.with_georef(images.select("image_id", "phash"))
+    pts = cells.with_hex_cells(pts, (8,), use_arrow_udf=False)
+    plan = _plan(tiling.salted_counts(pts, ["hex_r8"]))
+    # two-stage: partial per (key, salt), final per key — i.e. two
+    # HashAggregate pairs around exchanges
+    assert plan.count("HashAggregate") >= 4
+    assert "_salt" in plan
+
+
+def test_tile_assignment_no_python(images):
+    pts = cells.with_georef(images.select("image_id", "phash"))
+    plan = _plan(tiling.tile_assignments(pts))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_broadcast_pip_uses_broadcast_join(spark, images, t1_dir):
+    pts = cells.with_georef(images.select("image_id", "phash"))
+    polys = spark.read.parquet(f"{t1_dir}/polygons.parquet")
+    plan = _plan(pip.pip_join_broadcast(pts, polys))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
