@@ -20,7 +20,7 @@ DATASETS: dict[str, dict] = {
     "t1": dict(n_images=500, n_polygons=30, n_queries=30, skew_frac=0.3, corrupt_every=0),
     "t2": dict(n_images=2000, n_polygons=40, n_queries=60, skew_frac=0.3, corrupt_every=0),
     "t2err": dict(n_images=400, n_polygons=20, n_queries=15, skew_frac=0.3, corrupt_every=50),
-    "bench": dict(n_images=200_000, n_polygons=60, n_queries=300, skew_frac=0.4, corrupt_every=0),
+    "bench": dict(n_images=200_000, n_polygons=60, n_queries=300, skew_frac=0.4, corrupt_every=0, shards=64),
 }
 SEED = 42
 
@@ -37,7 +37,7 @@ def ensure_dataset(name: str) -> Path:
     cfg = DATASETS[name]
     d = dataset_dir(name)
     marker = d / "_MARKER.json"
-    recipe = {"seed": SEED, "v": 3, **cfg}
+    recipe = {"seed": SEED, "v": 4, **cfg}
     if marker.exists():
         try:
             if json.loads(marker.read_text()) == recipe:
@@ -49,6 +49,7 @@ def ensure_dataset(name: str) -> Path:
         str(d / "images.parquet"),
         cfg["n_images"],
         SEED,
+        shards=cfg.get("shards", 1),
         skew_frac=cfg["skew_frac"],
         corrupt_every=cfg["corrupt_every"],
     )

@@ -100,10 +100,30 @@ def generate_images(
     )
 
 
-def write_images(path: str, n: int, seed: int = 42, **kw) -> None:
-    # Small row groups so Spark file splits actually parallelize the scan
-    # (one giant row group would pin the whole table to one task).
-    pq.write_table(
-        generate_images(n, seed, **kw), path, compression="zstd",
-        row_group_size=4096,
+def write_images(path: str, n: int, seed: int = 42, shards: int = 1, **kw) -> None:
+    """Write the table; ``shards > 1`` writes a directory of part files.
+
+    Sharding matters even locally: N tasks scanning ranges of ONE file
+    re-parse its (binary-stats-heavy) footer per split and contend on it —
+    measured 3x slower than a many-files layout at local[32]. A 100-TB
+    table is millions of files; the bench layout should match. Small row
+    groups keep splits real; statistics exclude the bytes column (useless
+    min/max over image payloads bloat the footer).
+    """
+    table = generate_images(n, seed, **kw)
+    stats_cols = [c for c in table.column_names if c != "bytes"]
+    kw_pq = dict(
+        compression="zstd", row_group_size=4096, write_statistics=stats_cols
     )
+    if shards <= 1:
+        pq.write_table(table, path, **kw_pq)
+        return
+    import pathlib
+
+    d = pathlib.Path(path)
+    d.mkdir(parents=True, exist_ok=True)
+    per = (table.num_rows + shards - 1) // shards
+    for s in range(shards):
+        part = table.slice(s * per, per)
+        if part.num_rows:
+            pq.write_table(part, d / f"part-{s:05d}.parquet", **kw_pq)

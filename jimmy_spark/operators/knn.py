@@ -1,4 +1,4 @@
-"""kNN via hex-cell ring expansion + window top-k, with completeness proof.
+"""kNN via hex-cell candidate expansion + window top-k (exact, provable).
 
 North_rule: "kNN via cell-ring expansion + secondary distance sort".
 Reference analogue: the Evernote fuzzy-title join (SURVEY §2.4,
@@ -6,30 +6,30 @@ Reference analogue: the Evernote fuzzy-title join (SURVEY §2.4,
 scalable shape is *blocking key + candidate join + exact score sort* —
 here the blocking key is the hex cell and the score is planar distance.
 
-Algorithm (candidate generation and ranking are DataFrame ops; the driver
-loop only adjusts per-query radii and gathers the tiny top-k result rows):
+Density-directed ring expansion, one candidate pass (v3):
 
-1. radius r := 1 for every query.
-2. candidates := explode(disk cells of each query at radius r) ⋈ points
-   (hash join on the precomputed point cell id; the query side is tiny and
-   broadcast, so the points side never shuffles).
-3. rank candidates per query by (dist2, image_id); collect rank <= k rows
-   (at most sum(k) rows — driver-safe at any scale).
-4. A query is *settled* when it has >= k candidates AND the disk provably
-   covers every point within its k-th distance:
-   r >= rings_needed(d_k)  (hexgrid bound: any point of a cell at hex
-   distance D is >= 1.5*s*D - 2*s away). Unsettled queries grow
-   r := max(2r, rings_needed(d_k)) and repeat from 2.
-5. Queries still unsettled at r > MAX_RADIUS (genuinely empty regions)
-   take one brute-force pass over the full points table, shared by all
-   such queries: a double-precision prune keeps every candidate within
-   kth_double + MARGIN (MARGIN = 4096 >> the <=2048 ulp error of double
-   dist2 at planetary magnitude, so no true top-k row can be pruned),
-   then DECIMAL(38,0)-exact dist2 ranks the survivors.
+1. One groupBy over the points table yields per-cell counts (at 10^12 rows
+   this is the coarse density grid — computed once, reused across query
+   batches; use a coarser resolution there so it stays driver-broadcastable).
+2. Per query (vectorized NumPy, driver-side): walk cell-center distances
+   outward (geometric radius doubling over the occupied-cell arrays) until
+   the cumulative count reaches k at center distance D. Every counted point
+   then lies within  d_bound = D + s  (s = hex circumradius), so the true
+   k-th distance d_k <= d_bound. The candidate set = occupied cells with
+   center distance <= d_bound + s — it provably contains *every* point
+   within d_k. This is ring expansion with the ring radius read off the
+   density grid instead of discovered by repeated joins.
+3. ONE broadcast join of the (query_id, cell) candidate list against the
+   cell-keyed points table, exact integer dist2, window row_number over
+   (dist2, id) <= k. No iteration, no recomputation.
+4. Safety rails: a query whose d_bound approaches the int64-exact envelope
+   (deltas ~1.4e9) routes to a DECIMAL brute-force pass (margin-pruned,
+   bucketed); a query that somehow collects fewer than min(k, N) rows
+   (cannot happen by the bound above — defensive) does too.
 
 Determinism: ranking key is (dist2, image_id) — a total order; results are
-identical at any parallelism. Ring-path dist2 fits int64 exactly (deltas
-bounded by the disk extent); the DuckDB oracle uses HUGEINT.
+identical at any parallelism. Candidate dist2 fits int64 exactly (deltas
+bounded by d_bound + 2s << 2^31.5); the DuckDB oracle uses HUGEINT.
 
 Output: (query_id, rank, image_id), rank 1..k.
 """
@@ -44,68 +44,65 @@ from pyspark.sql import functions as F
 from jimmy_spark.functions import hexgrid
 
 DEFAULT_RES = 7
-MAX_RADIUS = 64
 _PRUNE_MARGIN = 4096.0
+# deltas beyond this lose int64-exactness for dist2 (sqrt(2^63)/2 headroom)
+_INT64_SAFE_DELTA = 1_400_000_000.0
 
 
-def _initial_radii(
+def _candidate_cells(
     queries_pdf: pd.DataFrame, counts_pdf: pd.DataFrame, res: int
-) -> dict[str, int]:
-    """Pick each query's starting disk radius from per-cell point counts:
-    the smallest radius whose disk holds >= k points (so the first join
-    pass already yields k candidates — one iteration instead of log-many).
-    Queries whose MAX_RADIUS disk holds < k points go straight to the
-    brute-force fallback (radius -1).
+) -> tuple[pd.DataFrame, list[str]]:
+    """Vectorized candidate-cell lists per query from the density grid.
 
-    Driver-side cost is O(|queries| * disk(MAX_RADIUS)) numpy lookups; at
-    production scale the counts table is a coarse density grid kept as a
-    broadcast aggregate (one groupBy over the points table, reused across
-    query batches).
+    Returns (candidates(query_id, cell), overflow_query_ids) where overflow
+    queries need the DECIMAL brute-force path (planetary d_bound).
     """
-    counts = dict(
-        zip(counts_pdf["cell"].to_numpy(), counts_pdf["cnt"].to_numpy())
-    )
-    cell = hexgrid.encode(
-        queries_pdf["lat_e7"].to_numpy(np.int64),
-        queries_pdf["lon_e7"].to_numpy(np.int64),
-        res,
-    )
-    _, q0, r0 = hexgrid.unpack(cell)
-    offs = hexgrid.disk_offsets(MAX_RADIUS)
-    ring_of = hexgrid.hex_distance(offs[:, 0], offs[:, 1], 0, 0)
-    order = np.argsort(ring_of, kind="stable")
-    offs, ring_of = offs[order], ring_of[order]
-    out: dict[str, int] = {}
-    for i, row in enumerate(queries_pdf.itertuples()):
-        cells_i = hexgrid.pack(res, q0[i] + offs[:, 0], r0[i] + offs[:, 1])
-        cum = 0
-        radius = -1
+    s = hexgrid.SIZES[res]
+    cells = counts_pdf["cell"].to_numpy(np.int64)
+    cnts = counts_pdf["cnt"].to_numpy(np.int64)
+    cy, cx = hexgrid.center(cells)
+    total = int(cnts.sum())
+
+    out_q: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    overflow: list[str] = []
+    for row in queries_pdf.itertuples():
+        qy = float(row.lat_e7)
+        qx = float(row.lon_e7)
         k = int(row.k)
-        for ring_start in range(len(cells_i)):
-            cum += counts.get(cells_i[ring_start], 0)
-            if cum >= k:
-                radius = int(ring_of[ring_start])
-                break
-        out[str(row.query_id)] = radius
-    return out
-
-
-def _disk_cells_pdf(
-    queries: pd.DataFrame, radius_by_query: dict[str, int], res: int
-) -> pd.DataFrame:
-    qids: list[np.ndarray] = []
-    cells_out: list[np.ndarray] = []
-    cell = hexgrid.encode(
-        queries["lat_e7"].to_numpy(np.int64), queries["lon_e7"].to_numpy(np.int64), res
+        d = np.hypot(cy - qy, cx - qx)
+        if k >= total:
+            d_bound = float("inf")
+        else:
+            # geometric expansion: find smallest center-dist D with
+            # cumulative count >= k, scanning only cells inside the probe
+            r = 4.0 * s
+            while True:
+                m = d <= r
+                if cnts[m].sum() >= k or r > 1e10:
+                    break
+                r *= 4.0
+            dm = d[m]
+            cm = cnts[m]
+            order = np.argsort(dm, kind="stable")
+            cum = np.cumsum(cm[order])
+            idx = int(np.searchsorted(cum, k))
+            D = float(dm[order[min(idx, len(order) - 1)]])
+            d_bound = D + s
+        if d_bound + 2 * s > _INT64_SAFE_DELTA:
+            overflow.append(str(row.query_id))
+            continue
+        sel = d <= (d_bound + s)
+        chosen = cells[sel]
+        out_q.append(np.full(len(chosen), str(row.query_id), dtype=object))
+        out_c.append(chosen)
+    cand = pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q) if out_q else np.array([], object),
+            "cell": np.concatenate(out_c) if out_c else np.array([], np.int64),
+        }
     )
-    _, q0, r0 = hexgrid.unpack(cell)
-    for i, qid in enumerate(queries["query_id"]):
-        offs = hexgrid.disk_offsets(radius_by_query[qid])
-        cells_out.append(hexgrid.pack(res, q0[i] + offs[:, 0], r0[i] + offs[:, 1]))
-        qids.append(np.full(len(offs), qid, dtype=object))
-    return pd.DataFrame(
-        {"query_id": np.concatenate(qids), "cell": np.concatenate(cells_out)}
-    )
+    return cand, overflow
 
 
 def knn_join(
@@ -125,6 +122,7 @@ def knn_join(
         F.col("lon_e7").alias("p_lon"),
         hex_cell_expr(F.col("lat_e7"), F.col("lon_e7"), res).alias("cell"),
     ).persist()
+    n_total = pts.count()
 
     qmeta = spark.createDataFrame(
         queries_pdf[["query_id", "lat_e7", "lon_e7", "k"]]
@@ -134,29 +132,13 @@ def knn_join(
         F.col("lon_e7").alias("q_lon"),
         "k",
     )
+    counts_pdf = pts.groupBy("cell").agg(F.count("*").alias("cnt")).toPandas()
+    cand_pdf, overflow = _candidate_cells(queries_pdf, counts_pdf, res)
 
-    counts_pdf = (
-        pts.groupBy("cell").agg(F.count("*").alias("cnt")).toPandas()
-    )
-    unsettled = _initial_radii(queries_pdf, counts_pdf, res)
-    qpdf = queries_pdf.set_index("query_id", drop=False)
-    k_of = {str(r.query_id): int(r.k) for r in queries_pdf.itertuples()}
     result_rows: list[pd.DataFrame] = []
-
-    while unsettled:
-        active = [q for q, r in unsettled.items() if r >= 0]
-        fallback = [q for q, r in unsettled.items() if r == -1]
-        if fallback:
-            fb = _brute_force(pts, qmeta, fallback, id_col)
-            result_rows.append(fb)
-            for qid in fallback:
-                del unsettled[qid]
-            if not active:
-                break
-        sub = qpdf.loc[active]
-        cand_cells = spark.createDataFrame(_disk_cells_pdf(sub, unsettled, res))
+    if len(cand_pdf):
         cand = (
-            F.broadcast(cand_cells)
+            F.broadcast(spark.createDataFrame(cand_pdf))
             .join(pts, "cell")
             .join(F.broadcast(qmeta), "query_id")
             .withColumn(
@@ -170,33 +152,28 @@ def knn_join(
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= F.col("k"))
-            .select("query_id", "rank", id_col, "dist2")
+            .select("query_id", "rank", id_col)
             .toPandas()
         )
-        by_q = dict(tuple(topk.groupby("query_id", sort=False)))
-        for qid in active:
-            rad = unsettled[qid]
-            rows = by_q.get(qid)
-            n = 0 if rows is None else len(rows)
-            k = k_of[qid]
-            if n >= k:
-                dk = float(rows["dist2"].max())
-                need = int(hexgrid.rings_needed(res, np.array([np.sqrt(dk)]))[0])
-                if rad >= need:
-                    result_rows.append(rows[["query_id", "rank", id_col]])
-                    del unsettled[qid]
-                    continue
-                unsettled[qid] = max(need, rad * 2, 1)
-            else:
-                unsettled[qid] = max(rad * 2, 1)
-            if unsettled[qid] > MAX_RADIUS:
-                unsettled[qid] = -1
+        # defensive completeness check (the d_bound argument guarantees it)
+        got_n = topk.groupby("query_id").size()
+        k_of = {str(r.query_id): int(r.k) for r in queries_pdf.itertuples()}
+        short = [
+            q
+            for q in cand_pdf["query_id"].unique()
+            if got_n.get(q, 0) < min(k_of[q], n_total)
+        ]
+        if short:
+            overflow = list(overflow) + short
+            topk = topk[~topk["query_id"].isin(short)]
+        result_rows.append(topk)
+
+    if overflow:
+        result_rows.append(_brute_force(pts, qmeta, overflow, id_col))
 
     pts.unpersist()
     if not result_rows:
-        return spark.createDataFrame(
-            [], f"query_id string, rank int, {id_col} string"
-        )
+        return spark.createDataFrame([], f"query_id string, rank int, {id_col} string")
     out = pd.concat(result_rows, ignore_index=True)
     out["rank"] = out["rank"].astype("int32")
     return spark.createDataFrame(out[["query_id", "rank", id_col]])
@@ -205,17 +182,10 @@ def knn_join(
 def _brute_force(
     pts: DataFrame, qmeta: DataFrame, qids: list[str], id_col: str
 ) -> pd.DataFrame:
-    """Exact shared pass for empty-region queries, two-phase:
-
-    Phase 1 (parallel local top-k): candidates are split into hash buckets
-    (pts' existing partition key via xxhash64); each (query, bucket) keeps
-    rows within its local k-th double-distance + MARGIN. The union of
-    bucket-local top-k supersets provably contains the global top-k (the
-    double-vs-exact MARGIN argument applies bucket-wise).
-
-    Phase 2 (tiny, exact): DECIMAL(38,0) dist2 ranks the survivors —
-    BigDecimal math touches only ~|queries| * buckets * k rows.
-    """
+    """Exact shared pass for planetary-distance queries, two-phase:
+    bucket-local double top-k with a provable prune margin (double dist2
+    error <= 2048 ulp at 1.6e19 magnitude; margin 4096 covers both sides),
+    then DECIMAL(38,0)-exact ranking of the tiny survivor set."""
     q = F.broadcast(qmeta.filter(F.col("query_id").isin(qids)))
     dlat = (F.col("p_lat") - F.col("q_lat")).cast("double")
     dlon = (F.col("p_lon") - F.col("q_lon")).cast("double")
