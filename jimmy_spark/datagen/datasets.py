@@ -20,7 +20,7 @@ DATASETS: dict[str, dict] = {
     "t1": dict(n_images=500, n_polygons=30, n_queries=30, skew_frac=0.3, corrupt_every=0),
     "t2": dict(n_images=2000, n_polygons=40, n_queries=60, skew_frac=0.3, corrupt_every=0),
     "t2err": dict(n_images=400, n_polygons=20, n_queries=15, skew_frac=0.3, corrupt_every=50),
-    "bench": dict(n_images=200_000, n_polygons=60, n_queries=300, skew_frac=0.4, corrupt_every=0, shards=64),
+    "bench": dict(n_images=4_000_000, n_polygons=60, n_queries=300, skew_frac=0.4, corrupt_every=0, shards=256),
 }
 SEED = 42
 

@@ -377,6 +377,104 @@ def _oracle_training() -> dict[str, str]:
 
 
 # --------------------------------------------------------------------------
+# jimmy string-kernel + array/rollup queries
+
+
+def q_caption_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safe_path / tag-normalize / link kernels over captions (SURVEY §2.7)."""
+    from jimmy_spark.functions import strings
+
+    imgs = _images(spark).select("image_id", "caption")
+    return imgs.select(
+        "image_id",
+        strings.safe_filename(strings.split_title(F.col("caption"))).alias("safe_name"),
+        strings.normalize_tag(strings.first_inline_tag(F.col("caption"))).alias(
+            "tag_norm"
+        ),
+        strings.make_link(
+            strings.first_inline_tag(F.col("caption")), F.col("image_id")
+        ).alias("md_link"),
+    )
+
+
+def q_select_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select_tags analogue (filters.py:44-59): project each doc's token
+    array by glob, exploded to rows."""
+    docs = _docs(spark, sf_dir)
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.filter(toks, lambda w: w.like("s%"))).alias("tag"),
+    )
+
+
+def q_ordered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evernote task-group rollup analogue (SURVEY §2.5): per-user event
+    types concatenated in (ts, event_id) order."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    item = F.struct("ts", "event_id", "event_type")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)), lambda x: x["event_type"]
+            ),
+            ",",
+        ).alias("timeline")
+    )
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jimmy_spark.operators import fuzzy
+
+    return fuzzy.fuzzy_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jimmy_spark.streaming import windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.sessionize_batch(ev)
+
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jimmy_spark.streaming import windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.windowed_counts_batch(ev)
+
+
+def _oracle_kernels() -> dict[str, str]:
+    from jimmy_spark.functions import strings
+    from jimmy_spark.streaming import windows
+
+    title = strings.duckdb_split_title("caption")
+    tag = strings.duckdb_first_inline_tag("caption")
+    return {
+        "caption_kernels": (
+            f"SELECT image_id, {strings.duckdb_safe_filename(title)} AS safe_name, "
+            f"{strings.duckdb_normalize_tag(tag)} AS tag_norm, "
+            f"{strings.duckdb_make_link(tag, 'image_id')} AS md_link "
+            f"FROM '{_t2()}/images.parquet'"
+        ),
+        "select_tags": (
+            "SELECT doc_id, unnest(list_filter(list_distinct("
+            "string_split_regex(lower(trim(text)), '\\s+')), w -> w LIKE 's%')) AS tag "
+            "FROM documents"
+        ),
+        "ordered_rollup": (
+            "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) "
+            "AS timeline FROM events GROUP BY user_id"
+        ),
+        "session_windows": windows.duckdb_sessionize_sql(
+            "{SF}/events.parquet".replace("{SF}", "/root/testdata/sf0.01")
+        ),
+        "windowed_counts": windows.duckdb_windows_sql(
+            "/root/testdata/sf0.01/events.parquet"
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -408,6 +506,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "image_features": q_image_features,
+    "caption_kernels": q_caption_kernels,
+    "select_tags": q_select_tags,
+    "ordered_rollup": q_ordered_rollup,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "session_windows": q_session_windows,
+    "windowed_counts": q_windowed_counts,
 }
 
 # Queries with no SQL oracle (driver records rows-only) and why:
@@ -417,11 +521,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   simhash        — 64-bit voting over md5 bits; validated vs NumPy ref
 #   ann_lsh        — approximate by design; recall measured vs brute force
 #   image_features — image decode; validated in tests/test_textops.py
-ROWS_ONLY = ("s2_cells", "decode_stats", "simhash", "ann_lsh", "image_features")
+#   fuzzy_pairs    — difflib ratio is not SQL-expressible; cross-checked
+#                    against a pure-Python oracle in tests
+ROWS_ONLY = (
+    "s2_cells", "decode_stats", "simhash", "ann_lsh", "image_features",
+    "fuzzy_pairs",
+)
 
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_spatial()
     out.update(_oracle_generic())
     out.update(_oracle_training())
+    out.update(_oracle_kernels())
     return out

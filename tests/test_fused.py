@@ -1,0 +1,45 @@
+"""Fused stage == composition of the modular (oracle-verified) operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from jimmy_spark.operators import cells, decode, fused, pip, tiling
+
+
+def test_fused_matches_modular(spark, t1_dir):
+    imgs = spark.read.parquet(f"{t1_dir}/images.parquet")
+    poly_pdf = pq.read_table(f"{t1_dir}/polygons.parquet").to_pandas()
+
+    f_out = fused.fused_spatial_stage(imgs, poly_pdf).cache()
+
+    d = decode.decode_stage(imgs)
+    pts = cells.with_s2_cells(
+        cells.with_hex_cells(cells.with_georef(d), use_arrow_udf=False)
+    )
+    pts = tiling.with_tiles(pts)
+    m = pts.toPandas().set_index("image_id").sort_index()
+    g = f_out.toPandas().set_index("image_id").sort_index()
+
+    assert (g["ok"] == m["ok"]).all()
+    for c in ("px_checksum", "lat_e7", "lon_e7", "hex_r7", "hex_r8", "hex_r9",
+              "s2_l12", "s2_l14", "s2_l16", "tile_z8_x", "tile_z8_y",
+              "tile_z12_x", "tile_z12_y", "tile_z16_x", "tile_z16_y"):
+        assert (g[c] == m[c]).all(), c
+    assert (g["caption"] == m["caption"]).all()
+
+    pairs_modular = {
+        (r.image_id, r.polygon_id)
+        for r in pip.pip_join_rtree(
+            cells.with_georef(imgs.select("image_id", "phash")), poly_pdf
+        ).collect()
+    }
+    pairs_fused = {
+        (r.image_id, p)
+        for r in f_out.select("image_id", "polygon_ids").collect()
+        for p in r.polygon_ids
+    }
+    assert pairs_fused == pairs_modular and len(pairs_fused) > 0
