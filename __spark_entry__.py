@@ -7,9 +7,16 @@ DuckDB oracle (see jimmy_spark/queries.py and SURVEY.md §2).
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Make the jimmy_spark package importable regardless of the caller's cwd.
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -62,6 +62,12 @@ def _candidate_cells(
     cnts = counts_pdf["cnt"].to_numpy(np.int64)
     cy, cx = hexgrid.center(cells)
     total = int(cnts.sum())
+    # sorted-by-x index: each probe touches only the cx strip around the
+    # query (O(log n) + strip) instead of scanning every occupied cell —
+    # matters once the density grid has millions of occupied cells.
+    xorder = np.argsort(cx, kind="stable")
+    cxs, cys = cx[xorder], cy[xorder]
+    cellss, cntss = cells[xorder], cnts[xorder]
 
     out_q: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
@@ -70,20 +76,22 @@ def _candidate_cells(
         qy = float(row.lat_e7)
         qx = float(row.lon_e7)
         k = int(row.k)
-        d = np.hypot(cy - qy, cx - qx)
         if k >= total:
             d_bound = float("inf")
         else:
-            # geometric expansion: find smallest center-dist D with
-            # cumulative count >= k, scanning only cells inside the probe
+            # geometric expansion: smallest center-dist D with cumulative
+            # count >= k, probing only the sorted-x strip
             r = 4.0 * s
             while True:
-                m = d <= r
-                if cnts[m].sum() >= k or r > 1e10:
+                lo = int(np.searchsorted(cxs, qx - r))
+                hi = int(np.searchsorted(cxs, qx + r))
+                dstrip = np.hypot(cys[lo:hi] - qy, cxs[lo:hi] - qx)
+                m = dstrip <= r
+                if cntss[lo:hi][m].sum() >= k or r > 1e10:
                     break
                 r *= 4.0
-            dm = d[m]
-            cm = cnts[m]
+            dm = dstrip[m]
+            cm = cntss[lo:hi][m]
             order = np.argsort(dm, kind="stable")
             cum = np.cumsum(cm[order])
             idx = int(np.searchsorted(cum, k))
@@ -92,8 +100,11 @@ def _candidate_cells(
         if d_bound + 2 * s > _INT64_SAFE_DELTA:
             overflow.append(str(row.query_id))
             continue
-        sel = d <= (d_bound + s)
-        chosen = cells[sel]
+        rr = d_bound + s
+        lo = int(np.searchsorted(cxs, qx - rr))
+        hi = int(np.searchsorted(cxs, qx + rr))
+        sel = np.hypot(cys[lo:hi] - qy, cxs[lo:hi] - qx) <= rr
+        chosen = cellss[lo:hi][sel]
         out_q.append(np.full(len(chosen), str(row.query_id), dtype=object))
         out_c.append(chosen)
     cand = pd.DataFrame(
@@ -137,20 +148,42 @@ def knn_join(
 
     result_rows: list[pd.DataFrame] = []
     if len(cand_pdf):
-        cand = (
-            F.broadcast(spark.createDataFrame(cand_pdf))
-            .join(pts, "cell")
-            .join(F.broadcast(qmeta), "query_id")
-            .withColumn(
-                "dist2",
-                (F.col("p_lat") - F.col("q_lat")) * (F.col("p_lat") - F.col("q_lat"))
-                + (F.col("p_lon") - F.col("q_lon"))
-                * (F.col("p_lon") - F.col("q_lon")),
+        def _cand() -> DataFrame:
+            return (
+                F.broadcast(spark.createDataFrame(cand_pdf))
+                .join(pts, "cell")
+                .join(F.broadcast(qmeta), "query_id")
+                .withColumn(
+                    "dist2",
+                    (F.col("p_lat") - F.col("q_lat"))
+                    * (F.col("p_lat") - F.col("q_lat"))
+                    + (F.col("p_lon") - F.col("q_lon"))
+                    * (F.col("p_lon") - F.col("q_lon")),
+                )
+                .select("query_id", "k", id_col, "dist2")
             )
-        )
+
+        # Dense hot cells can put 10^5-10^6 candidates behind one query and
+        # the final per-query window sort would dominate. Tighten with a
+        # *sampled upper bound*: the k-th distance within a deterministic
+        # 1/64 subsample is >= the true k-th distance, so filtering
+        # dist2 <= bound before ranking discards no true top-k row — exact
+        # regardless of sample quality; queries with < k sampled candidates
+        # simply get no bound. Everything stays JVM-side.
         w = Window.partitionBy("query_id").orderBy("dist2", id_col)
+        sample = _cand().filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)) == 0)
+        kth = (
+            sample.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == F.col("k"))
+            .select("query_id", F.col("dist2").alias("bound"))
+        )
         topk = (
-            cand.withColumn("rank", F.row_number().over(w))
+            _cand()
+            .join(F.broadcast(kth), "query_id", "left")
+            .filter(
+                F.col("bound").isNull() | (F.col("dist2") <= F.col("bound"))
+            )
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", id_col)
             .toPandas()
