@@ -54,8 +54,11 @@ def generate_images(
     seed: int = 42,
     skew_frac: float = 0.0,
     corrupt_every: int = 0,
+    start: int = 0,
 ) -> pa.Table:
-    idx = np.arange(n, dtype=np.uint64)
+    """Rows [start, start+n) of the (deterministic, global-index-keyed)
+    table — sharded generation produces identical rows to a single pass."""
+    idx = np.arange(start, start + n, dtype=np.uint64)
     phash = phash_for_index(idx, seed)
 
     if skew_frac > 0.0:
@@ -72,24 +75,27 @@ def generate_images(
 
     ws = np.array(WIDTHS, dtype=np.int32)[idx.astype(np.int64) % 3]
     hs = np.array(HEIGHTS, dtype=np.int32)[idx.astype(np.int64) % 3]
-    fmts = [FMTS[int(i) % 3] for i in range(n)]
+    fmts = [FMTS[(start + i) % 3] for i in range(n)]
     phases = splitmix64(idx ^ np.uint64(seed)).astype(np.int64) & np.int64(2**31 - 1)
 
     blobs: list[bytes] = []
     captions: list[str] = []
     for i in range(n):
-        arr = make_pixels(i, int(ws[i]), int(hs[i]), int(phases[i]))
+        gi = start + i
+        arr = make_pixels(gi, int(ws[i]), int(hs[i]), int(phases[i]))
         data = encode_image(arr, fmts[i])
-        if corrupt_every and i % corrupt_every == 3:
+        if corrupt_every and gi % corrupt_every == 3:
             data = data[: max(8, len(data) // 2)]  # truncated stream
-        elif corrupt_every and i % corrupt_every == 5:
-            fmts[i] = FMTS[(int(i) + 1) % 3]  # fmt mismatching payload
+        elif corrupt_every and gi % corrupt_every == 5:
+            fmts[i] = FMTS[(gi + 1) % 3]  # fmt mismatching payload
         blobs.append(data)
-        captions.append(make_caption(i, int(phash[i])))
+        captions.append(make_caption(gi, int(phash[i])))
 
     return pa.table(
         {
-            "image_id": pa.array([f"img_{i:012d}" for i in range(n)], pa.string()),
+            "image_id": pa.array(
+                [f"img_{start + i:012d}" for i in range(n)], pa.string()
+            ),
             "bytes": pa.array(blobs, pa.binary()),
             "w": pa.array(ws, pa.int32()),
             "h": pa.array(hs, pa.int32()),
@@ -100,8 +106,19 @@ def generate_images(
     )
 
 
+_PQ_STATS_COLS = ["image_id", "w", "h", "fmt", "caption", "phash"]
+_PQ_KW = dict(compression="zstd", row_group_size=4096, write_statistics=_PQ_STATS_COLS)
+
+
+def _write_shard(args) -> None:
+    path, start, count, seed, kw = args
+    pq.write_table(generate_images(count, seed, start=start, **kw), path, **_PQ_KW)
+
+
 def write_images(path: str, n: int, seed: int = 42, shards: int = 1, **kw) -> None:
-    """Write the table; ``shards > 1`` writes a directory of part files.
+    """Write the table; ``shards > 1`` writes a directory of part files,
+    generated in parallel worker processes (generation is global-index
+    keyed, so sharded output is row-identical to a single pass).
 
     Sharding matters even locally: N tasks scanning ranges of ONE file
     re-parse its (binary-stats-heavy) footer per split and contend on it —
@@ -110,20 +127,23 @@ def write_images(path: str, n: int, seed: int = 42, shards: int = 1, **kw) -> No
     groups keep splits real; statistics exclude the bytes column (useless
     min/max over image payloads bloat the footer).
     """
-    table = generate_images(n, seed, **kw)
-    stats_cols = [c for c in table.column_names if c != "bytes"]
-    kw_pq = dict(
-        compression="zstd", row_group_size=4096, write_statistics=stats_cols
-    )
     if shards <= 1:
-        pq.write_table(table, path, **kw_pq)
+        pq.write_table(generate_images(n, seed, **kw), path, **_PQ_KW)
         return
+    import multiprocessing as mp
     import pathlib
+    import shutil
 
     d = pathlib.Path(path)
+    if d.exists():
+        shutil.rmtree(d)  # no stale parts from a previous (larger) recipe
     d.mkdir(parents=True, exist_ok=True)
-    per = (table.num_rows + shards - 1) // shards
+    per = (n + shards - 1) // shards
+    jobs = []
     for s in range(shards):
-        part = table.slice(s * per, per)
-        if part.num_rows:
-            pq.write_table(part, d / f"part-{s:05d}.parquet", **kw_pq)
+        start = s * per
+        count = min(per, n - start)
+        if count > 0:
+            jobs.append((str(d / f"part-{s:05d}.parquet"), start, count, seed, kw))
+    with mp.get_context("fork").Pool(min(16, len(jobs))) as pool:
+        pool.map(_write_shard, jobs)

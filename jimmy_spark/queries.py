@@ -429,6 +429,24 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.fuzzy_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontmatter/template serialization (SURVEY §2.2,
+    intermediate_format.py:214-287 + NoteFormatter): deterministic
+    column-to-document rendering."""
+    from jimmy_spark.functions import strings
+
+    imgs = _images(spark).select("image_id", "caption", "phash")
+    title = strings.safe_filename(strings.split_title(F.col("caption")))
+    tag = strings.normalize_tag(strings.first_inline_tag(F.col("caption")))
+    doc = F.concat(
+        F.lit("---\ntitle: "), title,
+        F.lit("\ntags: ["), tag,
+        F.lit("]\nphash: "), F.col("phash").cast("string"),
+        F.lit("\n---\n"), F.col("caption"),
+    )
+    return imgs.select("image_id", doc.alias("doc"))
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jimmy_spark.streaming import windows
 
@@ -464,6 +482,14 @@ def _oracle_kernels() -> dict[str, str]:
         "ordered_rollup": (
             "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) "
             "AS timeline FROM events GROUP BY user_id"
+        ),
+        "frontmatter": (
+            f"SELECT image_id, '---' || chr(10) || 'title: ' || "
+            f"{strings.duckdb_safe_filename(strings.duckdb_split_title('caption'))}"
+            f" || chr(10) || 'tags: [' || "
+            f"{strings.duckdb_normalize_tag(strings.duckdb_first_inline_tag('caption'))}"
+            f" || ']' || chr(10) || 'phash: ' || phash::VARCHAR || chr(10) || "
+            f"'---' || chr(10) || caption AS doc FROM '{_t2()}/images.parquet'"
         ),
         "session_windows": windows.duckdb_sessionize_sql(
             "{SF}/events.parquet".replace("{SF}", "/root/testdata/sf0.01")
@@ -509,6 +535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_kernels": q_caption_kernels,
     "select_tags": q_select_tags,
     "ordered_rollup": q_ordered_rollup,
+    "frontmatter": q_frontmatter,
     "fuzzy_pairs": q_fuzzy_pairs,
     "session_windows": q_session_windows,
     "windowed_counts": q_windowed_counts,

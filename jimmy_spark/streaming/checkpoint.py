@@ -46,6 +46,7 @@ _METRICS_SCHEMA = pa.schema(
         ("bucket", pa.int32()),
         ("rows_in", pa.int64()),
         ("rows_out", pa.int64()),
+        ("rows_err", pa.int64()),
         ("wall_ms", pa.int64()),
         ("status", pa.string()),
         ("ts", pa.timestamp("us")),
@@ -132,12 +133,22 @@ class StageRunner:
             written = self.spark.read.parquet(out_dir).filter(
                 F.col(BUCKET_COL).isin(bucket_ids)
             )
-            rows_out = {
-                r[BUCKET_COL]: r["cnt"]
+            # per-record error isolation surfaces in the lineage table
+            # (north_rule: lineage records failures): stages that emit an
+            # ``ok`` column get per-bucket error counts
+            err_agg = (
+                F.count(F.when(~F.col("ok"), 1)).alias("err")
+                if "ok" in written.columns
+                else F.lit(0).alias("err")
+            )
+            counts = {
+                r[BUCKET_COL]: (r["cnt"], r["err"])
                 for r in written.groupBy(BUCKET_COL)
-                .agg(F.count("*").alias("cnt"))
+                .agg(F.count("*").alias("cnt"), err_agg)
                 .collect()
             }
+            rows_out = {b: c for b, (c, _) in counts.items()}
+            rows_err = {b: e for b, (_, e) in counts.items()}
             wall_ms = int((time.monotonic() - t0) * 1000)
             now = int(time.time() * 1_000_000)
             self.table.append(
@@ -148,6 +159,7 @@ class StageRunner:
                         bucket=int(b),
                         rows_in=int(rows_in.get(b, 0)),
                         rows_out=int(rows_out.get(b, 0)),
+                        rows_err=int(rows_err.get(b, 0)),
                         wall_ms=wall_ms,
                         status="committed",
                         ts=now,

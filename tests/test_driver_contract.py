@@ -67,6 +67,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "token_count", "quality_score", "lang_id", "fingerprint",
         "ngram_dedup", "minhash_dedup", "ann_topk", "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
+        "frontmatter",
     ],
 )
 def test_query_matches_oracle(spark, con, contract, name):

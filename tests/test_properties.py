@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the pure-NumPy kernels.
+
+The reference's test strategy has no property tests (SURVEY §5); these
+harden the engine's kernels beyond the fixture corpus: arbitrary image
+shapes, the full int64 phash domain, adversarial polygon/point geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jimmy_spark.codecs import decode_image, encode_image
+from jimmy_spark.datagen.core import splitmix64
+from jimmy_spark.functions import georef, hexgrid, s2, tiles
+from jimmy_spark.functions.raycast import inside_ring
+
+settings.register_profile("ci", max_examples=40, deadline=None)
+settings.load_profile("ci")
+
+
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 48),
+    seed=st.integers(0, 2**31),
+    fmt=st.sampled_from(["png", "bmp", "jpeg"]),
+)
+def test_codec_roundtrip_any_shape(w, h, seed, fmt):
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_image(encode_image(arr, fmt), fmt)
+    assert out.shape == (h, w, 3)
+    if fmt in ("png", "bmp"):
+        np.testing.assert_array_equal(out, arr)
+    else:
+        mse = ((arr.astype(float) - out.astype(float)) ** 2).mean()
+        assert mse == 0 or 10 * np.log10(255.0**2 / mse) >= 40.0
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=200))
+def test_georef_total_function_in_bounds(phashes):
+    ph = np.array(phashes, dtype=np.int64)
+    lat, lon = georef.latlon_e7_np(ph)
+    assert (np.abs(lat) <= georef.LAT_MAX_E7).all()
+    assert (np.abs(lon) <= georef.LON_MAX_E7).all()
+    # deterministic
+    lat2, lon2 = georef.latlon_e7_np(ph)
+    np.testing.assert_array_equal(lat, lat2)
+    np.testing.assert_array_equal(lon, lon2)
+
+
+@given(
+    lat=st.lists(st.integers(-850511287, 850511287), min_size=1, max_size=100),
+    lon=st.lists(st.integers(-(1800000000), 1800000000), min_size=1, max_size=100),
+    res=st.sampled_from([7, 8, 9]),
+)
+def test_hex_encode_containment(lat, lon, res):
+    n = min(len(lat), len(lon))
+    la = np.array(lat[:n], dtype=np.int64)
+    lo = np.array(lon[:n], dtype=np.int64)
+    cell = hexgrid.encode(la, lo, res)
+    r2, q, r = hexgrid.unpack(cell)
+    assert (r2 == res).all()
+    np.testing.assert_array_equal(hexgrid.pack(res, q, r), cell)
+    cy, cx = hexgrid.center(cell)
+    d = np.hypot(cy - la, cx - lo)
+    # every point lies within the circumradius of its cell center
+    assert (d <= hexgrid.SIZES[res] * (1 + 1e-9)).all()
+
+
+@given(
+    lat=st.integers(-850511287, 850511287),
+    lon=st.integers(-1800000000, 1800000000),
+)
+def test_s2_hierarchy_and_tiles_range(lat, lon):
+    la = np.array([lat], dtype=np.int64)
+    lo = np.array([lon], dtype=np.int64)
+    c12 = s2.encode(la, lo, 12)
+    c16 = s2.encode(la, lo, 16)
+    assert s2.level_of(c12)[0] == 12 and s2.level_of(c16)[0] == 16
+    assert s2.parent(c16, 12)[0] == c12[0]
+    for z in tiles.ZOOMS:
+        x, y = tiles.xy_np(la, lo, z)
+        assert 0 <= x[0] < (1 << z) and 0 <= y[0] < (1 << z)
+
+
+@given(
+    cx=st.integers(-10**9, 10**9),
+    cy=st.integers(-8 * 10**8, 8 * 10**8),
+    r=st.integers(1000, 10**6),
+    k=st.integers(3, 12),
+    frac=st.floats(0.01, 0.95),
+    ang=st.floats(0, 2 * np.pi),
+)
+def test_raycast_convex_geometry(cx, cy, r, k, frac, ang):
+    """Points strictly inside a convex ring are inside; points far outside
+    are outside; every vertex is inside (on-edge = inside)."""
+    th = 2 * np.pi * np.arange(k) / k
+    ring_x = (cx + r * np.cos(th)).astype(np.int64)
+    ring_y = (cy + r * np.sin(th)).astype(np.int64)
+    # interior point: centroid-ward at frac of the inradius
+    inr = r * np.cos(np.pi / k) * frac * 0.9
+    px = np.array([int(cx + inr * np.cos(ang))], dtype=np.int64)
+    py = np.array([int(cy + inr * np.sin(ang))], dtype=np.int64)
+    assert inside_ring(px, py, ring_x, ring_y)[0]
+    far = np.array([int(cx + 3 * r)], dtype=np.int64)
+    assert not inside_ring(far, np.array([cy], dtype=np.int64), ring_x, ring_y)[0]
+    assert inside_ring(ring_x, ring_y, ring_x, ring_y).all()  # vertices
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=50))
+def test_splitmix_deterministic_and_diffuse(xs):
+    a = splitmix64(np.array(xs, dtype=np.uint64))
+    b = splitmix64(np.array(xs, dtype=np.uint64))
+    np.testing.assert_array_equal(a, b)
+    if len(set(xs)) == len(xs):
+        assert len(set(a.tolist())) == len(xs)  # injective on small sets
