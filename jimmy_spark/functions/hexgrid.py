@@ -19,8 +19,8 @@ literals in ``C_SQ33/C_13/C_23``; the DuckDB oracle SQL (``duckdb_hex_sql``)
 evaluates the *same* expression tree, so both sides produce bit-identical
 cell ids.
 
-Cell id layout (int64):  (res-7, 2 bits) << 60 | (q + 2^29) << 30 | (r + 2^29)
-(res biased by 7 so ids stay positive and DuckDB's checked << never overflows).
+Cell id layout (int64):  (res-5, 3 bits) << 60 | (q + 2^29) << 30 | (r + 2^29)
+(res biased by 5 so ids stay positive and DuckDB's checked << never overflows).
 """
 
 from __future__ import annotations
@@ -36,8 +36,18 @@ C_23 = 0.6666666666666666  # 2/3
 # Circumradius ("size") per resolution, in e7 fixed-point units.
 # 1 e7-unit ≈ 1.11 cm of latitude; H3 avg hex edge: r7≈1.22km, r8≈461m,
 # r9≈174m  →  sizes below ≈ those edges expressed in degrees * 1e7.
-SIZES = {7: 110_000.0, 8: 41_577.0, 9: 15_715.0}
+# res 7-9 are the published North-Rule resolutions; 5-6 are coarser grids
+# used internally (e.g. the kNN density grid at 10^12 scale, where res-7
+# occupied-cell counts would exceed what a driver can hold).
+SIZES = {
+    5: 770_000.0,
+    6: 291_041.0,
+    7: 110_000.0,
+    8: 41_577.0,
+    9: 15_715.0,
+}
 RESOLUTIONS = (7, 8, 9)
+_BIAS = 5  # res stored as (res - _BIAS) in 3 bits -> res 5..12, ids positive
 
 _OFF = 1 << 29
 _QR_MASK = (1 << 30) - 1
@@ -75,11 +85,11 @@ def encode(lat_e7: np.ndarray, lon_e7: np.ndarray, res: int) -> np.ndarray:
     y = lat_e7.astype(np.float64)
     qf, rf = _axial_float(x, y, size)
     q, r = _cube_round(qf, rf)
-    return (np.int64(res - 7) << 60) | ((q + _OFF) << 30) | (r + _OFF)
+    return (np.int64(res - _BIAS) << 60) | ((q + _OFF) << 30) | (r + _OFF)
 
 
 def pack(res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
-    return (np.int64(res - 7) << 60) | ((q.astype(np.int64) + _OFF) << 30) | (
+    return (np.int64(res - _BIAS) << 60) | ((q.astype(np.int64) + _OFF) << 30) | (
         r.astype(np.int64) + _OFF
     )
 
@@ -87,7 +97,7 @@ def pack(res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
 def unpack(cell: np.ndarray):
     """cell id -> (res, q, r)."""
     cell = cell.astype(np.int64)
-    res = ((cell >> 60) & 0x3) + 7
+    res = ((cell >> 60) & 0x7) + _BIAS
     q = ((cell >> 30) & _QR_MASK) - _OFF
     r = (cell & _QR_MASK) - _OFF
     return res, q, r
@@ -96,7 +106,7 @@ def unpack(cell: np.ndarray):
 def center(cell: np.ndarray):
     """cell id -> float64 (y=lat_e7, x=lon_e7) hex centers."""
     res, q, r = unpack(cell)
-    size = np.choose(res - 7, [SIZES[7], SIZES[8], SIZES[9]])
+    size = np.choose(res - 5, [SIZES[r] for r in (5, 6, 7, 8, 9)])
     x = size * (np.sqrt(3.0) * (q + r * 0.5))
     y = size * 1.5 * r
     return y, x
@@ -185,7 +195,7 @@ def duckdb_hex_layers(lat_col: str, lon_col: str, resolutions=RESOLUTIONS):
             f"THEN -rx{t} - ry{t} ELSE rz{t} END AS r{t}",
         ]
         finals[f"hex_r{res}"] = (
-            f"(({res - 7}::BIGINT << 60) | ((q{t} + {_OFF}) << 30) | (r{t} + {_OFF}))"
+            f"(({res - 5}::BIGINT << 60) | ((q{t} + {_OFF}) << 30) | (r{t} + {_OFF}))"
         )
     return layers, finals
 

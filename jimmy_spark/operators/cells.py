@@ -75,7 +75,7 @@ def hex_cell_expr(lat: Column, lon: Column, res: int) -> Column:
     r = F.when((~fix_x) & (~fix_y), -rx - ry).otherwise(rz)
     off = F.lit(1 << 29)
     return (
-        F.shiftleft(F.lit(res - 7).cast("long"), 60)
+        F.shiftleft(F.lit(res - hexgrid._BIAS).cast("long"), 60)
         .bitwiseOR(F.shiftleft(q + off, 30))
         .bitwiseOR(r + off)
     )

@@ -47,6 +47,10 @@ DEFAULT_RES = 7
 _PRUNE_MARGIN = 4096.0
 # deltas beyond this lose int64-exactness for dist2 (sqrt(2^63)/2 headroom)
 _INT64_SAFE_DELTA = 1_400_000_000.0
+# occupied-cell counts above this would strain the driver; fall back to a
+# coarser density/blocking grid (hexgrid res 6 or 5) — correctness is
+# unaffected, the d_bound math just uses the coarser cell radius
+MAX_DRIVER_CELLS = 4_000_000
 
 
 def _candidate_cells(
@@ -126,6 +130,20 @@ def knn_join(
     -> (query_id, rank, image_id), exact planar kNN."""
     spark = points.sparkSession
     from jimmy_spark.operators.cells import hex_cell_expr
+
+    # Auto-coarsen the blocking grid if the occupied-cell count at ``res``
+    # would strain the driver (one pass, three approx sketches).
+    lat, lon = F.col("lat_e7"), F.col("lon_e7")
+    ladder = list(dict.fromkeys([res, min(res, 6), min(res, 5)]))
+    cards = points.agg(
+        *[
+            F.approx_count_distinct(hex_cell_expr(lat, lon, r)).alias(f"r{r}")
+            for r in ladder
+        ]
+    ).first()
+    res = next(
+        (r for r in ladder if cards[f"r{r}"] <= MAX_DRIVER_CELLS), ladder[-1]
+    )
 
     pts = points.select(
         F.col(id_col),

@@ -48,3 +48,23 @@ def test_knn_deterministic_across_partitioning(spark, points, t1_dir):
         for r in knn.knn_join(points.repartition(13), queries_pdf).collect()
     }
     assert a == b
+
+
+def test_knn_exact_on_coarse_grid(spark, points, t1_dir, monkeypatch):
+    """Force the driver-cell cap so the blocking grid auto-coarsens to
+    res 5 — results must stay exactly equal to the brute-force oracle
+    (the d_bound math only depends on the grid's cell radius)."""
+    monkeypatch.setattr(knn, "MAX_DRIVER_CELLS", 10)
+    queries_pdf = pq.read_table(f"{t1_dir}/knn_queries.parquet").to_pandas()
+    got = {
+        (r.query_id, r.rank, r.image_id)
+        for r in knn.knn_join(points, queries_pdf).collect()
+    }
+    pts = points.toPandas()
+    duckdb.register("knn_pts_coarse", pts)
+    sql = knn.duckdb_knn_sql(
+        "SELECT image_id, lat_e7, lon_e7 FROM knn_pts_coarse",
+        f"{t1_dir}/knn_queries.parquet",
+    )
+    expected = {(r[0], r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+    assert got == expected
