@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Production entry point: spark-submit --py-files jimmy_spark.zip jobs/spatial_job.py ...
+
+Runs the checkpointed spatial pipeline (decode -> cells -> R-tree PIP ->
+tiles -> counts) over an images table, writing results + per-partition
+lineage/metrics, resumable via --run-id (north_rule deployment shape).
+
+Example:
+    spark-submit --py-files dist/jimmy_spark.zip jobs/spatial_job.py \
+        --images data/t1/images.parquet --polygons data/t1/polygons.parquet \
+        --out /tmp/geotile_out --checkpoint /tmp/geotile_cp --run-id run1
+
+No master/conf is hard-coded: spark-submit (or the cluster's defaults)
+decides; session settings that matter (AQE, Arrow batching, UTC) are
+applied on top of the provided session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+# When shipped via --py-files the zip is already on sys.path; when run from
+# a checkout, the repo root is.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--polygons", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--buckets", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import pandas as pd
+    from jimmy_spark.operators import cells, fused, tiling
+    from jimmy_spark.sources.images import read_images
+    from jimmy_spark.streaming.checkpoint import StageRunner
+
+    spark = SparkSession.builder.appName("jimmy-spark-spatial-job").getOrCreate()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    }.items():
+        spark.conf.set(k, v)
+
+    images = read_images(spark, args.images)
+    poly_pdf = pd.read_parquet(args.polygons)
+
+    runner = StageRunner(spark, args.checkpoint, args.run_id, n_buckets=args.buckets)
+    enriched = runner.run_stage(
+        "fused_spatial",
+        images,
+        lambda df: fused.fused_spatial_stage(df, poly_pdf),
+        f"{args.out}/enriched",
+    )
+
+    counts = tiling.salted_counts(enriched.filter(F.col("ok")), ["hex_r8"])
+    counts.write.mode("overwrite").parquet(f"{args.out}/cell_counts")
+    tile_counts = (
+        enriched.filter(F.col("ok"))
+        .groupBy("tile_z12_x", "tile_z12_y")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tile_counts.write.mode("overwrite").parquet(f"{args.out}/tile_counts")
+
+    m = runner.table.read_all(spark)
+    summary = m.agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("rows_out").alias("rows_out"),
+        F.sum("rows_err").alias("rows_err"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "rows_in": summary["rows_in"],
+                "rows_out": summary["rows_out"],
+                "rows_err": summary["rows_err"],
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,57 @@
+"""Deployment-shape test: the real `spark-submit --py-files` path
+(north_rule: "run via spark-submit --py-files"), end to end, twice —
+the second run must be a resume no-op with identical outputs."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
+    sys.path.insert(0, str(REPO))
+    from scripts.make_pyfiles_zip import build
+
+    zip_path = build(tmp_path / "jimmy_spark.zip")
+
+    def run():
+        cmd = [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(REPO / "jobs" / "spatial_job.py"),
+            "--images", f"{t1_dir}/images.parquet",
+            "--polygons", f"{t1_dir}/polygons.parquet",
+            "--out", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "cp"),
+            "--run-id", "submit1",
+            "--buckets", "8",
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["rows_in"] == 500 and s1["rows_out"] == 500 and s1["rows_err"] == 0
+    counts1 = duckdb.sql(
+        f"SELECT * FROM '{tmp_path}/out/cell_counts/*.parquet' ORDER BY hex_r8"
+    ).fetchall()
+    assert sum(c for _, c in counts1) == 500
+
+    # resume no-op: all buckets committed -> no new lineage rows, same output
+    s2 = run()
+    assert s2 == s1
+    counts2 = duckdb.sql(
+        f"SELECT * FROM '{tmp_path}/out/cell_counts/*.parquet' ORDER BY hex_r8"
+    ).fetchall()
+    assert counts2 == counts1
