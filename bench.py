@@ -190,6 +190,8 @@ def _generic_bench() -> dict[str, float]:
     spark = get_spark(
         "bench-generic", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
+    # warm up session (JIT/codegen) so the first timed query isn't taxed
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(100).count()
     out: dict[str, float] = {}
     for name in ("two_hop", "topk_per_group", "rollup_concat", "linkres",
                  "unique_names", "stats_agg"):
