@@ -150,3 +150,32 @@ class TestMultimodal:
             multimodal.audio_features(imgs)
         with pytest.raises(NotImplementedError):
             multimodal.video_frame_sample(imgs)
+
+
+class TestFuzzy:
+    def test_fuzzy_pairs_match_pure_python_oracle(self, spark, docs):
+        """Exact difflib parity: the Spark blocked theta-join must equal a
+        local recomputation with the same blocking keys + scorer
+        (jimmy get_best_match semantics, common.py:373-400)."""
+        from difflib import SequenceMatcher
+
+        from jimmy_spark.operators import fuzzy
+
+        got = {
+            (r.doc_a, r.doc_b, r.ratio_milli)
+            for r in fuzzy.fuzzy_pairs(docs, threshold=0.5).collect()
+        }
+        pdf = docs.select("doc_id", "lang", "text").toPandas()
+        pdf["bucket"] = pdf["text"].str.strip().str.split(r"\s+").map(len) // 16
+        exp = set()
+        for (_, _), g in pdf.groupby(["lang", "bucket"]):
+            rows = list(g.itertuples())
+            for i in range(len(rows)):
+                for j in range(len(rows)):
+                    a, b = rows[i], rows[j]
+                    if a.doc_id >= b.doc_id:
+                        continue
+                    r = int(SequenceMatcher(None, a.text, b.text).ratio() * 1000)
+                    if r >= 500:
+                        exp.add((a.doc_id, b.doc_id, r))
+        assert got == exp and len(exp) > 0
