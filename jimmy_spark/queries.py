@@ -358,6 +358,18 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(emb, ANN_QUERY_IDS, k=10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from jimmy_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf.ann_topk_ivf(emb, ANN_QUERY_IDS, k=10, nprobe=6)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs(emb, tau_micro=500_000)
+
+
 def q_image_features(spark, sf_dir):
     return multimodal.image_features(_images(spark))
 
@@ -373,6 +385,17 @@ def _oracle_training() -> dict[str, str]:
     out["ngram_dedup"] = d["ngram_dedup"]
     out["minhash_dedup"] = d["minhash_dedup"]
     out["ann_topk"] = similarity.duckdb_ann_sql(ANN_QUERY_IDS, k=10)
+    out["emb_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) /
+             sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+             6) AS cos_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+            6) * 1000000 >= 500000
+"""
     return out
 
 
@@ -531,6 +554,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "emb_near_dup": q_emb_near_dup,
+    "ann_ivf": q_ann_ivf,
     "image_features": q_image_features,
     "caption_kernels": q_caption_kernels,
     "select_tags": q_select_tags,
@@ -547,12 +572,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   decode_stats   — image decode; validated by codec tests + fixtures
 #   simhash        — 64-bit voting over md5 bits; validated vs NumPy ref
 #   ann_lsh        — approximate by design; recall measured vs brute force
+#   ann_ivf        — approximate by design; recall + exact-degeneration
+#                    (nprobe = n_centroids) verified in tests
 #   image_features — image decode; validated in tests/test_textops.py
 #   fuzzy_pairs    — difflib ratio is not SQL-expressible; cross-checked
 #                    against a pure-Python oracle in tests
 ROWS_ONLY = (
-    "s2_cells", "decode_stats", "simhash", "ann_lsh", "image_features",
-    "fuzzy_pairs",
+    "s2_cells", "decode_stats", "simhash", "ann_lsh", "ann_ivf",
+    "image_features", "fuzzy_pairs",
 )
 
 

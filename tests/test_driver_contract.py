@@ -65,7 +65,8 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "tile_counts", "overlay", "dedup_exact", "stats_agg", "select_glob",
         "linkres", "unique_names", "two_hop", "rollup_concat", "topk_per_group",
         "token_count", "quality_score", "lang_id", "fingerprint",
-        "ngram_dedup", "minhash_dedup", "ann_topk", "caption_kernels",
+        "ngram_dedup", "minhash_dedup", "ann_topk", "emb_near_dup",
+        "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
         "frontmatter",
     ],
@@ -84,8 +85,8 @@ def test_query_matches_oracle(spark, con, contract, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["s2_cells", "decode_stats", "simhash", "ann_lsh", "image_features",
-     "fuzzy_pairs"]
+    ["s2_cells", "decode_stats", "simhash", "ann_lsh", "ann_ivf",
+     "image_features", "fuzzy_pairs"]
 )
 def test_rows_only_queries_run(spark, contract, name):
     queries, _ = contract
