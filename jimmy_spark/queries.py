@@ -385,6 +385,30 @@ def _oracle_training() -> dict[str, str]:
     out["ngram_dedup"] = d["ngram_dedup"]
     out["minhash_dedup"] = d["minhash_dedup"]
     out["ann_topk"] = similarity.duckdb_ann_sql(ANN_QUERY_IDS, k=10)
+    # bit-level simhash oracle: md5[:8] big-endian as uint64 via UBIGINT,
+    # per-bit majority vote, signed-int64 wrap — matches the NumPy kernel
+    out["simhash"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 16))::UBIGINT::HUGEINT AS hv FROM tok),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN ((hv // (1::HUGEINT << b.b)) % 2) = 1 THEN 1 ELSE -1 END) AS votes
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+acc AS (
+  SELECT doc_id,
+         sum(CASE WHEN votes > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS uval
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id,
+       (CASE WHEN uval >= (1::HUGEINT << 63) THEN uval - (1::HUGEINT << 64)
+             ELSE uval END)::BIGINT AS simhash
+FROM acc
+"""
     out["emb_near_dup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -570,7 +594,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   s2_cells       — Hilbert-curve LUT encoding is not SQL-expressible;
 #                    validated against canonical S2 anchors in tests
 #   decode_stats   — image decode; validated by codec tests + fixtures
-#   simhash        — 64-bit voting over md5 bits; validated vs NumPy ref
 #   ann_lsh        — approximate by design; recall measured vs brute force
 #   ann_ivf        — approximate by design; recall + exact-degeneration
 #                    (nprobe = n_centroids) verified in tests
@@ -578,7 +601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   fuzzy_pairs    — difflib ratio is not SQL-expressible; cross-checked
 #                    against a pure-Python oracle in tests
 ROWS_ONLY = (
-    "s2_cells", "decode_stats", "simhash", "ann_lsh", "ann_ivf",
+    "s2_cells", "decode_stats", "ann_lsh", "ann_ivf",
     "image_features", "fuzzy_pairs",
 )
 

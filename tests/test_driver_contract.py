@@ -68,7 +68,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "ngram_dedup", "minhash_dedup", "ann_topk", "emb_near_dup",
         "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
-        "frontmatter",
+        "frontmatter", "simhash",
     ],
 )
 def test_query_matches_oracle(spark, con, contract, name):
@@ -85,7 +85,7 @@ def test_query_matches_oracle(spark, con, contract, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["s2_cells", "decode_stats", "simhash", "ann_lsh", "ann_ivf",
+    ["s2_cells", "decode_stats", "ann_lsh", "ann_ivf",
      "image_features", "fuzzy_pairs"]
 )
 def test_rows_only_queries_run(spark, contract, name):
