@@ -56,9 +56,15 @@ def _tokens(text_col: str):
 
 def _bigrams(text_col: str):
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # guard <2 tokens: sequence(0, -1) would yield [0, -1] (descending) and
+    # element_at(toks, 0) throws; the oracle's generate_series(1, len-1)
+    # is empty there, so emit an empty bigram list to match
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
+            idx,
             lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
         )
     )

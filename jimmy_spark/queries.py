@@ -270,8 +270,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_generic() -> dict[str, str]:
     return {
+        # sum()::BIGINT — DuckDB sum(int) is HUGEINT -> pandas float64,
+        # which would hash-mismatch Spark's int64 despite equal values
         "stats_agg": (
-            "SELECT count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            "SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
             "count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources "
             "FROM documents"
         ),
@@ -538,12 +540,11 @@ def _oracle_kernels() -> dict[str, str]:
             f" || ']' || chr(10) || 'phash: ' || phash::VARCHAR || chr(10) || "
             f"'---' || chr(10) || caption AS doc FROM '{_t2()}/images.parquet'"
         ),
-        "session_windows": windows.duckdb_sessionize_sql(
-            "{SF}/events.parquet".replace("{SF}", "/root/testdata/sf0.01")
-        ),
-        "windowed_counts": windows.duckdb_windows_sql(
-            "/root/testdata/sf0.01/events.parquet"
-        ),
+        # the driver pre-registers every testdata table as a view at the sf
+        # it evaluates, so the oracle always reads the same data as the
+        # Spark side (no baked path)
+        "session_windows": windows.duckdb_sessionize_sql("events"),
+        "windowed_counts": windows.duckdb_windows_sql("events"),
     }
 
 

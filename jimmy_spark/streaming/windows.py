@@ -105,24 +105,32 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def duckdb_windows_sql(events_path: str, minutes: int = 5) -> str:
-    """Oracle for windowed_counts_batch (epoch-floor window math)."""
+def duckdb_windows_sql(events_rel: str = "events", minutes: int = 5) -> str:
+    """Oracle for windowed_counts_batch (epoch-floor window math).
+
+    ``events_rel`` is a DuckDB relation expression — the driver's
+    pre-registered ``events`` view by default, or a quoted parquet path
+    (``"'/path/events.parquet'"``) in tests.
+    """
     secs = minutes * 60
     return f"""
 SELECT TIMESTAMP '1970-01-01' + ((floor(epoch(ts))::BIGINT // {secs}) * {secs}) * INTERVAL 1 SECOND AS w_start,
        TIMESTAMP '1970-01-01' + ((floor(epoch(ts))::BIGINT // {secs}) * {secs} + {secs}) * INTERVAL 1 SECOND AS w_end,
        event_type, count(*) AS n, round(sum(value), 6) AS total
-FROM '{events_path}'
+FROM {events_rel}
 GROUP BY 1, 2, 3
 """
 
 
-def duckdb_sessionize_sql(events_path: str, gap_minutes: int = 30) -> str:
+def duckdb_sessionize_sql(events_rel: str = "events", gap_minutes: int = 30) -> str:
+    """Oracle for sessionize_batch. ``session_seq`` is cast to BIGINT:
+    DuckDB's windowed sum(int) yields HUGEINT, which pandas maps to
+    float64 and the driver's typed hash would mismatch Spark's int64."""
     g = gap_minutes * 60
     return f"""
 WITH o AS (
   SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM '{events_path}'
+  FROM {events_rel}
 ),
 m AS (
   SELECT *, CASE WHEN prev IS NULL OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > {g}
@@ -131,7 +139,7 @@ m AS (
 ),
 s AS (
   SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
   FROM m
 )
 SELECT user_id, session_seq, count(*) AS n_events,

@@ -29,7 +29,7 @@ def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def test_windowed_counts_batch_vs_oracle(events):
     got = _norm(windows.windowed_counts_batch(events).toPandas())
-    exp = _norm(duckdb.sql(windows.duckdb_windows_sql(EVENTS)).df())
+    exp = _norm(duckdb.sql(windows.duckdb_windows_sql(f"'{EVENTS}'")).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
@@ -44,5 +44,5 @@ def test_stream_equals_batch(spark, events, tmp_path):
 
 def test_sessionize_vs_oracle(events):
     got = _norm(windows.sessionize_batch(events).toPandas())
-    exp = _norm(duckdb.sql(windows.duckdb_sessionize_sql(EVENTS)).df())
+    exp = _norm(duckdb.sql(windows.duckdb_sessionize_sql(f"'{EVENTS}'")).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)

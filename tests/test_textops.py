@@ -78,6 +78,25 @@ class TestDedup:
         exp = con.sql(dedup.duckdb_dedup_sql(tau_pct=30)["minhash_dedup"])
         _cmp(got, exp, ["doc_a", "doc_b"])
 
+    def test_ngram_short_and_empty_docs(self, spark):
+        """Docs with <2 tokens (incl. empty/whitespace text) must produce
+        empty bigram sets — not crash — and match the oracle exactly."""
+        rows = [
+            (1, ""),
+            (2, "one"),
+            (3, "   "),
+            (4, "one two three"),
+            (5, "one two three"),
+            (6, "solo"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = dedup.ngram_jaccard_pairs(df, tau_pct=30)
+        c = duckdb.connect()
+        c.register("documents", df.toPandas())
+        exp = c.sql(dedup.duckdb_dedup_sql(tau_pct=30)["ngram_dedup"])
+        _cmp(got, exp, ["doc_a", "doc_b"])
+        assert got.count() == 1  # only the (4, 5) identical pair
+
     def test_minhash_candidates_nonempty(self, docs):
         # word-salad docs share vocabulary; LSH must find something at low tau
         assert dedup.minhash_lsh_pairs(docs, tau_pct=20).count() > 0
