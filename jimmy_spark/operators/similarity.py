@@ -105,6 +105,32 @@ def _hyperplanes(dim: int, n_bits: int, table: int) -> np.ndarray:
     return (h.astype(np.float64) / 2**63 - 1.0).reshape(n_bits, dim)
 
 
+def _bucket_udf(dim: int, n_bits: int, n_tables: int):
+    """Arrow-batched UDF mapping a double vector to its per-table LSH
+    bucket ids (table index folded into the high bits so tables never
+    collide). Sign of the hyperplane projection is scale-invariant:
+    collinear vectors land in the same bucket in EVERY table."""
+    planes = [_hyperplanes(dim, n_bits, t) for t in range(n_tables)]
+
+    @F.pandas_udf("array<long>")
+    def buckets(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy())
+        sigs = []
+        for t, pl in enumerate(planes):
+            proj = m @ pl.T  # (n, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            sig = (bits << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+            sigs.append(sig + (t << np.int64(n_bits + 1)))
+        stacked = np.stack(sigs, axis=1)
+        return pd.Series(list(stacked))
+
+    return buckets
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
+    return int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -118,23 +144,7 @@ def ann_topk_lsh(
     cosine rerank of the union of same-bucket candidates."""
     from pyspark.sql import Window
 
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
-    planes = [_hyperplanes(dim, n_bits, t) for t in range(n_tables)]
-
-    @F.pandas_udf("array<long>")
-    def buckets(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy())
-        out = []
-        sigs = []
-        for t, pl in enumerate(planes):
-            proj = m @ pl.T  # (n, n_bits)
-            bits = (proj > 0).astype(np.int64)
-            sig = (bits << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
-            sigs.append(sig + (t << np.int64(n_bits + 1)))
-        stacked = np.stack(sigs, axis=1)
-        return pd.Series(list(stacked))
-
+    buckets = _bucket_udf(_dim_of(embeddings, vec_col), n_bits, n_tables)
     emb = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bkt", F.explode(buckets(F.col("v"))))
@@ -158,11 +168,58 @@ def ann_topk_lsh(
 
 
 def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    tau_micro: int = 990_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Near-dup pairs (a < b) with round(cos,6) >= tau_micro/1e6, generated
+    through LSH buckets — the pair space is a hash join on the bucket id,
+    never an all-pairs crossJoin — then verified with exact cosine.
+
+    Recall contract: hyperplane signs are scale-invariant, so *collinear*
+    duplicates (cos = 1: rescaled / renormalized re-encodes, the dominant
+    near-dup class) collide in every table — recall is exactly 1 for them,
+    which is what makes the all-pairs SQL oracle hold bit-for-bit on
+    dup-planted corpora. For cos = c < 1 pairs, per-table collision is
+    (1 - acos(c)/pi)^n_bits and recall 1-(1-p)^n_tables (~1-1e-7 at
+    c=0.99 with 8 bits x 8 tables).
+
+    Scale notes: candidates are ~sum of bucket sizes squared; skewed
+    buckets (many near-identical vectors) are real duplicates and belong
+    together — downstream connected-components collapses them. Vectors are
+    joined back by id after the distinct, so the wide arrays never ride
+    through the candidate shuffle.
+    """
+    emb = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    buckets = _bucket_udf(_dim_of(embeddings, vec_col), n_bits, n_tables)
+    ids = emb.select(F.col(id_col).alias("id"), F.explode(buckets(F.col("v"))).alias("bkt"))
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_r", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+    )
+    return scored.filter(
+        F.col("cos_r") * 1_000_000 >= F.lit(tau_micro)
+    ).select("vec_a", "vec_b", "cos_r")
+
+
+def embedding_near_dup_pairs_exact(
     embeddings: DataFrame, tau_micro: int = 990_000, id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs (a < b) with round(cos,6) >= tau_micro/1e6 (exact baseline;
-    at scale the LSH buckets above prefilter the pair space)."""
+    """All-pairs exact baseline (tests only — O(n^2); the bucketed operator
+    above is the scale path and must agree with this on planted dups)."""
     emb = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     a = emb.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
@@ -171,3 +228,19 @@ def embedding_near_dup_pairs(
     return scored.filter(
         F.col("cos_r") * 1_000_000 >= F.lit(tau_micro)
     ).select("vec_a", "vec_b", "cos_r")
+
+
+def with_rescaled_dups(
+    embeddings: DataFrame, id_offset: int = 1_000_000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus augmented with a rescaled copy of every vector (x2 in double
+    space — exact in IEEE754): the deterministic stand-in for re-encoded /
+    renormalized duplicate embeddings, giving each original one planted
+    collinear near-dup at cos exactly 1.0."""
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col))
+    copies = base.select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        F.transform(F.col(vec_col), lambda x: x * F.lit(2.0)).alias(vec_col),
+    )
+    return base.unionByName(copies)

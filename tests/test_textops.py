@@ -148,10 +148,40 @@ class TestSimilarity:
         recall = len(e & a) / len(e)
         assert recall >= 0.5, recall  # 4-bit x 8-table expected ~0.7 on random vectors
 
-    def test_near_dup_pairs_consistent(self, emb):
-        out = similarity.embedding_near_dup_pairs(emb, tau_micro=500_000)
-        rows = out.collect()
-        assert all(r.vec_a < r.vec_b for r in rows)
+    def test_near_dup_bucketed_equals_exact_on_planted_dups(self, emb):
+        """The registered scenario: rescaled-copy dups at cos 1.0 must be
+        found by the LSH-bucketed path with recall exactly 1 (collinear
+        vectors share every table's bucket), matching the all-pairs exact
+        baseline bit for bit."""
+        aug = similarity.with_rescaled_dups(emb)
+        got = similarity.embedding_near_dup_pairs(aug, tau_micro=990_000)
+        exp = similarity.embedding_near_dup_pairs_exact(aug, tau_micro=990_000)
+        g = {(r.vec_a, r.vec_b, r.cos_r) for r in got.collect()}
+        x = {(r.vec_a, r.vec_b, r.cos_r) for r in exp.collect()}
+        assert g == x and len(x) == emb.count()
+        assert all(c == 1.0 for _, _, c in g)
+
+    def test_near_dup_bucketed_is_subset_of_exact(self, emb):
+        """At sub-near-dup thresholds the bucketed path is a (possibly
+        proper) subset of the exact pair set — never a false positive."""
+        got = {
+            (r.vec_a, r.vec_b, r.cos_r)
+            for r in similarity.embedding_near_dup_pairs(emb, tau_micro=400_000).collect()
+        }
+        exp = {
+            (r.vec_a, r.vec_b, r.cos_r)
+            for r in similarity.embedding_near_dup_pairs_exact(emb, tau_micro=400_000).collect()
+        }
+        assert got <= exp
+        assert all(r[0] < r[1] for r in got)
+
+    def test_near_dup_plan_has_no_cross_join(self, emb):
+        plan = (
+            similarity.embedding_near_dup_pairs(emb, tau_micro=990_000)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 class TestMultimodal:
