@@ -17,10 +17,12 @@ Scaled up, a 10^12-row corpus needs the standard near-dup ladder:
   ops; no SQL oracle — verified against a NumPy reference in tests)
 
 Scale notes: the token self-joins explode on high-document-frequency
-tokens; at 10^12 scale the shuffle key is the token/shingle hash, and the
-standard mitigations apply unchanged (drop df > threshold shingles, salt
-the band join). minhash bands keep candidate pairs ~linear in corpus size
-vs the quadratic all-pairs join — that is the point of the ladder.
+tokens; at 10^12 scale the shuffle key is the token/shingle hash. Both
+standard mitigations are implemented and mirrored in the oracles:
+``ngram_jaccard_pairs`` removes shingles with df > max_df (stop-shingle
+rule) and ``minhash_lsh_pairs`` skips band buckets > max_bucket. minhash
+bands keep candidate pairs ~linear in corpus size vs the quadratic
+all-pairs join — that is the point of the ladder.
 """
 
 from __future__ import annotations
@@ -70,17 +72,38 @@ def _bigrams(text_col: str):
     )
 
 
+DEFAULT_MAX_DF = 1000
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, tau_pct: int = 60, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    tau_pct: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = DEFAULT_MAX_DF,
 ) -> DataFrame:
-    """Pairs (a < b) with word-bigram Jaccard >= tau_pct/100.
+    """Pairs (a < b) with word-bigram Jaccard >= tau_pct/100 over the
+    *df-capped* shingle sets: shingles appearing in more than ``max_df``
+    documents are stop-shingles and removed from every document's set
+    (both from the self-join AND from the set sizes, so the Jaccard stays
+    self-consistent). Without the cap one hot bigram ("of the" at 10^12
+    docs) makes a single join key quadratic; with it the worst key fans
+    out at most max_df^2. The DuckDB oracle applies the identical rule.
 
     Threshold test is ``100*common >= tau_pct*(na+nb-common)`` — integers
     only. Output carries (common, union_cnt) for auditability.
     """
-    sh = df.select(
+    from pyspark.sql import Window
+
+    sh_all = df.select(
         F.col(id_col).alias("id"), F.explode(_bigrams(text_col)).alias("s")
     )
+    # document frequency per shingle via a single shuffle on s (the same
+    # key the self-join below shuffles on); rows from stop-shingles die
+    # before ever fanning out
+    sh = sh_all.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("s"))
+    ).filter(F.col("_df") <= max_df).drop("_df")
     sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -121,11 +144,26 @@ def minhash_signatures(
     return tok.groupBy("id").agg(*aggs)
 
 
+DEFAULT_MAX_BUCKET = 10_000
+
+
 def minhash_lsh_pairs(
-    df: DataFrame, tau_pct: int = 60, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    tau_pct: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidates (band equality on 4 bands of 4 sigs) verified with
-    exact token-set Jaccard >= tau_pct/100. Deterministic output."""
+    exact token-set Jaccard >= tau_pct/100. Deterministic output.
+
+    Band buckets larger than ``max_bucket`` are skipped before the
+    self-join (standard LSH hot-bucket control: one boilerplate signature
+    shared by 10^6 docs would otherwise fan out 10^12 candidate rows).
+    A pair living ONLY in skipped buckets is not emitted; the DuckDB
+    oracle applies the identical deterministic rule, so parity holds.
+    The per-doc token explode feeding the signatures is linear (groupBy
+    doc) and needs no cap."""
     sigs = minhash_signatures(df, text_col, id_col)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = sigs.select(
@@ -148,6 +186,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.sig")
+    from pyspark.sql import Window
+
+    bands = (
+        bands.withColumn(
+            "_bs", F.count("*").over(Window.partitionBy("band", "sig"))
+        )
+        .filter(F.col("_bs") <= max_bucket)
+        .drop("_bs")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -210,7 +257,12 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 # --- DuckDB oracles -------------------------------------------------------
 
 
-def duckdb_dedup_sql(table: str = "documents", tau_pct: int = 60) -> dict[str, str]:
+def duckdb_dedup_sql(
+    table: str = "documents",
+    tau_pct: int = 60,
+    max_df: int = DEFAULT_MAX_DF,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> dict[str, str]:
     toks = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
     raw = "string_split_regex(lower(trim(text)), '\\s+')"
     bigr = (
@@ -233,7 +285,12 @@ def duckdb_dedup_sql(table: str = "documents", tau_pct: int = 60) -> dict[str, s
     )
     return {
         "ngram_dedup": f"""
-WITH sh AS (SELECT doc_id AS id, unnest({bigr}) AS s FROM {table}),
+WITH sh_all AS (SELECT doc_id AS id, unnest({bigr}) AS s FROM {table}),
+sh AS (
+  SELECT id, s FROM (
+    SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all
+  ) WHERE df <= {max_df}
+),
 sizes AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
 common AS (
   SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS common
@@ -251,7 +308,13 @@ WITH tok AS (
   SELECT doc_id AS id, unnest({toks}) AS t FROM {table}
 ),
 sigs AS (SELECT id, {sig_exprs} FROM tok GROUP BY id),
-bands AS ({band_selects}),
+bands_all AS ({band_selects}),
+bands AS (
+  SELECT id, band, sig FROM (
+    SELECT id, band, sig, count(*) OVER (PARTITION BY band, sig) AS bs
+    FROM bands_all
+  ) WHERE bs <= {max_bucket}
+),
 cand AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
   FROM bands a JOIN bands b

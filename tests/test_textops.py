@@ -97,6 +97,40 @@ class TestDedup:
         _cmp(got, exp, ["doc_a", "doc_b"])
         assert got.count() == 1  # only the (4, 5) identical pair
 
+    def test_hot_shingle_df_cap(self, spark):
+        """Skew fixture: every doc shares one stop bigram. With max_df below
+        the corpus size the hot shingle is dropped from the join AND the
+        set sizes on both engines; near-identical docs still pair up."""
+        stop = "the end"
+        rows = [(i, f"unique{i} word{i} {stop}") for i in range(1, 21)]
+        rows += [(100, f"same same2 same3 {stop}"), (101, f"same same2 same3 {stop}")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = dedup.ngram_jaccard_pairs(df, tau_pct=60, max_df=5)
+        c = duckdb.connect()
+        c.register("documents", df.toPandas())
+        exp = c.sql(dedup.duckdb_dedup_sql(tau_pct=60, max_df=5)["ngram_dedup"])
+        _cmp(got, exp, ["doc_a", "doc_b"])
+        pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+        assert (100, 101) in pairs
+        # the stop-bigram alone must not pair unrelated docs
+        assert all(p == (100, 101) for p in pairs)
+
+    def test_minhash_hot_bucket_cap(self, spark):
+        """Band buckets above max_bucket are skipped identically on both
+        engines; pairs that also share a small bucket survive."""
+        rows = [(i, "boiler plate text common to all docs") for i in range(1, 31)]
+        rows += [(100, "rare pair of docs alpha beta"), (101, "rare pair of docs alpha beta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = dedup.minhash_lsh_pairs(df, tau_pct=60, max_bucket=10)
+        c = duckdb.connect()
+        c.register("documents", df.toPandas())
+        exp = c.sql(dedup.duckdb_dedup_sql(tau_pct=60, max_bucket=10)["minhash_dedup"])
+        _cmp(got, exp, ["doc_a", "doc_b"])
+        pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+        assert (100, 101) in pairs
+        # the 30 boilerplate clones live only in >10-sized buckets: skipped
+        assert all(p == (100, 101) for p in pairs)
+
     def test_minhash_candidates_nonempty(self, docs):
         # word-salad docs share vocabulary; LSH must find something at low tau
         assert dedup.minhash_lsh_pairs(docs, tau_pct=20).count() > 0
