@@ -3,10 +3,13 @@
 The classic two-level ANN index (public IVF design) built with DataFrame
 primitives:
 
-- ``fit_centroids``  — deterministic k-means: seeds are the k vectors with
-  the smallest xxhash64(vec_id) (stable across runs/partitionings), then
-  Lloyd iterations where assignment is an Arrow-batched NumPy argmin and
-  the update is a posexplode + groupBy mean (tiny shuffles, k*dim rows).
+- ``fit_centroids``  — deterministic sample k-means: the training sample
+  is the min(N, sample_n) smallest-id vectors, Lloyd runs driver-side in
+  NumPy with fixed iteration order, so the centroids are BIT-STABLE
+  across parallelism and partitioning (required for the golden-parquet
+  oracle; also standard IVF practice at 10^12 scale — train on a sample,
+  index everything). Seeds are the k sample vectors with the smallest
+  splitmix64(vec_id) (hash-spread, reproducible in plain NumPy).
 - ``ann_topk_ivf`` — every vector is assigned to its nearest centroid (one
   narrow pass); a query probes its ``nprobe`` nearest centroid buckets and
   reranks candidates with exact cosine via a broadcast hash join on the
@@ -32,7 +35,31 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jimmy_spark.datagen.core import splitmix64
 from jimmy_spark.operators.similarity import _as_double, _cosine
+
+
+def lloyd_numpy(
+    ids: np.ndarray, X: np.ndarray, k: int, iters: int
+) -> np.ndarray:
+    """Pure-NumPy Lloyd on a (sorted-by-id) sample — the single source of
+    truth for centroid fitting, shared by the Spark operator and the
+    golden-oracle generator so both get bit-identical centroids."""
+    order = np.argsort(splitmix64(ids.astype(np.uint64)), kind="stable")
+    centroids = X[order[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        c2 = (centroids * centroids).sum(axis=1)
+        d = -2.0 * (X @ centroids.T) + c2[None, :]
+        cid = np.argmin(d, axis=1)
+        new = centroids.copy()
+        for c in range(len(centroids)):
+            members = X[cid == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.allclose(new, centroids, atol=1e-12):
+            break
+        centroids = new
+    return centroids
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -50,37 +77,31 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+SAMPLE_N = 2048
+
+
 def fit_centroids(
     embeddings: DataFrame,
     k: int = 16,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_n: int = SAMPLE_N,
 ) -> np.ndarray:
-    emb = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    seeds = (
-        emb.withColumn("h", F.xxhash64(F.col(id_col)))
-        .orderBy("h", id_col)
-        .limit(k)
-        .select("v")
+    """Collect the smallest-id sample once (bounded: sample_n x dim) and
+    run the shared NumPy Lloyd on it. The previous full-corpus Spark-agg
+    fit computed centroid means with partition-order-dependent float
+    summation — correct but not bit-reproducible across cluster sizes,
+    which a golden oracle (and a resumable 10^12-row index build) needs."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("id")
+        .limit(sample_n)
         .collect()
     )
-    centroids = np.array([r.v for r in seeds], dtype=np.float64)
-    for _ in range(iters):
-        assigned = emb.withColumn("cid", _assign_udf(centroids)(F.col("v")))
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = centroids.copy()
-        for r in means:
-            new[r.cid][r.pos] = r.m
-        if np.allclose(new, centroids, atol=1e-12):
-            break
-        centroids = new
-    return centroids
+    ids = np.array([r.id for r in rows], dtype=np.int64)
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    return lloyd_numpy(ids, X, k, iters)
 
 
 def ann_topk_ivf(

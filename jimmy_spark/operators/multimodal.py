@@ -48,42 +48,49 @@ def _resize_nn(arr: np.ndarray, w: int, h: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
+def _features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-row feature kernel (module-level so the golden-oracle generator
+    can run it locally on the same rows — all ops are per-row, so batch
+    boundaries cannot change results)."""
+    n = len(pdf)
+    cols = {
+        "image_id": pdf["image_id"].to_numpy(),
+        "ok": np.zeros(n, dtype=bool),
+        "error": np.full(n, None, dtype=object),
+        "mean_r": np.zeros(n), "mean_g": np.zeros(n), "mean_b": np.zeros(n),
+        "std_lum": np.zeros(n), "edge_energy": np.zeros(n),
+        "ahash": np.zeros(n, dtype=np.int64),
+        "thumb_crc": np.zeros(n, dtype=np.int64),
+    }
+    blobs = pdf["bytes"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+    for i in range(n):
+        try:
+            arr = decode_image(blobs[i], fmts[i]).astype(np.float64)
+            cols["mean_r"][i] = arr[:, :, 0].mean()
+            cols["mean_g"][i] = arr[:, :, 1].mean()
+            cols["mean_b"][i] = arr[:, :, 2].mean()
+            lum = arr @ np.array([0.299, 0.587, 0.114])
+            cols["std_lum"][i] = lum.std()
+            gx = np.abs(np.diff(lum, axis=1)).mean() if lum.shape[1] > 1 else 0.0
+            gy = np.abs(np.diff(lum, axis=0)).mean() if lum.shape[0] > 1 else 0.0
+            cols["edge_energy"][i] = gx + gy
+            cols["ahash"][i] = _ahash(lum)
+            thumb = _resize_nn(arr.astype(np.uint8), 16, 16)
+            cols["thumb_crc"][i] = zlib.crc32(thumb.tobytes())
+            cols["ok"][i] = True
+        except ValueError as e:
+            cols["error"][i] = str(e)
+    return pd.DataFrame(cols)
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """decode -> per-channel means, luminance std, gradient energy, aHash,
     16x16 thumbnail crc. Error-isolated like operators/decode.py."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = len(pdf)
-            cols = {
-                "image_id": pdf["image_id"].to_numpy(),
-                "ok": np.zeros(n, dtype=bool),
-                "error": np.full(n, None, dtype=object),
-                "mean_r": np.zeros(n), "mean_g": np.zeros(n), "mean_b": np.zeros(n),
-                "std_lum": np.zeros(n), "edge_energy": np.zeros(n),
-                "ahash": np.zeros(n, dtype=np.int64),
-                "thumb_crc": np.zeros(n, dtype=np.int64),
-            }
-            blobs = pdf["bytes"].to_numpy()
-            fmts = pdf["fmt"].to_numpy()
-            for i in range(n):
-                try:
-                    arr = decode_image(blobs[i], fmts[i]).astype(np.float64)
-                    cols["mean_r"][i] = arr[:, :, 0].mean()
-                    cols["mean_g"][i] = arr[:, :, 1].mean()
-                    cols["mean_b"][i] = arr[:, :, 2].mean()
-                    lum = arr @ np.array([0.299, 0.587, 0.114])
-                    cols["std_lum"][i] = lum.std()
-                    gx = np.abs(np.diff(lum, axis=1)).mean() if lum.shape[1] > 1 else 0.0
-                    gy = np.abs(np.diff(lum, axis=0)).mean() if lum.shape[0] > 1 else 0.0
-                    cols["edge_energy"][i] = gx + gy
-                    cols["ahash"][i] = _ahash(lum)
-                    thumb = _resize_nn(arr.astype(np.uint8), 16, 16)
-                    cols["thumb_crc"][i] = zlib.crc32(thumb.tobytes())
-                    cols["ok"][i] = True
-                except ValueError as e:
-                    cols["error"][i] = str(e)
-            yield pd.DataFrame(cols)
+            yield _features_batch(pdf)
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(gen, FEATURE_SCHEMA)
 

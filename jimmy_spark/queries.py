@@ -607,19 +607,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # Queries with no SQL oracle (driver records rows-only) and why:
-#   s2_cells       — Hilbert-curve LUT encoding is not SQL-expressible;
-#                    validated against canonical S2 anchors in tests
-#   decode_stats   — image decode; validated by codec tests + fixtures
-#   ann_lsh        — approximate by design; recall measured vs brute force
-#   ann_ivf        — approximate by design; recall + exact-degeneration
-#                    (nprobe = n_centroids) verified in tests
-#   image_features — image decode; validated in tests/test_textops.py
 #   fuzzy_pairs    — difflib ratio is not SQL-expressible; cross-checked
 #                    against a pure-Python oracle in tests
-ROWS_ONLY = (
-    "s2_cells", "decode_stats", "ann_lsh", "ann_ivf",
-    "image_features", "fuzzy_pairs",
-)
+ROWS_ONLY = ("fuzzy_pairs",)
+
+# Deterministic queries whose semantics are not SQL-expressible (Hilbert
+# LUT, image decode, LSH/IVF ANN) are hash-checked against committed
+# golden parquets computed locally by the reference implementation
+# (scripts/make_goldens.py; model: jimmy's reference_data fixtures,
+# /root/reference/test/test_convert.py:70-113). The ANN goldens are tied
+# to the driver's correctness-gate sf (sf0.01 embeddings); the image/S2
+# goldens to the seeded t2 tables.
+GOLDEN_DIR = "/root/repo/goldens"
+
+
+def _oracle_golden() -> dict[str, str]:
+    return {
+        "s2_cells": (
+            f"SELECT image_id, s2_l12, s2_l14, s2_l16 "
+            f"FROM '{GOLDEN_DIR}/s2_cells.parquet'"
+        ),
+        "decode_stats": (
+            f"SELECT image_id, ok, px_checksum, px_mean_milli "
+            f"FROM '{GOLDEN_DIR}/decode_stats.parquet'"
+        ),
+        "image_features": f"SELECT * FROM '{GOLDEN_DIR}/image_features.parquet'",
+        "ann_lsh": f"SELECT * FROM '{GOLDEN_DIR}/ann_lsh.parquet'",
+        "ann_ivf": f"SELECT * FROM '{GOLDEN_DIR}/ann_ivf.parquet'",
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -627,4 +642,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(_oracle_generic())
     out.update(_oracle_training())
     out.update(_oracle_kernels())
+    out.update(_oracle_golden())
     return out

@@ -1,0 +1,187 @@
+"""Golden-parquet oracle generator for the deterministic queries whose
+semantics are not SQL-expressible (Hilbert LUT, image decode, LSH/IVF ANN).
+
+Each golden is computed LOCALLY (pandas/NumPy/DuckDB — no Spark) by the
+reference implementation of the same algorithm and committed under
+``goldens/``; ``oracle_sql()`` then reads it with
+``SELECT ... FROM '<golden>.parquet'`` so the driver's correctness gate
+hash-checks the distributed execution path (partitioning, Arrow transport,
+UDF batching) against the single-process reference. Model: jimmy's
+reference_data fixtures (/root/reference/test/test_convert.py:70-113).
+
+Inputs are the deterministic seeded datasets the registry queries read:
+the t2 engine tables (data/t2, regenerated bit-identically from the seed)
+and the driver's sf0.01 testdata (the fixed sf at which the driver runs
+the correctness gate). Rerun after changing datagen or any covered kernel:
+
+    python scripts/make_goldens.py
+"""
+
+from __future__ import annotations
+
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+GOLDEN_DIR = REPO / "goldens"
+SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate sf
+
+
+def _round6(x: float) -> float:
+    """Spark round(double, 6): BigDecimal(Double.toString(x)) HALF_UP."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Strict left-to-right accumulation — matches Spark's
+    F.aggregate(zip_with(a,b,*), 0.0, +) evaluation order exactly."""
+    acc = 0.0
+    for p in (a * b):  # elementwise products are order-independent
+        acc += float(p)
+    return acc
+
+
+def _cos_r(q: np.ndarray, v: np.ndarray) -> float:
+    import math
+
+    return _round6(_seq_dot(q, v) / math.sqrt(_seq_dot(q, q) * _seq_dot(v, v)))
+
+
+def golden_s2_cells() -> pd.DataFrame:
+    from jimmy_spark.functions import s2
+    from jimmy_spark.queries import _georef_sql
+
+    pts = duckdb.sql(_georef_sql()).df()
+    lat = pts["lat_e7"].to_numpy()
+    lon = pts["lon_e7"].to_numpy()
+    out = pd.DataFrame({"image_id": pts["image_id"]})
+    for level in (12, 14, 16):
+        out[f"s2_l{level}"] = s2.encode(lat, lon, level)
+    return out
+
+
+def golden_decode_stats() -> pd.DataFrame:
+    from jimmy_spark.operators.decode import _decode_batch
+    from jimmy_spark.queries import _t2
+
+    imgs = pd.read_parquet(f"{_t2()}/images.parquet")
+    out = _decode_batch(imgs)
+    return out[["image_id", "ok", "px_checksum", "px_mean_milli"]]
+
+
+def golden_image_features() -> pd.DataFrame:
+    from jimmy_spark.operators.multimodal import _features_batch
+    from jimmy_spark.queries import _t2
+
+    imgs = pd.read_parquet(f"{_t2()}/images.parquet")
+    out = _features_batch(imgs)
+    # keep the all-null error column STRING-typed in parquet (an all-None
+    # object column would be written as null type -> DuckDB float64 NaN,
+    # mismatching Spark's string/None)
+    out["error"] = out["error"].astype("string")
+    return out
+
+
+def _load_embeddings() -> tuple[np.ndarray, np.ndarray]:
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(np.int64)
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], X[order]
+
+
+def _rank_topk(
+    rows: list[tuple[int, int, float]], k: int
+) -> pd.DataFrame:
+    """rows = (query_id, vec_id, cos_r) -> top-k per query ranked by
+    (cos_r DESC, vec_id ASC), Spark row_number semantics."""
+    out = []
+    df = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_r"])
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cos_r", "vec_id"], ascending=[False, True])
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", "vec_id", "cos_r"]].astype(
+        {"query_id": np.int64, "rank": np.int64, "vec_id": np.int64}
+    )
+
+
+def golden_ann_lsh() -> pd.DataFrame:
+    from jimmy_spark.operators.similarity import _hyperplanes
+    from jimmy_spark.queries import ANN_QUERY_IDS
+
+    k, n_bits, n_tables = 10, 4, 8  # ann_topk_lsh defaults used by q_ann_lsh
+    ids, X = _load_embeddings()
+    dim = X.shape[1]
+    buckets = np.empty((len(ids), n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        pl = _hyperplanes(dim, n_bits, t)
+        bits = (X @ pl.T > 0).astype(np.int64)
+        sig = (bits << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+        buckets[:, t] = sig + (t << np.int64(n_bits + 1))
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for qid in ANN_QUERY_IDS:
+        qi = idx_of[qid]
+        qb = set(buckets[qi].tolist())
+        cand = np.unique(
+            np.nonzero(np.isin(buckets, list(qb)).any(axis=1))[0]
+        )
+        for ci in cand:
+            if ids[ci] == qid:
+                continue
+            rows.append((qid, int(ids[ci]), _cos_r(X[qi], X[ci])))
+    return _rank_topk(rows, k)
+
+
+def golden_ann_ivf() -> pd.DataFrame:
+    from jimmy_spark.operators.ivf import SAMPLE_N, lloyd_numpy
+    from jimmy_spark.queries import ANN_QUERY_IDS
+
+    k, n_centroids, nprobe, iters = 10, 16, 6, 5  # q_ann_ivf parameters
+    ids, X = _load_embeddings()
+    centroids = lloyd_numpy(ids[:SAMPLE_N], X[:SAMPLE_N], n_centroids, iters)
+    c2 = (centroids * centroids).sum(axis=1)
+    cid = np.argmin(-2.0 * (X @ centroids.T) + c2[None, :], axis=1)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for qid in ANN_QUERY_IDS:
+        qi = idx_of[qid]
+        d = ((centroids - X[qi]) ** 2).sum(axis=1)
+        probe = set(np.argsort(d, kind="stable")[:nprobe].tolist())
+        for ci in np.nonzero(np.isin(cid, list(probe)))[0]:
+            if ids[ci] == qid:
+                continue
+            rows.append((qid, int(ids[ci]), _cos_r(X[qi], X[ci])))
+    return _rank_topk(rows, k)
+
+
+GOLDENS = {
+    "s2_cells": golden_s2_cells,
+    "decode_stats": golden_decode_stats,
+    "image_features": golden_image_features,
+    "ann_lsh": golden_ann_lsh,
+    "ann_ivf": golden_ann_ivf,
+}
+
+
+def main() -> None:
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    for name, fn in GOLDENS.items():
+        pdf = fn()
+        path = GOLDEN_DIR / f"{name}.parquet"
+        pdf.to_parquet(path, index=False)
+        print(f"{name}: {len(pdf)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,8 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
         "frontmatter", "simhash",
+        # golden-parquet oracles (scripts/make_goldens.py)
+        "s2_cells", "decode_stats", "image_features", "ann_lsh", "ann_ivf",
     ],
 )
 def test_query_matches_oracle(spark, con, contract, name):
@@ -83,11 +85,7 @@ def test_query_matches_oracle(spark, con, contract, name):
     pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=True)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["s2_cells", "decode_stats", "ann_lsh", "ann_ivf",
-     "image_features", "fuzzy_pairs"]
-)
+@pytest.mark.parametrize("name", ["fuzzy_pairs"])
 def test_rows_only_queries_run(spark, contract, name):
     queries, _ = contract
     df = queries[name](spark, SF_DIR)
