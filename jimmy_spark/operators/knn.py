@@ -164,7 +164,11 @@ def knn_join(
     counts_pdf = pts.groupBy("cell").agg(F.count("*").alias("cnt")).toPandas()
     cand_pdf, overflow = _candidate_cells(queries_pdf, counts_pdf, res)
 
-    result_rows: list[pd.DataFrame] = []
+    # Results stay DISTRIBUTED end to end: the candidate top-k and the
+    # brute-force path are unioned Spark-side; only the per-query
+    # candidate-cell planning (bounded by MAX_DRIVER_CELLS) and the
+    # per-query completeness counts (one row per query) touch the driver.
+    result_dfs: list[DataFrame] = []
     if len(cand_pdf):
         def _cand() -> DataFrame:
             return (
@@ -204,10 +208,15 @@ def knn_join(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", id_col)
-            .toPandas()
+            .persist()
         )
-        # defensive completeness check (the d_bound argument guarantees it)
-        got_n = topk.groupby("query_id").size()
+        # defensive completeness check (the d_bound argument guarantees it);
+        # collecting one count per query also materializes the persisted
+        # top-k, so unpersisting pts below cannot force a recompute
+        got_n = {
+            r.query_id: r.n
+            for r in topk.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
         k_of = {str(r.query_id): int(r.k) for r in queries_pdf.itertuples()}
         short = [
             q
@@ -216,23 +225,24 @@ def knn_join(
         ]
         if short:
             overflow = list(overflow) + short
-            topk = topk[~topk["query_id"].isin(short)]
-        result_rows.append(topk)
+            topk = topk.filter(~F.col("query_id").isin(short))
+        result_dfs.append(topk)
 
     if overflow:
-        result_rows.append(_brute_force(pts, qmeta, overflow, id_col))
+        result_dfs.append(_brute_force(pts, qmeta, overflow, id_col))
 
     pts.unpersist()
-    if not result_rows:
+    if not result_dfs:
         return spark.createDataFrame([], f"query_id string, rank int, {id_col} string")
-    out = pd.concat(result_rows, ignore_index=True)
-    out["rank"] = out["rank"].astype("int32")
-    return spark.createDataFrame(out[["query_id", "rank", id_col]])
+    out = result_dfs[0]
+    for extra in result_dfs[1:]:
+        out = out.unionByName(extra)
+    return out.select("query_id", F.col("rank").cast("int").alias("rank"), id_col)
 
 
 def _brute_force(
     pts: DataFrame, qmeta: DataFrame, qids: list[str], id_col: str
-) -> pd.DataFrame:
+) -> DataFrame:
     """Exact shared pass for planetary-distance queries, two-phase:
     bucket-local double top-k with a provable prune margin (double dist2
     error <= 2048 ulp at 1.6e19 magnitude; margin 4096 covers both sides),
@@ -266,7 +276,6 @@ def _brute_force(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", id_col)
-        .toPandas()
     )
 
 
