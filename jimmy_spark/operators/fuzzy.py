@@ -41,26 +41,48 @@ def fuzzy_pairs(
 ) -> DataFrame:
     """Pairs (a < b) in the same block with difflib ratio >= threshold.
     Output: (doc_a, doc_b, ratio_milli int) — integer score for stable
-    comparison."""
+    comparison.
+
+    Recall contract vs the reference's all-pairs scoring: token-count
+    buckets OVERLAP — each doc joins on {bucket, bucket+1} so any two docs
+    within ``bucket_tokens`` tokens of each other are always scored (the
+    old hard boundary silently skipped neighbors straddling it). Pairs
+    differing by more than 2*bucket_tokens tokens can still be missed, but
+    difflib ratio >= t requires len_min/len_max >= t/(2-t) (ratio =
+    2M/(la+lb), M <= min), so with t >= 0.5 any missed pair would need
+    token counts within ~3x of each other AND >32 apart — only plausible
+    for very long docs, where the blocked join is the designed trade.
+    The within-block pure-Python oracle in tests asserts zero missed
+    pairs on the fixtures."""
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("t"),
         *[F.col(c) for c in block_cols],
-        F.floor(toks / bucket_tokens).alias("_bucket"),
+        F.floor(toks / bucket_tokens).cast("long").alias("_bucket"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
+    # overlap: each side fans out to its own bucket and the next one; a
+    # pair in buckets (p, p+1) meets at key p+1, (p, p) meets at BOTH p
+    # and p+1 — hence the distinct on ids before scoring
+    spread = base.withColumn(
+        "_bkey", F.explode(F.array(F.col("_bucket"), F.col("_bucket") + 1))
+    )
+    a = spread.alias("a")
+    b = spread.alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (
-        F.col("a._bucket") == F.col("b._bucket")
+        F.col("a._bkey") == F.col("b._bkey")
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    pairs = a.join(b, cond).select(
-        F.col("a.id").alias("doc_a"),
-        F.col("b.id").alias("doc_b"),
-        F.col("a.t").alias("ta"),
-        F.col("b.t").alias("tb"),
+    pairs = (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+        )
+        .distinct()
     )
 
     @F.pandas_udf("long")

@@ -251,17 +251,58 @@ class TestFuzzy:
         pdf = docs.select("doc_id", "lang", "text").toPandas()
         pdf["bucket"] = pdf["text"].str.strip().str.split(r"\s+").map(len) // 16
         exp = set()
-        for (_, _), g in pdf.groupby(["lang", "bucket"]):
+        for _, g in pdf.groupby("lang"):
             rows = list(g.itertuples())
             for i in range(len(rows)):
                 for j in range(len(rows)):
                     a, b = rows[i], rows[j]
-                    if a.doc_id >= b.doc_id:
+                    if a.doc_id >= b.doc_id or abs(a.bucket - b.bucket) > 1:
                         continue
                     r = int(SequenceMatcher(None, a.text, b.text).ratio() * 1000)
                     if r >= 500:
                         exp.add((a.doc_id, b.doc_id, r))
         assert got == exp and len(exp) > 0
+
+    def test_fuzzy_no_missed_pairs_vs_all_pairs(self, docs):
+        """Recall check on a fixture subset: EVERY same-lang pair above
+        threshold (reference all-pairs semantics, common.py:373-400) must
+        be found by the overlapping-bucket blocked join."""
+        from difflib import SequenceMatcher
+
+        from jimmy_spark.operators import fuzzy
+
+        sub = docs.orderBy("doc_id").limit(150)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in fuzzy.fuzzy_pairs(sub, threshold=0.5).collect()
+        }
+        pdf = sub.select("doc_id", "lang", "text").toPandas()
+        missed = []
+        rows = list(pdf.itertuples())
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if a.lang != b.lang:
+                    continue
+                lo, hi = min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id)
+                if (lo, hi) in got:
+                    continue
+                if int(SequenceMatcher(None, a.text, b.text).ratio() * 1000) >= 500:
+                    missed.append((lo, hi))
+        assert missed == []
+
+    def test_fuzzy_adjacent_bucket_pair_found(self, spark):
+        """Regression for the hard bucket boundary: two near-identical docs
+        whose token counts straddle a 16-token boundary must be scored."""
+        from jimmy_spark.operators import fuzzy
+
+        t15 = " ".join(f"w{i}" for i in range(15))
+        t16 = " ".join(f"w{i}" for i in range(16))  # bucket 1, neighbor of 0
+        df = spark.createDataFrame(
+            [(1, "en", t15), (2, "en", t16)], "doc_id long, lang string, text string"
+        )
+        pairs = fuzzy.fuzzy_pairs(df, threshold=0.5).collect()
+        assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
 
 
 class TestIVF:
