@@ -115,3 +115,133 @@ def wiki_to_md_udf() -> Column:
         return texts.map(wiki_to_md)
 
     return conv
+
+
+# ---------------------------------------------------------------------------
+# TiddlyWiki wikitext grammar (public classic-wikitext syntax, written from
+# scratch; the reference's analogue is its tiddlywiki table/list rewriter,
+# /root/reference/src/jimmy/md_lib/tiddlywiki.py:177-295). Note the link
+# order difference vs zim: tiddly is [[label|target]], zim [[target|label]].
+
+_TID_CODE = re.compile(r"\{\{\{(.+?)\}\}\}")
+_TID_HEADING = re.compile(r"^(!{1,6})\s*(.+?)\s*$", re.M)
+_TID_OL = re.compile(r"^(#+) ", re.M)
+_TID_UL = re.compile(r"^(\*+) ", re.M)
+_TID_BOLD = re.compile(r"''(.+?)''")
+_TID_ITALIC = re.compile(r"//(.+?)//")
+_TID_UNDER = re.compile(r"__(.+?)__")
+_TID_LINK_LABELED = re.compile(r"\[\[([^\]|]+)\|([^\]]+)\]\]")
+_TID_LINK_BARE = re.compile(r"\[\[([^\]|]+)\]\]")
+_TID_TABLE_BLOCK = re.compile(r"(?:^\|[^\n]*\|h?(?:\n|$))+", re.M)
+
+
+def _rule_tid_headings(s: str) -> str:
+    """
+    >>> _rule_tid_headings("!! Sub")
+    '## Sub'
+    """
+    return _TID_HEADING.sub(lambda m: "#" * len(m.group(1)) + " " + m.group(2), s)
+
+
+def _rule_tid_lists(s: str) -> str:
+    """Nested '#'/'*' list markers -> indented md markers.
+
+    >>> _rule_tid_lists("# one\\n## one.a\\n* b\\n** b.a")
+    '1. one\\n  1. one.a\\n- b\\n  - b.a'
+    """
+    s = _TID_OL.sub(lambda m: "  " * (len(m.group(1)) - 1) + "1. ", s)
+    return _TID_UL.sub(lambda m: "  " * (len(m.group(1)) - 1) + "- ", s)
+
+
+def _rule_tid_emphasis(s: str) -> str:
+    """
+    >>> _rule_tid_emphasis("''b'' //i// __u__")
+    '**b** *i* <u>u</u>'
+    """
+    s = _TID_BOLD.sub(r"**\1**", s)
+    s = _TID_ITALIC.sub(r"*\1*", s)
+    return _TID_UNDER.sub(r"<u>\1</u>", s)
+
+
+def _rule_tid_links(s: str) -> str:
+    """tiddly [[label|target]] (label first — opposite of zim).
+
+    >>> _rule_tid_links("[[the page|page]] and [[other]]")
+    '[the page](page) and [other](other)'
+    """
+    s = _TID_LINK_LABELED.sub(r"[\1](\2)", s)
+    return _TID_LINK_BARE.sub(r"[\1](\1)", s)
+
+
+def _rule_tid_tables(s: str) -> str:
+    """Wikitext table block -> md table. A row ending in '|h' is the
+    header; without one the first row becomes the header.
+
+    >>> print(_rule_tid_tables("|a|b|h\\n|1|2|"))
+    | a | b |
+    | --- | --- |
+    | 1 | 2 |
+    """
+
+    def conv(m: re.Match) -> str:
+        block = m.group(0)
+        trailing = "\n" if block.endswith("\n") else ""
+        header: list[str] | None = None
+        rows: list[list[str]] = []
+        for ln in block.rstrip("\n").split("\n"):
+            if ln.endswith("|h"):
+                header = [c.strip() for c in ln[1:-2].split("|")]
+            else:
+                rows.append([c.strip() for c in ln.strip("|").split("|")])
+        if header is None and rows:
+            header, rows = rows[0], rows[1:]
+        out = ["| " + " | ".join(header) + " |"]
+        out.append("| " + " | ".join("---" for _ in header) + " |")
+        for r in rows:
+            out.append("| " + " | ".join(r) + " |")
+        return "\n".join(out) + trailing
+
+    return _TID_TABLE_BLOCK.sub(conv, s)
+
+
+TIDDLY_RULES: list[tuple[str, Callable[[str], str]]] = [
+    ("tables", _rule_tid_tables),
+    ("lists", _rule_tid_lists),
+    ("headings", _rule_tid_headings),
+    ("links", _rule_tid_links),
+    ("emphasis", _rule_tid_emphasis),
+]
+
+
+def tiddly_to_md(s: str) -> str:
+    """Ordered tiddlywiki pipeline with {{{code}}} shielding.
+
+    >>> print(tiddly_to_md("!! T\\n|a|b|h\\n|''1''|2|\\nsee {{{//raw//}}}"))
+    ## T
+    | a | b |
+    | --- | --- |
+    | **1** | 2 |
+    see `//raw//`
+    """
+    if s is None:
+        return None
+    spans: list[str] = []
+
+    def shield(m: re.Match) -> str:
+        spans.append(m.group(1))
+        return f"\x00{len(spans) - 1}\x00"
+
+    s = _TID_CODE.sub(shield, s)
+    for _, rule in TIDDLY_RULES:
+        s = rule(s)
+    return re.sub(
+        r"\x00(\d+)\x00", lambda m: "`" + spans[int(m.group(1))] + "`", s
+    )
+
+
+def tiddly_to_md_udf() -> Column:
+    @F.pandas_udf("string")
+    def conv(texts: pd.Series) -> pd.Series:
+        return texts.map(tiddly_to_md)
+
+    return conv

@@ -247,6 +247,71 @@ def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence semi-join (find_file_recursively link ⋉ files analogue,
+    /root/reference/src/jimmy/common.py:506-522 via converter.py:214-233):
+    keep orders having at least one returned lineitem — left_semi, so the
+    probe side is never duplicated or widened."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return orders.join(
+        li.filter(F.col("l_returnflag") == "R"),
+        orders.o_orderkey == li.l_orderkey,
+        "left_semi",
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+def q_tree_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent/orphan tree spanning (joplin notebook tree analogue,
+    /root/reference/src/jimmy/formats/joplin.py:165-180): self-join on a
+    derived parent_id, orphans (missing parent) coalesce to the root."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    # every 5th doc points at a nonexistent parent (orphan); doc 0's
+    # parent -1 never exists either
+    parent_id = F.when(did % 5 == 0, did * 100 + 7).otherwise(did - 1)
+    kids = docs.select("doc_id", parent_id.alias("parent_id"))
+    parents = docs.select(
+        F.col("doc_id").alias("parent_id"), F.col("source").alias("p_source")
+    )
+    return kids.join(parents, "parent_id", "left").select(
+        "doc_id",
+        "parent_id",
+        F.coalesce(F.col("p_source"), F.lit("root")).alias("parent_source"),
+    )
+
+
+def q_binary_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/codec kernels (reference base64 resources + AES colornote,
+    common.py:222-227, formats/colornote.py:37-54, md_lib/evernote.py:19-49):
+    canonical base64 (Spark's MIME line-wrap stripped via translate so it
+    matches RFC-4648/DuckDB), hex, and an AES-GCM encrypt->decrypt
+    roundtrip whose oracle identity is the plaintext itself."""
+    docs = _docs(spark, sf_dir)
+    txt = F.encode(F.col("text"), "UTF-8")
+    key = F.lit("0123456789abcdef")
+    return docs.select(
+        "doc_id",
+        F.translate(F.base64(txt), "\r\n", "").alias("b64"),
+        F.hex(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("hx"),
+        F.decode(F.unbase64(F.base64(txt)), "UTF-8").alias("b64_rt"),
+        F.aes_decrypt(F.aes_encrypt(txt, key), key).cast("string").alias("aes_rt"),
+    )
+
+
+def q_metadata_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """custom_metadata open-map handling (intermediate_format.py:197):
+    per-doc MapType column -> map_filter -> exploded key/value rows."""
+    docs = _docs(spark, sf_dir)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"),
+        F.lit("source"), F.col("source"),
+        F.lit("n_chars"), F.col("n_chars").cast("string"),
+    )
+    kept = F.map_filter(m, lambda k, v: k != "n_chars")
+    return docs.select("doc_id", F.explode(kept).alias("meta_key", "meta_val"))
+
+
 def q_rollup_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telegram chat rollup analogue (telegram.py:12-46): fold events of a
     user into one sorted summary string."""
@@ -298,6 +363,29 @@ def _oracle_generic() -> dict[str, str]:
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "link_semi": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')"
+        ),
+        "tree_span": (
+            "WITH kids AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN doc_id * 100 + 7 ELSE doc_id - 1 END AS parent_id "
+            "FROM documents) "
+            "SELECT k.doc_id, k.parent_id, "
+            "coalesce(p.source, 'root') AS parent_source "
+            "FROM kids k LEFT JOIN documents p ON k.parent_id = p.doc_id"
+        ),
+        "binary_kernels": (
+            "SELECT doc_id, to_base64(encode(text)) AS b64, "
+            "hex(encode(substring(text, 1, 16))) AS hx, "
+            "text AS b64_rt, text AS aes_rt FROM documents"
+        ),
+        "metadata_map": (
+            "SELECT doc_id, 'lang' AS meta_key, lang AS meta_val FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, 'source' AS meta_key, source AS meta_val FROM documents"
         ),
         "rollup_concat": (
             "SELECT user_id, count(*) AS n_events, "
@@ -511,6 +599,43 @@ def q_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.select("image_id", doc.alias("doc"))
 
 
+def markup_sources(doc_id, lang, source, snippet):
+    """Deterministic wiki-source synthesis shared (by construction) with
+    the golden generator's pandas twin (scripts/make_goldens.py) — each
+    doc becomes one zim-grammar and one tiddly-grammar source exercising
+    headings/checklists/links/images/tables/lists/emphasis/code rules."""
+    zim = F.concat(
+        F.lit("====== "), lang, F.lit(" ======\n[ ] review "), doc_id,
+        F.lit("\n[*] done\nsee [[notes/"), doc_id, F.lit("|"), source,
+        F.lit("]] and {{img"), doc_id, F.lit(".png}} //"), snippet, F.lit("//"),
+    )
+    tid = F.concat(
+        F.lit("!! "), lang, F.lit("\n|id|src|h\n|"), doc_id, F.lit("|"), source,
+        F.lit("|\n# step "), doc_id, F.lit("\n* see [[Doc "), doc_id,
+        F.lit("|doc-"), doc_id, F.lit("]] ''"), snippet, F.lit("'' {{{"),
+        snippet, F.lit("}}}"),
+    )
+    return zim, tid
+
+
+def q_markup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered markup-grammar rewrite (SURVEY §2.7, the reference's densest
+    layer): zim-style and tiddlywiki-style sources -> Markdown via the
+    fixed-order rule pipelines in functions/markup.py, vectorized UDFs.
+    Hash-checked against the golden parquet computed by the local pipeline."""
+    from jimmy_spark.functions import markup
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    snippet = F.substring(F.col("text"), 1, 24)
+    zim, tid = markup_sources(did, F.col("lang"), F.col("source"), snippet)
+    return docs.select(
+        "doc_id",
+        markup.wiki_to_md_udf()(zim).alias("md_zim"),
+        markup.tiddly_to_md_udf()(tid).alias("md_tid"),
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jimmy_spark.streaming import windows
 
@@ -583,6 +708,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linkres": q_linkres,
     "unique_names": q_unique_names,
     "two_hop": q_two_hop,
+    "link_semi": q_link_semi,
+    "tree_span": q_tree_span,
+    "binary_kernels": q_binary_kernels,
+    "metadata_map": q_metadata_map,
     "rollup_concat": q_rollup_concat,
     "topk_per_group": q_topk_per_group,
     "token_count": q_token_count,
@@ -602,6 +731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ordered_rollup": q_ordered_rollup,
     "frontmatter": q_frontmatter,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "markup_rewrite": q_markup_rewrite,
     "session_windows": q_session_windows,
     "windowed_counts": q_windowed_counts,
 }
@@ -632,6 +762,7 @@ def _oracle_golden() -> dict[str, str]:
             f"FROM '{GOLDEN_DIR}/decode_stats.parquet'"
         ),
         "image_features": f"SELECT * FROM '{GOLDEN_DIR}/image_features.parquet'",
+        "markup_rewrite": f"SELECT * FROM '{GOLDEN_DIR}/markup_rewrite.parquet'",
         "ann_lsh": f"SELECT * FROM '{GOLDEN_DIR}/ann_lsh.parquet'",
         "ann_ivf": f"SELECT * FROM '{GOLDEN_DIR}/ann_ivf.parquet'",
     }

@@ -89,6 +89,30 @@ def golden_image_features() -> pd.DataFrame:
     return out
 
 
+def golden_markup_rewrite() -> pd.DataFrame:
+    from jimmy_spark.functions.markup import tiddly_to_md, wiki_to_md
+
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
+    )
+    out = pd.DataFrame({"doc_id": docs["doc_id"]})
+    zim, tid = [], []
+    for r in docs.itertuples():
+        did = str(r.doc_id)
+        snip = r.text[:24]
+        zim.append(wiki_to_md(
+            f"====== {r.lang} ======\n[ ] review {did}\n[*] done\n"
+            f"see [[notes/{did}|{r.source}]] and {{{{img{did}.png}}}} //{snip}//"
+        ))
+        tid.append(tiddly_to_md(
+            f"!! {r.lang}\n|id|src|h\n|{did}|{r.source}|\n# step {did}\n"
+            f"* see [[Doc {did}|doc-{did}]] ''{snip}'' {{{{{{{snip}}}}}}}"
+        ))
+    out["md_zim"] = zim
+    out["md_tid"] = tid
+    return out
+
+
 def _load_embeddings() -> tuple[np.ndarray, np.ndarray]:
     emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     ids = emb["vec_id"].to_numpy(np.int64)
@@ -169,6 +193,7 @@ GOLDENS = {
     "s2_cells": golden_s2_cells,
     "decode_stats": golden_decode_stats,
     "image_features": golden_image_features,
+    "markup_rewrite": golden_markup_rewrite,
     "ann_lsh": golden_ann_lsh,
     "ann_ivf": golden_ann_ivf,
 }

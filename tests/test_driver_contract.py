@@ -64,6 +64,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "georef", "hex_cells", "tiles", "pip", "knn", "cell_counts",
         "tile_counts", "overlay", "dedup_exact", "stats_agg", "select_glob",
         "linkres", "unique_names", "two_hop", "rollup_concat", "topk_per_group",
+        "link_semi", "tree_span", "binary_kernels", "metadata_map",
         "token_count", "quality_score", "lang_id", "fingerprint",
         "ngram_dedup", "minhash_dedup", "ann_topk", "emb_near_dup",
         "caption_kernels",
@@ -71,6 +72,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "frontmatter", "simhash",
         # golden-parquet oracles (scripts/make_goldens.py)
         "s2_cells", "decode_stats", "image_features", "ann_lsh", "ann_ivf",
+        "markup_rewrite",
     ],
 )
 def test_query_matches_oracle(spark, con, contract, name):
