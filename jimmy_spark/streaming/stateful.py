@@ -35,16 +35,22 @@ def _dedup_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     seen = set(state.get[0]) if state.exists else set()
-    out_rows: list[pd.DataFrame] = []
-    for pdf in pdfs:
+    # The iterator yields the group's micro-batch in Arrow CHUNKS
+    # (maxRecordsPerBatch); first-seen must be decided over the WHOLE
+    # micro-batch — per-chunk dedup would let an early chunk's larger
+    # image_id beat a later chunk's smaller one. Group state is already
+    # bounded per bucket, so one concat holds the same rows the chunks do.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["phash", "image_id"], kind="stable")
         fresh = pdf[~pdf["phash"].isin(seen)].drop_duplicates("phash")
         if len(fresh):
-            out_rows.append(fresh[["bucket", "phash", "image_id"]])
             seen.update(int(p) for p in fresh["phash"])
+            state.update((list(seen),))
+            yield fresh[["bucket", "phash", "image_id"]]
+            return
     state.update((list(seen),))
-    if out_rows:
-        yield pd.concat(out_rows)
 
 
 def first_seen_stream(images_stream: DataFrame) -> DataFrame:
