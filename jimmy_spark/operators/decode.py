@@ -56,7 +56,9 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 raise ValueError(
                     f"decoded size {dw}x{dh} != declared {ws[i]}x{hs[i]}"
                 )
-            checksum[i] = zlib.crc32(arr.tobytes())
+            # buffer-protocol crc (decoders return C-contiguous uint8):
+            # same value as crc32(tobytes()) minus the copy
+            checksum[i] = zlib.crc32(arr)
             mean_milli[i] = int(arr.astype(np.int64).sum() * 1000 // arr.size)
             ok[i] = True
         except ValueError as e:

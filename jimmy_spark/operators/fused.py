@@ -65,7 +65,10 @@ def fused_spatial_stage(images: DataFrame, polygons: pd.DataFrame) -> DataFrame:
                             f"decoded size {arr.shape[1]}x{arr.shape[0]} != "
                             f"declared {ws[i]}x{hs[i]}"
                         )
-                    checksum[i] = zlib.crc32(arr.tobytes())
+                    # crc over the array buffer directly — decoders return
+                    # C-contiguous uint8, so this equals crc32(tobytes())
+                    # without the per-image copy
+                    checksum[i] = zlib.crc32(arr)
                     ok[i] = True
                 except ValueError as e:
                     err[i] = str(e)
