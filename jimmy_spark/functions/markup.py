@@ -245,3 +245,279 @@ def tiddly_to_md_udf() -> Column:
         return texts.map(tiddly_to_md)
 
     return conv
+
+
+# ---------------------------------------------------------------------------
+# Roam Research grammar (public Roam markdown dialect; reference analogue:
+# /root/reference/src/jimmy/md_lib/roam_research.py:109-164). Roam is
+# md-ish already — the rewrites are its proprietary extensions.
+
+_ROAM_HIGHLIGHT = re.compile(r"\^\^(.+?)\^\^")
+_ROAM_EMBED = re.compile(r"\{\{\[\[embed\]\]: ?\(\(([^)]+)\)\)\}\}")
+_ROAM_WIDGET = re.compile(
+    r"\{\{\[\[([A-Za-z-]+)\]\](?:: ?([^{}]*(?:\{[^{}]*\}[^{}]*)*))?\}\}"
+)
+_ROAM_BLOCKREF = re.compile(r"\(\(([^)]+)\)\)")
+_ROAM_TODO = re.compile(r"^- \{\{\[\[TODO\]\]\} ?\}? ?", re.M)
+_ROAM_ATTR = re.compile(r"^([A-Za-z][\w -]*)::", re.M)
+
+
+def _rule_roam_todos(s: str) -> str:
+    """
+    >>> _rule_roam_todos("- {{[[TODO]]}} buy milk")
+    '- [ ] buy milk'
+    """
+    s = s.replace("- {{[[TODO]]}} ", "- [ ] ").replace("- {{[[TODO]]}}", "- [ ]")
+    return s.replace("- {{[[DONE]]}} ", "- [x] ").replace("- {{[[DONE]]}}", "- [x]")
+
+
+def _rule_roam_embeds(s: str) -> str:
+    """
+    >>> _rule_roam_embeds("{{[[embed]]: ((abc123))}}")
+    '![[abc123]]'
+    """
+    return _ROAM_EMBED.sub(r"![[\1]]", s)
+
+
+def _rule_roam_widgets(s: str) -> str:
+    """Non-embed {{[[widget]]}} tokens (query/table/kanban...) have no md
+    equivalent — rendered as inline code, preserving the payload (one
+    brace-nesting level supported).
+
+    >>> _rule_roam_widgets("{{[[query]]: {and: [[x]]}}}")
+    '`query: {and: [[x]]}`'
+    """
+    return _ROAM_WIDGET.sub(
+        lambda m: "`" + m.group(1) + (": " + m.group(2) if m.group(2) else "") + "`",
+        s,
+    )
+
+
+def _rule_roam_blockrefs(s: str) -> str:
+    """
+    >>> _rule_roam_blockrefs("see ((xK9-abc)) here")
+    'see [[xK9-abc]] here'
+    """
+    return _ROAM_BLOCKREF.sub(r"[[\1]]", s)
+
+
+def _rule_roam_highlight(s: str) -> str:
+    """
+    >>> _rule_roam_highlight("a ^^hot^^ b")
+    'a ==hot== b'
+    """
+    return _ROAM_HIGHLIGHT.sub(r"==\1==", s)
+
+
+def _rule_roam_attrs(s: str) -> str:
+    """Attribute lines 'Key:: value' -> bold key (public Roam attrs).
+
+    >>> _rule_roam_attrs("Status:: open")
+    '**Status**: open'
+    """
+    return _ROAM_ATTR.sub(lambda m: "**" + m.group(1) + "**:", s)
+
+
+ROAM_RULES: list[tuple[str, Callable[[str], str]]] = [
+    ("todos", _rule_roam_todos),
+    ("embeds", _rule_roam_embeds),
+    ("widgets", _rule_roam_widgets),
+    ("blockrefs", _rule_roam_blockrefs),
+    ("highlight", _rule_roam_highlight),
+    ("attrs", _rule_roam_attrs),
+]
+
+
+def roam_to_md(s: str) -> str:
+    """
+    >>> roam_to_md("- {{[[TODO]]}} read ((ref1)) ^^now^^")
+    '- [ ] read [[ref1]] ==now=='
+    """
+    if s is None:
+        return None
+    for _, rule in ROAM_RULES:
+        s = rule(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Zettelkasten BBCode grammar (public BBCode tags; reference analogue:
+# /root/reference/src/jimmy/formats/zettelkasten.py:113-184).
+
+_BB_SIMPLE = [
+    (re.compile(r"\[b\](.*?)\[/b\]", re.S), r"**\1**"),
+    (re.compile(r"\[i\](.*?)\[/i\]", re.S), r"*\1*"),
+    (re.compile(r"\[s\](.*?)\[/s\]", re.S), r"~~\1~~"),
+    (re.compile(r"\[u\](.*?)\[/u\]", re.S), r"<u>\1</u>"),
+    (re.compile(r"\[code\](.*?)\[/code\]", re.S), r"`\1`"),
+    (re.compile(r"\[q\](.*?)\[/q\]", re.S), r"> \1"),
+]
+_BB_URL_ARG = re.compile(r"\[url=([^\]]+)\](.*?)\[/url\]", re.S)
+_BB_URL = re.compile(r"\[url\](.*?)\[/url\]", re.S)
+_BB_IMG = re.compile(r"\[img\](.*?)\[/img\]", re.S)
+_BB_H = re.compile(r"^\[h([1-6])\](.*?)\[/h\1\]\s*$", re.M)
+_BB_LIST_ITEM = re.compile(r"^\[\*\] ?", re.M)
+_BB_LIST_WRAP = re.compile(r"\[/?list\]\n?")
+
+
+def _rule_bb_headings(s: str) -> str:
+    """
+    >>> _rule_bb_headings("[h2]Title[/h2]")
+    '## Title'
+    """
+    return _BB_H.sub(lambda m: "#" * int(m.group(1)) + " " + m.group(2), s)
+
+
+def _rule_bb_lists(s: str) -> str:
+    """
+    >>> _rule_bb_lists("[list]\\n[*] a\\n[*] b\\n[/list]")
+    '- a\\n- b\\n'
+    """
+    return _BB_LIST_WRAP.sub("", _BB_LIST_ITEM.sub("- ", s))
+
+
+def _rule_bb_links(s: str) -> str:
+    """
+    >>> _rule_bb_links("[url=http://x]lbl[/url] [url]http://y[/url]")
+    '[lbl](http://x) <http://y>'
+    """
+    s = _BB_URL_ARG.sub(r"[\2](\1)", s)
+    return _BB_URL.sub(r"<\1>", s)
+
+
+def _rule_bb_img(s: str) -> str:
+    """
+    >>> _rule_bb_img("[img]pic.png[/img]")
+    '![](pic.png)'
+    """
+    return _BB_IMG.sub(r"![](\1)", s)
+
+
+def _rule_bb_inline(s: str) -> str:
+    """
+    >>> _rule_bb_inline("[b]x[/b] [i]y[/i] [code]z[/code]")
+    '**x** *y* `z`'
+    """
+    for rx, repl in _BB_SIMPLE:
+        s = rx.sub(repl, s)
+    return s
+
+
+BBCODE_RULES: list[tuple[str, Callable[[str], str]]] = [
+    ("headings", _rule_bb_headings),
+    ("lists", _rule_bb_lists),
+    ("links", _rule_bb_links),
+    ("img", _rule_bb_img),
+    ("inline", _rule_bb_inline),
+]
+
+
+def bbcode_to_md(s: str) -> str:
+    """
+    >>> bbcode_to_md("[h1]T[/h1]\\n[list]\\n[*] [b]a[/b]\\n[/list]")
+    '# T\\n- **a**\\n'
+    """
+    if s is None:
+        return None
+    for _, rule in BBCODE_RULES:
+        s = rule(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Ordered HTML -> Markdown filter pipeline (the reference's 20-pass shape:
+# /root/reference/src/jimmy/md_lib/convert.py:80-95 runs a fixed-order list
+# of HTML filters before pandoc; here the ordered passes do the whole
+# conversion for the common tag subset, written from scratch).
+
+_H_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_H_PRE = re.compile(r"<pre>\s*(?:<code>)?(.*?)(?:</code>)?\s*</pre>", re.S)
+_H_BR = re.compile(r"<br\s*/?>")
+_H_HR = re.compile(r"<hr\s*/?>")
+_H_HEAD = re.compile(r"<h([1-6])>(.*?)</h\1>", re.S)
+_H_BOLD = re.compile(r"<(b|strong)>(.*?)</\1>", re.S)
+_H_ITAL = re.compile(r"<(i|em)>(.*?)</\1>", re.S)
+_H_CODE = re.compile(r"<code>(.*?)</code>", re.S)
+_H_LINK = re.compile(r'<a\s+href="([^"]*)"[^>]*>(.*?)</a>', re.S)
+_H_IMG = re.compile(r'<img\s+src="([^"]*)"(?:\s+alt="([^"]*)")?[^>]*/?>')
+_H_LI = re.compile(r"<li>\s*(.*?)\s*</li>", re.S)
+_H_ROW = re.compile(r"<tr>(.*?)</tr>", re.S)
+_H_CELL = re.compile(r"<t[dh]>\s*(.*?)\s*</t[dh]>", re.S)
+_H_PARA = re.compile(r"</?p>")
+_H_TAG = re.compile(r"</?[A-Za-z][^>]*>")
+_H_BLANKS = re.compile(r"\n{3,}")
+
+HTML_RULES: list[tuple[str, Callable[[str], str]]] = [
+    ("comments", lambda s: _H_COMMENT.sub("", s)),
+    ("breaks", lambda s: _H_HR.sub("\n---\n", _H_BR.sub("\n", s))),
+    ("headings", lambda s: _H_HEAD.sub(
+        lambda m: "\n" + "#" * int(m.group(1)) + " " + m.group(2).strip() + "\n", s)),
+    ("bold", lambda s: _H_BOLD.sub(r"**\2**", s)),
+    ("italic", lambda s: _H_ITAL.sub(r"*\2*", s)),
+    ("code", lambda s: _H_CODE.sub(r"`\1`", s)),
+    ("links", lambda s: _H_LINK.sub(r"[\2](\1)", s)),
+    ("images", lambda s: _H_IMG.sub(
+        lambda m: f"![{m.group(2) or ''}]({m.group(1)})", s)),
+    ("rows", lambda s: _H_ROW.sub(
+        lambda m: "| " + " | ".join(_H_CELL.findall(m.group(1))) + " |\n", s)),
+    ("items", lambda s: _H_LI.sub(r"- \1\n", s)),
+    ("paragraphs", lambda s: _H_PARA.sub("\n", s)),
+    ("strip", lambda s: _H_TAG.sub("", s)),
+]
+
+
+def html_to_md(s: str) -> str:
+    """Fixed-order HTML filter pipeline with <pre> shielding and entity
+    unescape last (the reference's ordered-filter discipline).
+
+    >>> html_to_md('<h2>T</h2><p><b>a</b> &amp; <a href="u">l</a></p>')
+    '## T\\n\\n**a** & [l](u)'
+    >>> html_to_md('<ul><li>x</li><li><i>y</i></li></ul>')
+    '- x\\n- *y*'
+    >>> html_to_md('<pre><code>a <b>raw</b></code></pre>')
+    '```\\na <b>raw</b>\\n```'
+    """
+    if s is None:
+        return None
+    import html as _html
+
+    spans: list[str] = []
+
+    def shield(m: re.Match) -> str:
+        spans.append(m.group(1))
+        return f"\x00{len(spans) - 1}\x00"
+
+    s = _H_PRE.sub(shield, s)
+    for _, rule in HTML_RULES:
+        s = rule(s)
+    s = _html.unescape(s)
+    s = _H_BLANKS.sub("\n\n", s).strip()
+    return re.sub(
+        r"\x00(\d+)\x00",
+        lambda m: "```\n" + spans[int(m.group(1))] + "\n```",
+        s,
+    )
+
+
+def html_to_md_udf() -> Column:
+    @F.pandas_udf("string")
+    def conv(texts: pd.Series) -> pd.Series:
+        return texts.map(html_to_md)
+
+    return conv
+
+
+def roam_to_md_udf() -> Column:
+    @F.pandas_udf("string")
+    def conv(texts: pd.Series) -> pd.Series:
+        return texts.map(roam_to_md)
+
+    return conv
+
+
+def bbcode_to_md_udf() -> Column:
+    @F.pandas_udf("string")
+    def conv(texts: pd.Series) -> pd.Series:
+        return texts.map(bbcode_to_md)
+
+    return conv

@@ -615,24 +615,47 @@ def markup_sources(doc_id, lang, source, snippet):
         F.lit("|doc-"), doc_id, F.lit("]] ''"), snippet, F.lit("'' {{{"),
         snippet, F.lit("}}}"),
     )
-    return zim, tid
+    roam = F.concat(
+        F.lit("- {{[[TODO]]}} review ((blk-"), doc_id, F.lit(")) ^^"), lang,
+        F.lit("^^\nStatus:: "), source,
+        F.lit("\n{{[[embed]]: ((blk-"), doc_id, F.lit("))}}"),
+    )
+    bb = F.concat(
+        F.lit("[h2]"), lang, F.lit("[/h2]\n[list]\n[*] [b]"), source,
+        F.lit("[/b] [url=http://d/"), doc_id, F.lit("]doc "), doc_id,
+        F.lit("[/url]\n[/list]\n[img]img"), doc_id, F.lit(".png[/img] [code]"),
+        snippet, F.lit("[/code]"),
+    )
+    html = F.concat(
+        F.lit("<h1>"), lang, F.lit("</h1><p><b>"), source,
+        F.lit('</b> &amp; <a href="http://d/'), doc_id, F.lit('">doc '),
+        doc_id, F.lit("</a></p><ul><li><i>"), snippet,
+        F.lit("</i></li></ul><pre><code>"), snippet, F.lit("</code></pre>"),
+    )
+    return zim, tid, roam, bb, html
 
 
 def q_markup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered markup-grammar rewrite (SURVEY §2.7, the reference's densest
-    layer): zim-style and tiddlywiki-style sources -> Markdown via the
-    fixed-order rule pipelines in functions/markup.py, vectorized UDFs.
-    Hash-checked against the golden parquet computed by the local pipeline."""
+    layer): zim, tiddlywiki, Roam and Zettelkasten-BBCode sources ->
+    Markdown via the fixed-order rule pipelines in functions/markup.py,
+    vectorized UDFs. Hash-checked against the golden parquet computed by
+    the local pipeline twins."""
     from jimmy_spark.functions import markup
 
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     snippet = F.substring(F.col("text"), 1, 24)
-    zim, tid = markup_sources(did, F.col("lang"), F.col("source"), snippet)
+    zim, tid, roam, bb, html = markup_sources(
+        did, F.col("lang"), F.col("source"), snippet
+    )
     return docs.select(
         "doc_id",
         markup.wiki_to_md_udf()(zim).alias("md_zim"),
         markup.tiddly_to_md_udf()(tid).alias("md_tid"),
+        markup.roam_to_md_udf()(roam).alias("md_roam"),
+        markup.bbcode_to_md_udf()(bb).alias("md_bb"),
+        markup.html_to_md_udf()(html).alias("md_html"),
     )
 
 

@@ -90,13 +90,19 @@ def golden_image_features() -> pd.DataFrame:
 
 
 def golden_markup_rewrite() -> pd.DataFrame:
-    from jimmy_spark.functions.markup import tiddly_to_md, wiki_to_md
+    from jimmy_spark.functions.markup import (
+        bbcode_to_md,
+        html_to_md,
+        roam_to_md,
+        tiddly_to_md,
+        wiki_to_md,
+    )
 
     docs = pd.read_parquet(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
     )
     out = pd.DataFrame({"doc_id": docs["doc_id"]})
-    zim, tid = [], []
+    zim, tid, roam, bb, htm = [], [], [], [], []
     for r in docs.itertuples():
         did = str(r.doc_id)
         snip = r.text[:24]
@@ -108,8 +114,25 @@ def golden_markup_rewrite() -> pd.DataFrame:
             f"!! {r.lang}\n|id|src|h\n|{did}|{r.source}|\n# step {did}\n"
             f"* see [[Doc {did}|doc-{did}]] ''{snip}'' {{{{{{{snip}}}}}}}"
         ))
+        roam.append(roam_to_md(
+            f"- {{{{[[TODO]]}}}} review ((blk-{did})) ^^{r.lang}^^\n"
+            f"Status:: {r.source}\n{{{{[[embed]]: ((blk-{did}))}}}}"
+        ))
+        bb.append(bbcode_to_md(
+            f"[h2]{r.lang}[/h2]\n[list]\n[*] [b]{r.source}[/b] "
+            f"[url=http://d/{did}]doc {did}[/url]\n[/list]\n"
+            f"[img]img{did}.png[/img] [code]{snip}[/code]"
+        ))
+        htm.append(html_to_md(
+            f"<h1>{r.lang}</h1><p><b>{r.source}</b> &amp; "
+            f'<a href="http://d/{did}">doc {did}</a></p>'
+            f"<ul><li><i>{snip}</i></li></ul><pre><code>{snip}</code></pre>"
+        ))
     out["md_zim"] = zim
     out["md_tid"] = tid
+    out["md_roam"] = roam
+    out["md_bb"] = bb
+    out["md_html"] = htm
     return out
 
 

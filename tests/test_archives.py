@@ -1,0 +1,106 @@
+"""Archive sources: executor-side zip/tar extraction == direct parquet rows."""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+import zipfile
+
+import pandas as pd
+import pytest
+
+from jimmy_spark.sources import archives
+
+
+@pytest.fixture(scope="module")
+def image_rows(spark, t1_dir):
+    return (
+        spark.read.parquet(f"{t1_dir}/images.parquet")
+        .orderBy("image_id")
+        .limit(40)
+        .toPandas()
+    )
+
+
+def _write_zip(path, rows: pd.DataFrame) -> None:
+    manifest = {
+        r.image_id: {
+            "w": int(r.w), "h": int(r.h),
+            "caption": r.caption, "phash": int(r.phash),
+        }
+        for r in rows.itertuples()
+    }
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("manifest.json", json.dumps(manifest))
+        for r in rows.itertuples():
+            zf.writestr(f"{r.image_id}.{r.fmt}", bytes(r.bytes))
+
+
+def _write_tgz(path, rows: pd.DataFrame) -> None:
+    manifest = {
+        r.image_id: {
+            "w": int(r.w), "h": int(r.h),
+            "caption": r.caption, "phash": int(r.phash),
+        }
+        for r in rows.itertuples()
+    }
+    with tarfile.open(path, "w:gz") as tf:
+
+        def add(name: str, data: bytes) -> None:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+        add("manifest.json", json.dumps(manifest).encode())
+        for r in rows.itertuples():
+            add(f"{r.image_id}.{r.fmt}", bytes(r.bytes))
+
+
+def test_image_archives_roundtrip(spark, image_rows, tmp_path):
+    d = tmp_path / "arch"
+    d.mkdir()
+    _write_zip(d / "shard0.zip", image_rows.iloc[:20])
+    _write_tgz(d / "shard1.tgz", image_rows.iloc[20:])
+
+    got = (
+        archives.read_image_archives(spark, str(d))
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = image_rows.sort_values("image_id").reset_index(drop=True)
+    assert list(got["image_id"]) == list(exp["image_id"])
+    for col in ("w", "h", "fmt", "caption", "phash"):
+        assert list(got[col]) == list(exp[col]), col
+    assert all(bytes(a) == bytes(b) for a, b in zip(got["bytes"], exp["bytes"]))
+
+
+def test_member_extraction_and_error_isolation(spark, tmp_path):
+    d = tmp_path / "arch2"
+    d.mkdir()
+    with zipfile.ZipFile(d / "good.zip", "w") as zf:
+        zf.writestr("a.txt", b"alpha")
+        zf.writestr("sub/b.txt", b"beta")
+    (d / "broken.zip").write_bytes(b"PK\x03\x04 this is not a real zip")
+
+    scan = spark.read.format("binaryFile").load(str(d))
+    out = archives.extract_members(scan).toPandas()
+    good = out[out["ok"]].sort_values("member")
+    assert list(good["member"]) == ["a.txt", "sub/b.txt"]
+    assert [bytes(c) for c in good["content"]] == [b"alpha", b"beta"]
+    bad = out[~out["ok"]]
+    assert len(bad) == 1 and "broken.zip" in bad.iloc[0]["archive"]
+    assert bad.iloc[0]["error"]
+
+
+def test_decode_runs_on_archive_source(spark, image_rows, tmp_path):
+    """The archive source feeds the decode stage unchanged (same schema)."""
+    from jimmy_spark.operators import decode
+
+    d = tmp_path / "arch3"
+    d.mkdir()
+    _write_zip(d / "s.zip", image_rows.iloc[:10])
+    src = archives.read_image_archives(spark, str(d))
+    out = decode.decode_stage(src).toPandas()
+    assert len(out) == 10 and out["ok"].all()

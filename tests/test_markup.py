@@ -76,3 +76,68 @@ def test_tiddly_spark_udf_matches_local(spark):
 
 def test_tiddly_code_shield_beats_table():
     assert markup.tiddly_to_md("{{{|a|b|}}}") == "`|a|b|`"
+
+
+ROAM_CASES = [
+    ("- {{[[TODO]]}} task", "- [ ] task"),
+    ("- {{[[DONE]]}} task", "- [x] task"),
+    ("{{[[embed]]: ((b1))}}", "![[b1]]"),
+    ("{{[[query]]: {and: [[p]]}}}", "`query: {and: [[p]]}`"),
+    ("ref ((b2)) ^^hi^^", "ref [[b2]] ==hi=="),
+    ("Status:: open", "**Status**: open"),
+]
+
+BB_CASES = [
+    ("[h3]T[/h3]", "### T"),
+    ("[list]\n[*] a\n[*] b\n[/list]", "- a\n- b\n"),
+    ("[b]x[/b] [i]y[/i] [s]z[/s] [u]w[/u]", "**x** *y* ~~z~~ <u>w</u>"),
+    ("[url=http://a]L[/url] [url]http://b[/url]", "[L](http://a) <http://b>"),
+    ("[img]p.png[/img] [code]c[/code] [q]quote[/q]", "![](p.png) `c` > quote"),
+]
+
+
+@pytest.mark.parametrize("src,expected", ROAM_CASES)
+def test_roam_cases(src, expected):
+    assert markup.roam_to_md(src) == expected
+
+
+@pytest.mark.parametrize("src,expected", BB_CASES)
+def test_bbcode_cases(src, expected):
+    assert markup.bbcode_to_md(src) == expected
+
+
+HTML_CASES = [
+    ("<h3>T</h3>", "### T"),
+    ("<p><b>a</b><br/><em>b</em></p>", "**a**\n*b*"),
+    ('<a href="u">t</a> <img src="p.png" alt="alt"/>', "[t](u) ![alt](p.png)"),
+    ("<ul><li>one</li><li>two</li></ul>", "- one\n- two"),
+    ("<table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>b</td></tr></table>",
+     "| h1 | h2 |\n| a | b |"),
+    ("x &lt;tag&gt; &amp; y", "x <tag> & y"),
+    ("<pre><code>keep <b>raw</b></code></pre>", "```\nkeep <b>raw</b>\n```"),
+    ("<!-- hidden --><span>kept</span>", "kept"),
+]
+
+
+@pytest.mark.parametrize("src,expected", HTML_CASES)
+def test_html_cases(src, expected):
+    assert markup.html_to_md(src) == expected
+
+
+def test_roam_bbcode_udfs_match_local(spark):
+    cases = [(i, s) for i, (s, _) in enumerate(ROAM_CASES)]
+    df = spark.createDataFrame(cases, "i int, t string")
+    got = {
+        r.i: r.md
+        for r in df.select("i", markup.roam_to_md_udf()(df.t).alias("md")).collect()
+    }
+    for i, (src, expected) in enumerate(ROAM_CASES):
+        assert got[i] == expected == markup.roam_to_md(src)
+    cases = [(i, s) for i, (s, _) in enumerate(BB_CASES)]
+    df = spark.createDataFrame(cases, "i int, t string")
+    got = {
+        r.i: r.md
+        for r in df.select("i", markup.bbcode_to_md_udf()(df.t).alias("md")).collect()
+    }
+    for i, (src, expected) in enumerate(BB_CASES):
+        assert got[i] == expected == markup.bbcode_to_md(src)
