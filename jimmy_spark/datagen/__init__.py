@@ -1,1 +1,6 @@
-from jimmy_spark.datagen.datasets import DATASETS, dataset_dir, ensure_dataset  # noqa: F401
+from jimmy_spark.datagen.datasets import (  # noqa: F401
+    DATASETS,
+    dataset_dir,
+    ensure_archives,
+    ensure_dataset,
+)

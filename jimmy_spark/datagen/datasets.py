@@ -57,3 +57,56 @@ def ensure_dataset(name: str) -> Path:
     write_knn_queries(str(d / "knn_queries.parquet"), cfg["n_queries"], SEED)
     marker.write_text(json.dumps(recipe))
     return d
+
+
+def ensure_archives(name: str, shards: int = 4) -> Path:
+    """Deterministic archive twin of a dataset's images table: the same
+    rows packed into zip/tgz shard archives (alternating formats) with a
+    per-shard manifest.json — the fixture for the executor-side archive
+    scan (sources/archives.py). Marker-cached like every dataset."""
+    import io
+    import tarfile
+    import zipfile
+
+    import pandas as pd
+
+    d = ensure_dataset(name)
+    arch = d / "archives"
+    marker = arch / "_MARKER.json"
+    recipe = {"v": 1, "shards": shards, "src": name}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == recipe:
+                return arch
+        except Exception:
+            pass
+    arch.mkdir(parents=True, exist_ok=True)
+    pdf = pd.read_parquet(d / "images.parquet").sort_values("image_id")
+    parts = [pdf.iloc[i::shards] for i in range(shards)]
+    for si, part in enumerate(parts):
+        manifest = {
+            r.image_id: {
+                "w": int(r.w), "h": int(r.h),
+                "caption": r.caption, "phash": int(r.phash),
+            }
+            for r in part.itertuples()
+        }
+        mbytes = json.dumps(manifest, sort_keys=True).encode()
+        if si % 2 == 0:
+            with zipfile.ZipFile(arch / f"shard{si}.zip", "w") as zf:
+                zf.writestr("manifest.json", mbytes)
+                for r in part.itertuples():
+                    zf.writestr(f"{r.image_id}.{r.fmt}", bytes(r.bytes))
+        else:
+            with tarfile.open(arch / f"shard{si}.tgz", "w:gz") as tf:
+
+                def add(tname: str, data: bytes) -> None:
+                    info = tarfile.TarInfo(tname)
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+
+                add("manifest.json", mbytes)
+                for r in part.itertuples():
+                    add(f"{r.image_id}.{r.fmt}", bytes(r.bytes))
+    marker.write_text(json.dumps(recipe))
+    return arch

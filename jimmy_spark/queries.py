@@ -121,6 +121,25 @@ def q_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "ok", "px_checksum", "px_mean_milli")
 
 
+def q_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-preparation scan (converter.py:43-58 / common.py:473-503):
+    the t2 images packed into zip/tgz shard archives are read back through
+    the executor-side extractor (sources/archives.py); byte fidelity is
+    proven by md5(bytes) matching the parquet rows in the oracle."""
+    from jimmy_spark.datagen import ensure_archives
+    from jimmy_spark.sources import archives
+
+    arch = str(ensure_archives("t2"))
+    out = archives.read_image_archives(spark, arch)
+    return out.select(
+        "image_id", "w", "h", "fmt", "caption", "phash",
+        # md5 over the UPPERCASE hex of the bytes: DuckDB's md5 is
+        # VARCHAR-only, and hex(blob) is uppercase on both engines, so
+        # this is a byte-exact fidelity check both sides can compute
+        F.md5(F.hex(F.col("bytes"))).alias("content_md5"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash dedup (jimmy Resource.__eq__ md5 semantics,
     /root/reference/src/jimmy/intermediate_format.py:123-131)."""
@@ -165,6 +184,10 @@ FROM pip JOIN t USING (image_id) GROUP BY pip.polygon_id, t.x, t.y
         "dedup_exact": (
             f"SELECT phash, min(image_id) AS keep_id, count(*) AS dup_cnt "
             f"FROM '{t2}/images.parquet' GROUP BY phash"
+        ),
+        "archive_scan": (
+            f"SELECT image_id, w, h, fmt, caption, phash, "
+            f"md5(hex(bytes)) AS content_md5 FROM '{t2}/images.parquet'"
         ),
     }
 
@@ -725,6 +748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "overlay": q_overlay,
     "decode_stats": q_decode_stats,
+    "archive_scan": q_archive_scan,
     "dedup_exact": q_dedup_exact,
     "stats_agg": q_stats_agg,
     "select_glob": q_select_glob,
