@@ -170,6 +170,12 @@ def knn_join(
     # per-query completeness counts (one row per query) touch the driver.
     result_dfs: list[DataFrame] = []
     if len(cand_pdf):
+        # _cand() is instantiated twice (sampled-bound pass + final rank).
+        # Persisting it instead was MEASURED SLOWER (bench, 300 queries on
+        # 4M rows @local[24]: 18.7s persisted vs 12.8s recomputed, cold):
+        # the 1/64 sample filter pushes below the broadcast join so pass 1
+        # materializes almost nothing, while caching pays for writing the
+        # full multi-million-row candidate set.
         def _cand() -> DataFrame:
             return (
                 F.broadcast(spark.createDataFrame(cand_pdf))
