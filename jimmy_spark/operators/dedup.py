@@ -271,6 +271,86 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), sh(_tokens(text_col)).alias("simhash"))
 
 
+# --- duplicate clustering (connected components) ---------------------------
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) where cluster_id = min doc id reachable through the
+    near-dup pair graph — the step that turns pair streams (minhash/ngram/
+    simhash/embedding) into dedup groups.
+
+    Iterative hash-min label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds. Labels only decrease, so sum(label) is a
+    strictly decreasing convergence metric — no row-level diff join
+    needed. Lineage is truncated per round (localCheckpoint) so the plan
+    does not grow with iterations; at production scale use a checkpoint
+    dir + the large-star/small-star variant for skewed components
+    (public CC-in-MapReduce algorithm).
+    """
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.id == nbr.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def duckdb_components_sql(pairs_sql: str, table: str = "documents") -> str:
+    """Recursive-CTE oracle: min reachable id per node over the same pair
+    graph (edges both directions; singletons keep their own id)."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 # --- DuckDB oracles -------------------------------------------------------
 
 

@@ -461,6 +461,15 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the minhash pair
+    graph (iterative hash-min label propagation vs a recursive-CTE
+    oracle) — the step that turns pair streams into dedup groups."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, tau_pct=30)
+    return dedup.connected_components(docs, pairs)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ann_topk_bruteforce(emb, ANN_QUERY_IDS, k=10)
@@ -504,6 +513,7 @@ def _oracle_training() -> dict[str, str]:
     d = dedup.duckdb_dedup_sql("documents", tau_pct=30)
     out["ngram_dedup"] = d["ngram_dedup"]
     out["minhash_dedup"] = d["minhash_dedup"]
+    out["dup_clusters"] = dedup.duckdb_components_sql(d["minhash_dedup"])
     out["ann_topk"] = similarity.duckdb_ann_sql(ANN_QUERY_IDS, k=10)
     # bit-level simhash oracle: md5[:8] big-endian as uint64 via UBIGINT,
     # per-bit majority vote, signed-int64 wrap — matches the NumPy kernel
@@ -767,6 +777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "ngram_dedup": q_ngram_dedup,
     "minhash_dedup": q_minhash_dedup,
+    "dup_clusters": q_dup_clusters,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,

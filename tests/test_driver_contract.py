@@ -67,7 +67,8 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "linkres", "unique_names", "two_hop", "rollup_concat", "topk_per_group",
         "link_semi", "tree_span", "binary_kernels", "metadata_map",
         "token_count", "quality_score", "lang_id", "fingerprint",
-        "ngram_dedup", "minhash_dedup", "ann_topk", "emb_near_dup",
+        "ngram_dedup", "minhash_dedup", "dup_clusters", "ann_topk",
+        "emb_near_dup",
         "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
         "frontmatter", "simhash",

@@ -131,6 +131,18 @@ class TestDedup:
         # the 30 boilerplate clones live only in >10-sized buckets: skipped
         assert all(p == (100, 101) for p in pairs)
 
+    def test_connected_components_known_graph(self, spark):
+        """Chain 1-2-3, pair 10-11, singleton 99: labels converge to the
+        min id of each component in O(diameter) rounds."""
+        ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)],
+                                    "doc_id long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.connected_components(ids, pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
     def test_minhash_candidates_nonempty(self, docs):
         # word-salad docs share vocabulary; LSH must find something at low tau
         assert dedup.minhash_lsh_pairs(docs, tau_pct=20).count() > 0
