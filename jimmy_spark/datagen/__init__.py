@@ -3,4 +3,5 @@ from jimmy_spark.datagen.datasets import (  # noqa: F401
     dataset_dir,
     ensure_archives,
     ensure_dataset,
+    ensure_media,
 )

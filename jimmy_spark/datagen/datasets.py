@@ -59,6 +59,27 @@ def ensure_dataset(name: str) -> Path:
     return d
 
 
+def ensure_media(name: str = "t2av", n_rows: int = 400) -> Path:
+    """Deterministic audio/video tables (QWAV/QVID fake containers) for
+    the multimodal operators; marker-cached like every dataset."""
+    from jimmy_spark.datagen.media import write_audios, write_videos
+
+    d = DATA_ROOT / name
+    marker = d / "_MARKER.json"
+    recipe = {"seed": SEED, "v": 1, "n_rows": n_rows, "kind": "media"}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == recipe:
+                return d
+        except Exception:
+            pass
+    d.mkdir(parents=True, exist_ok=True)
+    write_audios(str(d / "audios.parquet"), n_rows, SEED)
+    write_videos(str(d / "videos.parquet"), n_rows, SEED)
+    marker.write_text(json.dumps(recipe))
+    return d
+
+
 def ensure_archives(name: str, shards: int = 4) -> Path:
     """Deterministic archive twin of a dataset's images table: the same
     rows packed into zip/tgz shard archives (alternating formats) with a

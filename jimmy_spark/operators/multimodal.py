@@ -1,11 +1,12 @@
 """Multimodal column operators: images are opaque ``binary`` + typed
 metadata; decode/feature/resize run as Arrow-batched ``mapInPandas``.
 
-Real here (pure NumPy on our codecs): decode, per-channel stats, histogram
-features, nearest-neighbor thumbnailing, aHash perceptual hash. Stubbed
-here (no libjpeg/libsndfile/ffmpeg in this container — clearly marked,
-the Spark-side plumbing is real and tested): audio decode, video frame
-sampling. Swapping a real decoder in changes only the codec registry.
+Real here (pure NumPy on our codecs): image decode, per-channel stats,
+histogram features, nearest-neighbor thumbnailing, aHash perceptual hash;
+audio features and video frame sampling over DETERMINISTIC FAKE codecs
+(codecs/qwav.py, qvid.py — no libsndfile/ffmpeg in this container; the
+STUB NOTICE lives in the codec modules and swapping a real decoder in
+changes only them, the Spark plumbing here is real and tested).
 """
 
 from __future__ import annotations
@@ -95,22 +96,104 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(gen, FEATURE_SCHEMA)
 
 
-# --- stubs for modalities with no decoder in this container ---------------
+# --- audio / video: real Spark plumbing over deterministic fake codecs ----
+# (codecs/qwav.py + qvid.py carry the STUB NOTICE: no libsndfile/ffmpeg in
+# this container, so the decode step is a deterministic stand-in; swapping
+# a real decoder in changes only the codec module.)
+
+AUDIO_SCHEMA = (
+    "media_id string, ok boolean, error string, sample_rate int, "
+    "n_samples int, duration_ms long, rms_milli long, peak long, "
+    "zero_crossings long"
+)
 
 
-def audio_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """STUB: no audio codec library exists in this container. The plumbing
-    contract (binary column -> mapInPandas -> feature schema) matches
-    image_features; plugging libsndfile/ffmpeg in is a registry change."""
-    raise NotImplementedError(
-        "audio decode requires an audio codec library not present in this "
-        "environment; see image_features for the identical plumbing pattern"
+def _audio_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    from jimmy_spark.codecs import qwav
+
+    n = len(pdf)
+    cols = {
+        "media_id": pdf["media_id"].to_numpy(),
+        "ok": np.zeros(n, dtype=bool),
+        "error": np.full(n, None, dtype=object),
+        "sample_rate": np.zeros(n, dtype=np.int32),
+        "n_samples": np.zeros(n, dtype=np.int32),
+        "duration_ms": np.zeros(n, dtype=np.int64),
+        "rms_milli": np.zeros(n, dtype=np.int64),
+        "peak": np.zeros(n, dtype=np.int64),
+        "zero_crossings": np.zeros(n, dtype=np.int64),
+    }
+    blobs = pdf["bytes"].to_numpy()
+    for i in range(n):
+        try:
+            samples, sr = qwav.decode(bytes(blobs[i]))
+            x = samples.astype(np.int64)
+            cols["sample_rate"][i] = sr
+            cols["n_samples"][i] = x.size
+            cols["duration_ms"][i] = x.size * 1000 // sr
+            cols["rms_milli"][i] = int(
+                np.floor(np.sqrt((x * x).mean()) * 1000)
+            )
+            cols["peak"][i] = int(np.abs(x).max()) if x.size else 0
+            cols["zero_crossings"][i] = int(
+                np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))
+            )
+            cols["ok"][i] = True
+        except Exception as e:  # noqa: BLE001 — zlib/struct errors too
+            cols["error"][i] = str(e)
+    return pd.DataFrame(cols)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """decode (deterministic fake codec) -> duration / integer-RMS / peak /
+    zero-crossing features; error-isolated like image_features."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _audio_batch(pdf)
+
+    return df.select("media_id", "bytes").mapInPandas(gen, AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = (
+    "media_id string, ok boolean, error string, frame_idx int, "
+    "fps int, mean_milli long, frame_crc long"
+)
+
+
+def _video_batch(pdf: pd.DataFrame, every_n: int) -> pd.DataFrame:
+    from jimmy_spark.codecs import qvid
+
+    rows: list[tuple] = []
+    for media_id, blob in zip(pdf["media_id"], pdf["bytes"]):
+        try:
+            frames, fps = qvid.decode(bytes(blob))
+            for fi in range(0, frames.shape[0], every_n):
+                fr = frames[fi]
+                rows.append(
+                    (
+                        media_id, True, None, fi, fps,
+                        int(fr.astype(np.int64).sum() * 1000 // fr.size),
+                        int(zlib.crc32(fr)),
+                    )
+                )
+        except Exception as e:  # noqa: BLE001 — per-record isolation
+            rows.append((media_id, False, str(e), -1, 0, 0, 0))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "media_id", "ok", "error", "frame_idx", "fps",
+            "mean_milli", "frame_crc",
+        ],
     )
 
 
-def video_frame_sample(df: DataFrame, bytes_col: str = "bytes", every_n: int = 30) -> DataFrame:
-    """STUB: no video demuxer in this container (same contract as above)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg/pyav not present in this "
-        "environment; see image_features for the identical plumbing pattern"
-    )
+def video_frame_sample(df: DataFrame, every_n: int = 3) -> DataFrame:
+    """decode (deterministic fake container) -> one row per every_n-th
+    frame with integer mean + crc; error-isolated per record."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _video_batch(pdf, every_n)
+
+    return df.select("media_id", "bytes").mapInPandas(gen, VIDEO_SCHEMA)

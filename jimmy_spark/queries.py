@@ -503,6 +503,26 @@ def q_image_features(spark, sf_dir):
     return multimodal.image_features(_images(spark))
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio feature extraction over the deterministic QWAV fake codec
+    (real Spark plumbing; STUB NOTICE in codecs/qwav.py)."""
+    from jimmy_spark.datagen import ensure_media
+
+    d = str(ensure_media())
+    return multimodal.audio_features(spark.read.parquet(f"{d}/audios.parquet"))
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling over the deterministic QVID fake container
+    (one row per 3rd frame; STUB NOTICE in codecs/qvid.py)."""
+    from jimmy_spark.datagen import ensure_media
+
+    d = str(ensure_media())
+    return multimodal.video_frame_sample(
+        spark.read.parquet(f"{d}/videos.parquet"), every_n=3
+    )
+
+
 def _oracle_training() -> dict[str, str]:
     out = {}
     t = text.duckdb_text_sql("documents")
@@ -784,6 +804,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup": q_emb_near_dup,
     "ann_ivf": q_ann_ivf,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "caption_kernels": q_caption_kernels,
     "select_tags": q_select_tags,
     "ordered_rollup": q_ordered_rollup,
@@ -821,6 +843,8 @@ def _oracle_golden() -> dict[str, str]:
         ),
         "image_features": f"SELECT * FROM '{GOLDEN_DIR}/image_features.parquet'",
         "markup_rewrite": f"SELECT * FROM '{GOLDEN_DIR}/markup_rewrite.parquet'",
+        "audio_features": f"SELECT * FROM '{GOLDEN_DIR}/audio_features.parquet'",
+        "video_frames": f"SELECT * FROM '{GOLDEN_DIR}/video_frames.parquet'",
         "ann_lsh": f"SELECT * FROM '{GOLDEN_DIR}/ann_lsh.parquet'",
         "ann_ivf": f"SELECT * FROM '{GOLDEN_DIR}/ann_ivf.parquet'",
     }

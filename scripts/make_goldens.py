@@ -89,6 +89,30 @@ def golden_image_features() -> pd.DataFrame:
     return out
 
 
+def golden_audio_features() -> pd.DataFrame:
+    from jimmy_spark.datagen import ensure_media
+    from jimmy_spark.operators.multimodal import _audio_batch
+
+    d = str(ensure_media())
+    out = _audio_batch(pd.read_parquet(f"{d}/audios.parquet"))
+    out["error"] = out["error"].astype("string")
+    return out
+
+
+def golden_video_frames() -> pd.DataFrame:
+    from jimmy_spark.datagen import ensure_media
+    from jimmy_spark.operators.multimodal import _video_batch
+
+    d = str(ensure_media())
+    out = _video_batch(pd.read_parquet(f"{d}/videos.parquet"), every_n=3)
+    out["error"] = out["error"].astype("string")
+    # match Spark's VIDEO_SCHEMA int widths
+    return out.astype(
+        {"frame_idx": "int32", "fps": "int32",
+         "mean_milli": "int64", "frame_crc": "int64"}
+    )
+
+
 def golden_markup_rewrite() -> pd.DataFrame:
     from jimmy_spark.functions.markup import (
         bbcode_to_md,
@@ -217,6 +241,8 @@ GOLDENS = {
     "decode_stats": golden_decode_stats,
     "image_features": golden_image_features,
     "markup_rewrite": golden_markup_rewrite,
+    "audio_features": golden_audio_features,
+    "video_frames": golden_video_frames,
     "ann_lsh": golden_ann_lsh,
     "ann_ivf": golden_ann_ivf,
 }

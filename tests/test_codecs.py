@@ -48,3 +48,29 @@ def test_wrong_fmt_raises():
 def test_unknown_fmt():
     with pytest.raises(ValueError):
         encode_image(_img(9, 4, 4), "tiff")
+
+
+def test_qwav_roundtrip():
+    from jimmy_spark.codecs import qwav
+
+    samples = (np.arange(5000) % 30001 - 15000).astype(np.int16)
+    data = qwav.encode(samples, 16000)
+    out, sr = qwav.decode(data)
+    assert sr == 16000
+    np.testing.assert_array_equal(out, samples)
+    with pytest.raises(ValueError):
+        qwav.decode(data[:10] + b"xx")
+    with pytest.raises(ValueError):
+        qwav.decode(b"RIFFnot-a-qwav")
+
+
+def test_qvid_roundtrip():
+    from jimmy_spark.codecs import qvid
+
+    frames = (np.arange(6 * 8 * 8 * 3) % 256).astype(np.uint8).reshape(6, 8, 8, 3)
+    data = qvid.encode(frames, 24)
+    out, fps = qvid.decode(data)
+    assert fps == 24
+    np.testing.assert_array_equal(out, frames)
+    with pytest.raises(ValueError):
+        qvid.decode(b"QVIDgarbage")

@@ -74,7 +74,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "frontmatter", "simhash",
         # golden-parquet oracles (scripts/make_goldens.py)
         "s2_cells", "decode_stats", "image_features", "ann_lsh", "ann_ivf",
-        "markup_rewrite",
+        "markup_rewrite", "audio_features", "video_frames",
     ],
 )
 def test_query_matches_oracle(spark, con, contract, name):

@@ -239,12 +239,49 @@ class TestMultimodal:
         row = out.first()
         assert 0 <= row.mean_r <= 255 and row.thumb_crc != 0
 
-    def test_stubs_marked(self, spark, t1_dir):
-        imgs = spark.read.parquet(f"{t1_dir}/images.parquet")
-        with pytest.raises(NotImplementedError):
-            multimodal.audio_features(imgs)
-        with pytest.raises(NotImplementedError):
-            multimodal.video_frame_sample(imgs)
+    def test_audio_features(self, spark):
+        from jimmy_spark.datagen import ensure_media
+
+        d = str(ensure_media())
+        aud = spark.read.parquet(f"{d}/audios.parquet")
+        out = multimodal.audio_features(aud).cache()
+        assert out.count() == aud.count() and out.filter("ok").count() == aud.count()
+        row = out.first()
+        assert row.duration_ms > 0 and 0 < row.peak <= 32768
+        # duration consistency with the stored metadata
+        meta = {r.media_id: (r.sample_rate, r.n_samples) for r in aud.select(
+            "media_id", "sample_rate", "n_samples").collect()}
+        for r in out.limit(20).collect():
+            sr, ns = meta[r.media_id]
+            assert (r.sample_rate, r.n_samples) == (sr, ns)
+            assert r.duration_ms == ns * 1000 // sr
+
+    def test_video_frame_sample(self, spark):
+        from jimmy_spark.datagen import ensure_media
+
+        d = str(ensure_media())
+        vid = spark.read.parquet(f"{d}/videos.parquet")
+        out = multimodal.video_frame_sample(vid, every_n=3).cache()
+        assert out.filter("NOT ok").count() == 0
+        # one row per sampled frame: ceil(n_frames / 3) per video
+        import math
+
+        exp = sum(
+            math.ceil(r.n_frames / 3) for r in vid.select("n_frames").collect()
+        )
+        assert out.count() == exp
+        assert out.filter("frame_idx % 3 != 0").count() == 0
+
+    def test_media_error_isolation(self, spark):
+        from jimmy_spark.codecs import qwav
+
+        good = qwav.encode(np.zeros(100, dtype=np.int16), 8000)
+        df = spark.createDataFrame(
+            [("good", good), ("bad", b"QWAV garbage")],
+            "media_id string, bytes binary",
+        )
+        rows = {r.media_id: r for r in multimodal.audio_features(df).collect()}
+        assert rows["good"].ok and not rows["bad"].ok and rows["bad"].error
 
 
 class TestFuzzy:
