@@ -333,10 +333,11 @@ def _write_report(
         "(4) Per level the reported throughput is best-of-K independent "
         "pinned sessions (3 timed full-computation reps each, best-of), "
         "sessions interleaved N/4N so slow host drift hits both levels "
-        "alike; K >= 3, extended to at most 5 while the efficiency "
-        "statistic remains noise-limited (< 0.82). Every session is "
-        "appended to BENCH/history.jsonl together with K, so the sampling "
-        "is fully auditable.",
+        "alike. K is FIXED at 3 — fixed up front, never extended based on "
+        "the observed statistic (that would be an outcome-biased stopping "
+        "rule). Every individual session throughput is recorded in "
+        "BENCH/history.jsonl (sessions_n / sessions_4n), so the best-of is "
+        "fully auditable.",
         "",
         "Generic operator queries at sf0.1 (`local[$SPARK_GRAFT_CPUS]`):",
         "",
@@ -366,20 +367,20 @@ def main() -> None:
 
     ensure_dataset("bench")
 
-    # Best-of-K independent pinned sessions per level, interleaved so slow
-    # host drift hits both levels alike. The sandbox host injects
-    # session-scoped noise (hypervisor steal / frequency effects invisible
-    # to the guest) of +-15-20%, so a single session samples a wide
-    # distribution; best-of-K identical runs is the standard capability
-    # estimate and is applied symmetrically to both levels. K starts at 3
-    # and extends (to at most 5) while the best-of efficiency statistic
-    # still sits below 0.82 — i.e. while it is plainly noise-limited
-    # relative to the engine's demonstrated capability (CPU accounting
-    # shows the fused map 96.6% utilized => engine-side scaling ~1.0).
-    # Every session lands in BENCH/history.jsonl; K is recorded.
+    # Best-of-K independent pinned sessions per level, K FIXED at 3 and
+    # interleaved N/4N so slow host drift hits both levels alike. The
+    # sandbox host injects session-scoped noise (hypervisor steal /
+    # frequency effects invisible to the guest) of +-15-20%, so a single
+    # session samples a wide distribution; best-of-K identical runs is the
+    # standard capability estimate, applied symmetrically to both levels.
+    # K is fixed up front — extending the sample until the statistic looks
+    # good would be an outcome-biased stopping rule. Every session's
+    # throughput is recorded in BENCH/history.jsonl (sessions_n /
+    # sessions_4n), so the best-of is fully auditable.
     r_hi_primary = _spawn_worker(24)
     if args.skip_scaling:
-        r_hi, r_lo, eff, n_sessions = r_hi_primary, None, None, 1
+        r_hi, r_lo, eff = r_hi_primary, None, None
+        hi_samples, lo_samples = [r_hi_primary], []
     else:
         hi_samples = [r_hi_primary]
         lo_samples = []
@@ -390,21 +391,9 @@ def main() -> None:
         def _best(samples: list[dict]) -> dict:
             return max(samples, key=lambda r: r["rows_per_sec"])
 
-        def _eff() -> float:
-            return (
-                _best(hi_samples)["rows_per_sec"]
-                / _best(lo_samples)["rows_per_sec"]
-            ) / 4.0
-
-        extra = 0
-        while _eff() < 0.82 and extra < 2:
-            hi_samples.append(_spawn_worker(24, lean=True))
-            lo_samples.append(_spawn_worker(6, lean=True))
-            extra += 1
-        eff = _eff()
-        n_sessions = len(hi_samples) + len(lo_samples)
         r_lo = _best(lo_samples)
         r_hi = _best(hi_samples)
+        eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / 4.0
         if r_hi is not r_hi_primary:
             # carry the primary session's rollup/kNN extras (lean sessions
             # time only the fused map)
@@ -423,7 +412,8 @@ def main() -> None:
                 "thr_4n": r_hi["rows_per_sec"],
                 "eff": round(eff, 3),
                 "probe_ratio": round(probe["percore_ratio_6_to_24"], 3),
-                "n_sessions": n_sessions,
+                "sessions_n": [r["rows_per_sec"] for r in lo_samples],
+                "sessions_4n": [r["rows_per_sec"] for r in hi_samples],
             }
         )
         _write_report(r_lo, r_hi, eff, generic, probe, history)

@@ -94,7 +94,11 @@ def ensure_archives(name: str, shards: int = 4) -> Path:
     d = ensure_dataset(name)
     arch = d / "archives"
     marker = arch / "_MARKER.json"
-    recipe = {"v": 1, "shards": shards, "src": name}
+    # embed the SOURCE dataset's actual marker so archives regenerate
+    # whenever the underlying images regenerate (a {v, shards} marker alone
+    # would serve stale archives after a datagen/seed change)
+    recipe = {"v": 1, "shards": shards, "src": name,
+              "src_recipe": json.loads((d / "_MARKER.json").read_text())}
     if marker.exists():
         try:
             if json.loads(marker.read_text()) == recipe:

@@ -258,17 +258,22 @@ _ROAM_WIDGET = re.compile(
     r"\{\{\[\[([A-Za-z-]+)\]\](?:: ?([^{}]*(?:\{[^{}]*\}[^{}]*)*))?\}\}"
 )
 _ROAM_BLOCKREF = re.compile(r"\(\(([^)]+)\)\)")
-_ROAM_TODO = re.compile(r"^- \{\{\[\[TODO\]\]\} ?\}? ?", re.M)
+_ROAM_TODO = re.compile(r"^(\s*)- \{\{\[\[TODO\]\]\}\}", re.M)
+_ROAM_DONE = re.compile(r"^(\s*)- \{\{\[\[DONE\]\]\}\}", re.M)
 _ROAM_ATTR = re.compile(r"^([A-Za-z][\w -]*)::", re.M)
 
 
 def _rule_roam_todos(s: str) -> str:
-    """
+    """Line-start (optionally indented) TODO/DONE bullet markers only —
+    a mid-line mention of the literal marker is content, not a task.
+
     >>> _rule_roam_todos("- {{[[TODO]]}} buy milk")
     '- [ ] buy milk'
+    >>> _rule_roam_todos("quote: - {{[[TODO]]}} not a task")
+    'quote: - {{[[TODO]]}} not a task'
     """
-    s = s.replace("- {{[[TODO]]}} ", "- [ ] ").replace("- {{[[TODO]]}}", "- [ ]")
-    return s.replace("- {{[[DONE]]}} ", "- [x] ").replace("- {{[[DONE]]}}", "- [x]")
+    s = _ROAM_TODO.sub(r"\1- [ ]", s)
+    return _ROAM_DONE.sub(r"\1- [x]", s)
 
 
 def _rule_roam_embeds(s: str) -> str:

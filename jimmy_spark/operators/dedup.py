@@ -307,6 +307,7 @@ def connected_components(
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.id)
@@ -325,9 +326,18 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # returning partial labels would silently ship WRONG dedup groups
+        # (and break the recursive-CTE oracle); a >max_iter-diameter
+        # component needs more rounds or the large-star/small-star variant
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -214,11 +214,15 @@ def knn_join(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", id_col)
-            .persist()
+            # eager localCheckpoint: materializes the (result-sized) top-k
+            # NOW and truncates its lineage, so (a) unpersisting pts below
+            # cannot force a recompute and (b) nothing stays pinned in the
+            # cache after the caller drops the DataFrame (GC-cleaned) —
+            # a plain persist() leaked one cache entry per knn_join call
+            .localCheckpoint(eager=True)
         )
-        # defensive completeness check (the d_bound argument guarantees it);
-        # collecting one count per query also materializes the persisted
-        # top-k, so unpersisting pts below cannot force a recompute
+        # defensive completeness check (the d_bound argument guarantees it):
+        # one count row per query through the driver
         got_n = {
             r.query_id: r.n
             for r in topk.groupBy("query_id").agg(F.count("*").alias("n")).collect()
@@ -235,7 +239,12 @@ def knn_join(
         result_dfs.append(topk)
 
     if overflow:
-        result_dfs.append(_brute_force(pts, qmeta, overflow, id_col))
+        # materialize before pts.unpersist() below — the brute-force plan
+        # references pts, and a lazy return would recompute the full
+        # points lineage uncached on every downstream action
+        result_dfs.append(
+            _brute_force(pts, qmeta, overflow, id_col).localCheckpoint(eager=True)
+        )
 
     pts.unpersist()
     if not result_dfs:

@@ -131,13 +131,16 @@ def _audio_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             cols["sample_rate"][i] = sr
             cols["n_samples"][i] = x.size
             cols["duration_ms"][i] = x.size * 1000 // sr
-            cols["rms_milli"][i] = int(
-                np.floor(np.sqrt((x * x).mean()) * 1000)
-            )
-            cols["peak"][i] = int(np.abs(x).max()) if x.size else 0
-            cols["zero_crossings"][i] = int(
-                np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))
-            )
+            # zero-sample streams are legal: all stats degenerate to 0
+            # (an unguarded mean() would be NaN and int(NaN) would raise)
+            if x.size:
+                cols["rms_milli"][i] = int(
+                    np.floor(np.sqrt((x * x).mean()) * 1000)
+                )
+                cols["peak"][i] = int(np.abs(x).max())
+                cols["zero_crossings"][i] = int(
+                    np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))
+                )
             cols["ok"][i] = True
         except Exception as e:  # noqa: BLE001 — zlib/struct errors too
             cols["error"][i] = str(e)

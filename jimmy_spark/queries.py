@@ -828,7 +828,9 @@ ROWS_ONLY = ("fuzzy_pairs",)
 # /root/reference/test/test_convert.py:70-113). The ANN goldens are tied
 # to the driver's correctness-gate sf (sf0.01 embeddings); the image/S2
 # goldens to the seeded t2 tables.
-GOLDEN_DIR = "/root/repo/goldens"
+from pathlib import Path as _Path
+
+GOLDEN_DIR = str(_Path(__file__).resolve().parent.parent / "goldens")
 
 
 def _oracle_golden() -> dict[str, str]:

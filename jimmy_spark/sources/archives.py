@@ -102,7 +102,14 @@ def read_image_archives(spark: SparkSession, path_glob: str) -> DataFrame:
             for path, blob in zip(pdf["path"], pdf["content"]):
                 try:
                     members = dict(_iter_members(path, bytes(blob)))
-                except Exception:  # noqa: BLE001 — skip broken archive whole
+                except Exception as e:  # noqa: BLE001 — per-archive isolation
+                    # never drop an archive silently: surface a sentinel row
+                    # (null bytes) that the downstream decode stage
+                    # error-isolates like any other corrupt record
+                    rows.append(
+                        (f"__corrupt_archive__:{path}", None, None, None,
+                         "unreadable", str(e), None)
+                    )
                     continue
                 manifest = json.loads(members.pop("manifest.json", b"{}"))
                 for name in sorted(members):

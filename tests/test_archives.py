@@ -94,6 +94,24 @@ def test_member_extraction_and_error_isolation(spark, tmp_path):
     assert bad.iloc[0]["error"]
 
 
+def test_image_archive_corrupt_surfaces_sentinel(spark, image_rows, tmp_path):
+    """A corrupt archive must not vanish silently: it becomes a sentinel
+    row that the downstream decode stage error-isolates."""
+    from jimmy_spark.operators import decode
+
+    d = tmp_path / "arch4"
+    d.mkdir()
+    _write_zip(d / "good.zip", image_rows.iloc[:5])
+    (d / "bad.zip").write_bytes(b"PK\x03\x04 truncated")
+    src = archives.read_image_archives(spark, str(d))
+    pdf = src.toPandas()
+    assert len(pdf) == 6
+    bad = pdf[pdf["image_id"].str.startswith("__corrupt_archive__")]
+    assert len(bad) == 1 and bad.iloc[0]["fmt"] == "unreadable"
+    out = decode.decode_stage(src).toPandas()
+    assert out["ok"].sum() == 5 and (~out["ok"]).sum() == 1
+
+
 def test_decode_runs_on_archive_source(spark, image_rows, tmp_path):
     """The archive source feeds the decode stage unchanged (same schema)."""
     from jimmy_spark.operators import decode
