@@ -628,6 +628,48 @@ def q_ordered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time kernels (SURVEY §2.7: iso_to_datetime UTC normalize,
+    epoch conversions, strptime compact stamps — common.py:539-573,
+    zettelkasten.py:680-683): epoch seconds, ISO and %y%m%d%H%M renders,
+    and an epoch->timestamp roundtrip."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    return ev.select(
+        "event_id",
+        epoch.alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso"),
+        F.date_format("ts", "yyMMddHHmm").alias("compact"),
+        (epoch - F.pmod(epoch, F.lit(60))).alias("minute_floor"),
+    )
+
+
+def q_string_kernels2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining §2.7 string kernels: pandoc-style auto header id
+    (md_lib/text.py:55-102), PascalCase predicate (common.py:273-343),
+    void-link removal keeping the label (writer.py:112-136)."""
+    docs = _docs(spark, sf_dir)
+    snip = F.substring(F.col("text"), 1, 36)
+    header_id = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(snip), "[^a-z0-9 _-]", "")),
+        "[ _]+",
+        "-",
+    )
+    first_tok = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+    is_pascal = first_tok.rlike("^([A-Z][a-z0-9]+)+$")
+    linked = F.concat(
+        F.lit("see [lbl"), F.col("doc_id").cast("string"), F.lit("]() and ["),
+        F.col("lang"), F.lit("](doc)"),
+    )
+    void_removed = F.regexp_replace(linked, r"\[([^\]]*)\]\(\s*\)", "$1")
+    return docs.select(
+        "doc_id",
+        header_id.alias("header_id"),
+        is_pascal.alias("is_pascal"),
+        void_removed.alias("void_removed"),
+    )
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jimmy_spark.operators import fuzzy
 
@@ -761,6 +803,23 @@ def _oracle_kernels() -> dict[str, str]:
         # Spark side (no baked path)
         "session_windows": windows.duckdb_sessionize_sql("events"),
         "windowed_counts": windows.duckdb_windows_sql("events"),
+        "date_kernels": (
+            "SELECT event_id, floor(epoch(ts))::BIGINT AS epoch_s, "
+            "strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso, "
+            "strftime(ts, '%y%m%d%H%M') AS compact, "
+            "(floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 60) "
+            "AS minute_floor FROM events"
+        ),
+        "string_kernels2": (
+            "SELECT doc_id, "
+            "regexp_replace(trim(regexp_replace(lower(substring(text, 1, 36)), "
+            "'[^a-z0-9 _-]', '', 'g')), '[ _]+', '-', 'g') AS header_id, "
+            "regexp_matches(string_split_regex(trim(text), '\\s+')[1], "
+            "'^([A-Z][a-z0-9]+)+$') AS is_pascal, "
+            "regexp_replace('see [lbl' || doc_id::VARCHAR || ']() and [' || "
+            "lang || '](doc)', '\\[([^\\]]*)\\]\\(\\s*\\)', '\\1', 'g') "
+            "AS void_removed FROM documents"
+        ),
     }
 
 
@@ -811,6 +870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ordered_rollup": q_ordered_rollup,
     "frontmatter": q_frontmatter,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "date_kernels": q_date_kernels,
+    "string_kernels2": q_string_kernels2,
     "markup_rewrite": q_markup_rewrite,
     "session_windows": q_session_windows,
     "windowed_counts": q_windowed_counts,

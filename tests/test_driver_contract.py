@@ -71,6 +71,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "emb_near_dup",
         "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
+        "date_kernels", "string_kernels2",
         "frontmatter", "simhash",
         # golden-parquet oracles (scripts/make_goldens.py)
         "s2_cells", "decode_stats", "image_features", "ann_lsh", "ann_ivf",
