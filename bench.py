@@ -199,7 +199,10 @@ def _generic_bench() -> dict[str, float]:
     spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(100).count()
     out: dict[str, float] = {}
     for name in ("two_hop", "topk_per_group", "rollup_concat", "linkres",
-                 "unique_names", "stats_agg"):
+                 "unique_names", "stats_agg",
+                 # training-data ladder at sf0.1 (minhash emits 7.5M
+                 # verified pairs from 5k word-salad docs at tau 30)
+                 "simhash", "minhash_dedup", "markup_rewrite", "lang_id"):
         t = time.monotonic()
         QUERIES[name](spark, SF_DIR).count()
         out[name] = round(time.monotonic() - t, 3)
