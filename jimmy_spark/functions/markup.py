@@ -512,6 +512,130 @@ def html_to_md_udf() -> Column:
     return conv
 
 
+# ---------------------------------------------------------------------------
+# ENML (Evernote markup) -> Markdown: a STREAMING stack-based state machine
+# over stdlib HTMLParser — the same SAX shape as the reference's 440-line
+# ENEX converter (/root/reference/src/jimmy/md_lib/evernote.py:52-491),
+# written from scratch for the common ENML tag subset. Formatting state
+# lives on an explicit stack (nested lists, bold/italic wrapping, table
+# rows), mirroring the reference's formatting-stack discipline.
+
+from html.parser import HTMLParser  # noqa: E402 — optional dep pattern
+
+
+class _EnmlHandler(HTMLParser):
+    _WRAP = {"b": "**", "strong": "**", "i": "*", "em": "*", "code": "`"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[str] = []
+        self.list_stack: list[str] = []  # "ul" / "ol"
+        self.cells: list[str] | None = None  # inside <tr>
+        self.row_count = 0
+
+    # -- helpers ------------------------------------------------------
+    def _emit(self, s: str) -> None:
+        if self.cells is not None:
+            self.cells[-1] += s
+        else:
+            self.out.append(s)
+
+    def _newline(self) -> None:
+        if self.out and not self.out[-1].endswith("\n"):
+            self.out.append("\n")
+
+    # -- SAX events ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag in self._WRAP:
+            self._emit(self._WRAP[tag])
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._newline()
+            self._emit("#" * int(tag[1]) + " ")
+        elif tag in ("ul", "ol"):
+            self.list_stack.append(tag)
+        elif tag == "li":
+            self._newline()
+            depth = max(len(self.list_stack) - 1, 0)
+            marker = "1." if (self.list_stack and self.list_stack[-1] == "ol") else "-"
+            self._emit("  " * depth + marker + " ")
+        elif tag == "en-todo":
+            self._newline()
+            self._emit("- [x] " if a.get("checked") == "true" else "- [ ] ")
+        elif tag == "en-media":
+            self._emit(f"![]({a.get('hash', '')})")
+        elif tag == "a":
+            self._emit("[")
+            self._href = a.get("href", "")
+        elif tag == "table":
+            self.row_count = 0
+        elif tag == "tr":
+            self._newline()
+            self.cells = [""]
+        elif tag in ("td", "th"):
+            if self.cells is not None and self.cells[-1]:
+                self.cells.append("")
+        elif tag == "br":
+            self._newline()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in self._WRAP:
+            self._emit(self._WRAP[tag])
+        elif tag in ("ul", "ol"):
+            if self.list_stack:
+                self.list_stack.pop()
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6", "div", "p"):
+            self._newline()
+        elif tag == "a":
+            self._emit(f"]({getattr(self, '_href', '')})")
+        elif tag == "tr" and self.cells is not None:
+            cells, self.cells = self.cells, None
+            self.out.append("| " + " | ".join(c.strip() for c in cells) + " |\n")
+            if self.row_count == 0:
+                self.out.append("| " + " | ".join("---" for _ in cells) + " |\n")
+            self.row_count += 1
+
+    def handle_data(self, data: str) -> None:
+        self._emit(data)
+
+    def result(self) -> str:
+        return "".join(self.out).strip()
+
+
+def enml_to_md(s: str) -> str:
+    """Streaming ENML -> Markdown.
+
+    >>> enml_to_md('<en-note><h2>T</h2><div><b>x</b> and <i>y</i></div></en-note>')
+    '## T\\n**x** and *y*'
+    >>> enml_to_md('<en-note><en-todo checked="true"/>done<en-todo/>open</en-note>')
+    '- [x] done\\n- [ ] open'
+    >>> print(enml_to_md('<en-note><ul><li>a</li><ol><li>b</li></ol></ul></en-note>'))
+    - a
+      1. b
+    >>> print(enml_to_md('<en-note><table><tr><td>a</td><td>b</td></tr><tr><td>1</td><td>2</td></tr></table></en-note>'))
+    | a | b |
+    | --- | --- |
+    | 1 | 2 |
+    """
+    if s is None:
+        return None
+    h = _EnmlHandler()
+    h.feed(s)
+    h.close()
+    return h.result()
+
+
+def enml_to_md_udf() -> Column:
+    @F.pandas_udf("string")
+    def conv(texts: pd.Series) -> pd.Series:
+        return texts.map(enml_to_md)
+
+    return conv
+
+
 def roam_to_md_udf() -> Column:
     @F.pandas_udf("string")
     def conv(texts: pd.Series) -> pd.Series:

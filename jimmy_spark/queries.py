@@ -727,7 +727,15 @@ def markup_sources(doc_id, lang, source, snippet):
         doc_id, F.lit("</a></p><ul><li><i>"), snippet,
         F.lit("</i></li></ul><pre><code>"), snippet, F.lit("</code></pre>"),
     )
-    return zim, tid, roam, bb, html
+    enml = F.concat(
+        F.lit("<en-note><h2>"), lang, F.lit("</h2><div>doc "), doc_id,
+        F.lit(" by <b>"), source, F.lit('</b></div><en-todo checked="true"/>'),
+        F.lit("reviewed<en-todo/>"), snippet,
+        F.lit('<br/><en-media hash="h'), doc_id,
+        F.lit('" type="image/png"/><table><tr><td>'), source,
+        F.lit("</td><td>"), doc_id, F.lit("</td></tr></table></en-note>"),
+    )
+    return zim, tid, roam, bb, html, enml
 
 
 def q_markup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,7 +749,7 @@ def q_markup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     snippet = F.substring(F.col("text"), 1, 24)
-    zim, tid, roam, bb, html = markup_sources(
+    zim, tid, roam, bb, html, enml = markup_sources(
         did, F.col("lang"), F.col("source"), snippet
     )
     return docs.select(
@@ -751,6 +759,7 @@ def q_markup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         markup.roam_to_md_udf()(roam).alias("md_roam"),
         markup.bbcode_to_md_udf()(bb).alias("md_bb"),
         markup.html_to_md_udf()(html).alias("md_html"),
+        markup.enml_to_md_udf()(enml).alias("md_enex"),
     )
 
 

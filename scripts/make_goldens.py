@@ -116,6 +116,7 @@ def golden_video_frames() -> pd.DataFrame:
 def golden_markup_rewrite() -> pd.DataFrame:
     from jimmy_spark.functions.markup import (
         bbcode_to_md,
+        enml_to_md,
         html_to_md,
         roam_to_md,
         tiddly_to_md,
@@ -126,7 +127,7 @@ def golden_markup_rewrite() -> pd.DataFrame:
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
     )
     out = pd.DataFrame({"doc_id": docs["doc_id"]})
-    zim, tid, roam, bb, htm = [], [], [], [], []
+    zim, tid, roam, bb, htm, enx = [], [], [], [], [], []
     for r in docs.itertuples():
         did = str(r.doc_id)
         snip = r.text[:24]
@@ -152,11 +153,18 @@ def golden_markup_rewrite() -> pd.DataFrame:
             f'<a href="http://d/{did}">doc {did}</a></p>'
             f"<ul><li><i>{snip}</i></li></ul><pre><code>{snip}</code></pre>"
         ))
+        enx.append(enml_to_md(
+            f"<en-note><h2>{r.lang}</h2><div>doc {did} by <b>{r.source}</b>"
+            f'</div><en-todo checked="true"/>reviewed<en-todo/>{snip}'
+            f'<br/><en-media hash="h{did}" type="image/png"/>'
+            f"<table><tr><td>{r.source}</td><td>{did}</td></tr></table></en-note>"
+        ))
     out["md_zim"] = zim
     out["md_tid"] = tid
     out["md_roam"] = roam
     out["md_bb"] = bb
     out["md_html"] = htm
+    out["md_enex"] = enx
     return out
 
 

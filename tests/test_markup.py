@@ -124,6 +124,40 @@ def test_html_cases(src, expected):
     assert markup.html_to_md(src) == expected
 
 
+ENML_CASES = [
+    ("<en-note><h3>T</h3></en-note>", "### T"),
+    ("<en-note><div><b>a</b> <i>b</i> <code>c</code></div></en-note>",
+     "**a** *b* `c`"),
+    ('<en-note><en-todo checked="true"/>x<en-todo/>y</en-note>',
+     "- [x] x\n- [ ] y"),
+    ("<en-note><ul><li>a</li><li>b</li><ol><li>c</li></ol></ul></en-note>",
+     "- a\n- b\n  1. c"),
+    ('<en-note><a href="u">lbl</a> <en-media hash="h1" type="image/png"/></en-note>',
+     "[lbl](u) ![](h1)"),
+    ("<en-note><table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr></table></en-note>",
+     "| k | v |\n| --- | --- |\n| a | 1 |"),
+    ("<en-note>plain &amp; entities &lt;ok&gt;</en-note>",
+     "plain & entities <ok>"),
+]
+
+
+@pytest.mark.parametrize("src,expected", ENML_CASES)
+def test_enml_cases(src, expected):
+    assert markup.enml_to_md(src) == expected
+
+
+def test_enml_udf_matches_local(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(ENML_CASES)], "i int, t string"
+    )
+    got = {
+        r.i: r.md
+        for r in df.select("i", markup.enml_to_md_udf()(df.t).alias("md")).collect()
+    }
+    for i, (src, expected) in enumerate(ENML_CASES):
+        assert got[i] == expected == markup.enml_to_md(src)
+
+
 def test_roam_bbcode_udfs_match_local(spark):
     cases = [(i, s) for i, (s, _) in enumerate(ROAM_CASES)]
     df = spark.createDataFrame(cases, "i int, t string")
