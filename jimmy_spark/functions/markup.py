@@ -531,16 +531,25 @@ class _EnmlHandler(HTMLParser):
         self.out: list[str] = []
         self.list_stack: list[str] = []  # "ul" / "ol"
         self.cells: list[str] | None = None  # inside <tr>
+        self.in_cell = False
         self.row_count = 0
 
     # -- helpers ------------------------------------------------------
     def _emit(self, s: str) -> None:
         if self.cells is not None:
-            self.cells[-1] += s
+            # inside a row: text belongs to the open cell; text BETWEEN
+            # cells (pretty-printing whitespace) is dropped, so empty
+            # cells survive and indentation never mints phantom columns
+            if self.in_cell:
+                self.cells[-1] += s
         else:
             self.out.append(s)
 
     def _newline(self) -> None:
+        # no-op mid-row: a block boundary inside a table cell must not
+        # write to self.out (it would be emitted BEFORE the row line)
+        if self.cells is not None:
+            return
         if self.out and not self.out[-1].endswith("\n"):
             self.out.append("\n")
 
@@ -570,13 +579,21 @@ class _EnmlHandler(HTMLParser):
         elif tag == "table":
             self.row_count = 0
         elif tag == "tr":
-            self._newline()
-            self.cells = [""]
+            if self.out and not self.out[-1].endswith("\n"):
+                self.out.append("\n")
+            self.cells = []
+            self.in_cell = False
         elif tag in ("td", "th"):
-            if self.cells is not None and self.cells[-1]:
+            if self.cells is not None:
                 self.cells.append("")
+                self.in_cell = True
         elif tag == "br":
-            self._newline()
+            # a line break inside a md table cell becomes a space (md rows
+            # are single-line); elsewhere it is a newline
+            if self.cells is not None:
+                self._emit(" ")
+            else:
+                self._newline()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
@@ -591,12 +608,20 @@ class _EnmlHandler(HTMLParser):
             self._newline()
         elif tag == "a":
             self._emit(f"]({getattr(self, '_href', '')})")
+        elif tag in ("td", "th"):
+            self.in_cell = False
         elif tag == "tr" and self.cells is not None:
             cells, self.cells = self.cells, None
-            self.out.append("| " + " | ".join(c.strip() for c in cells) + " |\n")
-            if self.row_count == 0:
-                self.out.append("| " + " | ".join("---" for _ in cells) + " |\n")
-            self.row_count += 1
+            self.in_cell = False
+            if cells:  # a row with no td/th emits nothing
+                self.out.append(
+                    "| " + " | ".join(c.strip() for c in cells) + " |\n"
+                )
+                if self.row_count == 0:
+                    self.out.append(
+                        "| " + " | ".join("---" for _ in cells) + " |\n"
+                    )
+                self.row_count += 1
 
     def handle_data(self, data: str) -> None:
         self._emit(data)

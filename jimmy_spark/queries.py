@@ -640,7 +640,10 @@ def q_date_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch.alias("epoch_s"),
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso"),
         F.date_format("ts", "yyMMddHHmm").alias("compact"),
-        (epoch - F.pmod(epoch, F.lit(60))).alias("minute_floor"),
+        # % (sign-of-dividend, like DuckDB's %) not pmod: for pre-1970
+        # timestamps pmod(-61,60)=59 would floor to -120 while the oracle
+        # gets -60 — the classic cross-engine modulo trap
+        (epoch - epoch % F.lit(60)).alias("minute_floor"),
     )
 
 

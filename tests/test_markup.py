@@ -138,6 +138,14 @@ ENML_CASES = [
      "| k | v |\n| --- | --- |\n| a | 1 |"),
     ("<en-note>plain &amp; entities &lt;ok&gt;</en-note>",
      "plain & entities <ok>"),
+    # empty cells survive; pretty-printing whitespace mints no columns
+    ("<en-note><table><tr><td></td><td>b</td></tr></table></en-note>",
+     "|  | b |\n| --- | --- |"),
+    ("<en-note><table>\n  <tr>\n    <td>a</td>\n    <td>b</td>\n  </tr>\n</table></en-note>",
+     "| a | b |\n| --- | --- |"),
+    # <br> inside a cell becomes a space; block ends stay inside the cell
+    ("<en-note><table><tr><td>a<br/>b</td><td>c</td></tr></table></en-note>",
+     "| a b | c |\n| --- | --- |"),
 ]
 
 
