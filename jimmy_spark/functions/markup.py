@@ -653,6 +653,63 @@ def enml_to_md(s: str) -> str:
     return h.result()
 
 
+# ---------------------------------------------------------------------------
+# ColorNote checklists (reference: md_lib/colornote.py:10-29) and CherryTree
+# bullet normalization (formats/cherrytree.py:16,36-75) — the two remaining
+# small grammars from SURVEY §2.7's table, public syntaxes, from scratch.
+
+_CN_DONE = re.compile(r"^\[V\] ?", re.M)
+_CN_OPEN = re.compile(r"^\[ \] ?", re.M)
+
+
+def colornote_to_md(s: str) -> str:
+    """ColorNote checklist lines: '[V]' = checked, '[ ]' = open.
+
+    >>> colornote_to_md("[V] milk\\n[ ] bread")
+    '- [x] milk\\n- [ ] bread'
+    """
+    if s is None:
+        return None
+    return _CN_OPEN.sub("- [ ] ", _CN_DONE.sub("- [x] ", s))
+
+
+# CherryTree export bullet glyphs per nesting level -> md markers
+_CT_BULLETS = "•◦▪▫►▻"
+_CT_BULLET = re.compile(
+    r"^(\s*)([" + _CT_BULLETS + r"]) ", re.M
+)
+
+
+def cherrytree_to_md(s: str) -> str:
+    """CherryTree bullet glyphs (one glyph per nesting depth) -> indented
+    md dashes; depth comes from the glyph, not the leading whitespace.
+
+    >>> cherrytree_to_md("• top\\n◦ second\\n▪ third")
+    '- top\\n  - second\\n    - third'
+    """
+    if s is None:
+        return None
+    return _CT_BULLET.sub(
+        lambda m: "  " * _CT_BULLETS.index(m.group(2)) + "- ", s
+    )
+
+
+def colornote_to_md_udf() -> Column:
+    @F.pandas_udf("string")
+    def conv(texts: pd.Series) -> pd.Series:
+        return texts.map(colornote_to_md)
+
+    return conv
+
+
+def cherrytree_to_md_udf() -> Column:
+    @F.pandas_udf("string")
+    def conv(texts: pd.Series) -> pd.Series:
+        return texts.map(cherrytree_to_md)
+
+    return conv
+
+
 def enml_to_md_udf() -> Column:
     @F.pandas_udf("string")
     def conv(texts: pd.Series) -> pd.Series:

@@ -154,6 +154,20 @@ def test_enml_cases(src, expected):
     assert markup.enml_to_md(src) == expected
 
 
+def test_colornote_and_cherrytree(spark):
+    cn = "[V] done task\n[ ] open task\nplain line"
+    assert markup.colornote_to_md(cn) == "- [x] done task\n- [ ] open task\nplain line"
+    ct = "• a\n◦ b\n▪ c\nplain"
+    assert markup.cherrytree_to_md(ct) == "- a\n  - b\n    - c\nplain"
+    df = spark.createDataFrame([(cn, ct)], "cn string, ct string")
+    row = df.select(
+        markup.colornote_to_md_udf()(df.cn).alias("cn"),
+        markup.cherrytree_to_md_udf()(df.ct).alias("ct"),
+    ).first()
+    assert row.cn == markup.colornote_to_md(cn)
+    assert row.ct == markup.cherrytree_to_md(ct)
+
+
 def test_enml_udf_matches_local(spark):
     df = spark.createDataFrame(
         [(i, s) for i, (s, _) in enumerate(ENML_CASES)], "i int, t string"
