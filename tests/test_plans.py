@@ -79,3 +79,41 @@ def test_broadcast_pip_uses_broadcast_join(spark, images, t1_dir):
     plan = _plan(pip.pip_join_broadcast(pts, polys))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_link_semi_is_semi_join(spark):
+    """Existence join must be a semi join (probe side never duplicated)."""
+    from jimmy_spark.queries import q_link_semi
+
+    plan = _plan(q_link_semi(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+
+
+def test_metadata_map_is_narrow(spark):
+    """Map build + filter + explode is one narrow stage — no Exchange."""
+    from jimmy_spark.queries import q_metadata_map
+
+    plan = _plan(q_metadata_map(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_date_kernels_stay_jvm_side(spark):
+    """Date/time kernels compile to codegen'd expressions, no Python."""
+    from jimmy_spark.queries import q_date_kernels
+
+    plan = _plan(q_date_kernels(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
+
+
+def test_near_dup_vectors_not_in_candidate_shuffle(spark):
+    """emb_near_dup's distinct (the only wide op) must shuffle only pair
+    ids — the embedding arrays are re-joined after it."""
+    from jimmy_spark.queries import q_emb_near_dup
+
+    plan = _plan(q_emb_near_dup(spark, "/root/testdata/sf0.001"))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "vec_a" in line or "vec_b" in line or "bkt" in line
+            assert " v#" not in line and "va#" not in line and "vb#" not in line

@@ -115,3 +115,43 @@ def test_splitmix_deterministic_and_diffuse(xs):
     np.testing.assert_array_equal(a, b)
     if len(set(xs)) == len(xs):
         assert len(set(a.tolist())) == len(xs)  # injective on small sets
+
+
+class TestMarkupProperties:
+    """Property tests for the rewrite grammars: total functions over
+    arbitrary text (never raise), deterministic, and no control bytes
+    leak from the shielding placeholders."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        max_size=400,
+    )
+
+    @given(_text)
+    @settings(max_examples=120, deadline=None)
+    def test_grammars_total_and_deterministic(self, s):
+        from jimmy_spark.functions import markup
+
+        for fn in (
+            markup.wiki_to_md, markup.tiddly_to_md, markup.roam_to_md,
+            markup.bbcode_to_md, markup.html_to_md, markup.enml_to_md,
+            markup.colornote_to_md, markup.cherrytree_to_md,
+        ):
+            a = fn(s)
+            assert a == fn(s)  # deterministic
+            assert isinstance(a, str)
+            assert "\x00" not in a  # shield placeholders never leak
+
+    @given(_text)
+    @settings(max_examples=60, deadline=None)
+    def test_plain_prose_passes_through_zim(self, s):
+        """Text with no grammar tokens is untouched by the zim pipeline."""
+        from hypothesis import assume
+
+        from jimmy_spark.functions import markup
+
+        assume(not any(t in s for t in ("''", "//", "[[", "{{", "[ ]", "[*]")))
+        assume("=" not in s and "\x00" not in s)
+        assert markup.wiki_to_md(s) == s
