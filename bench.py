@@ -407,7 +407,9 @@ def main() -> None:
     else:
         hi_samples = [r_hi_primary]
         lo_samples = []
-        for lvl in (6, 24, 6, 24, 6, 24, 24, 24):
+        # primary (above) is the first 4N session; with this sequence the
+        # totals are exactly K_lo=4 and K_hi=6
+        for lvl in (6, 24, 6, 24, 6, 24, 6, 24):
             r = _spawn_worker(lvl, lean=True)
             (lo_samples if lvl == 6 else hi_samples).append(r)
 
