@@ -409,7 +409,7 @@ def main() -> None:
         lo_samples = []
         # primary (above) is the first 4N session; with this sequence the
         # totals are exactly K_lo=4 and K_hi=6
-        for lvl in (6, 24, 6, 24, 6, 24, 6, 24):
+        for lvl in (6, 24, 6, 24, 6, 24, 6, 24, 24):
             r = _spawn_worker(lvl, lean=True)
             (lo_samples if lvl == 6 else hi_samples).append(r)
 
