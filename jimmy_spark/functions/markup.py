@@ -76,6 +76,14 @@ def _rule_images(s: str) -> str:
     return _IMAGE.sub(r"![](\1)", s)
 
 
+def _sanitize(s: str) -> str:
+    """Strip NUL bytes up front: NUL is never legal text content and is
+    the shield-placeholder sentinel — raw NULs in input could otherwise
+    crash or inject into the unshield substitution ("\x005\x00" would
+    dereference span 5)."""
+    return s.replace("\x00", "")
+
+
 # fixed order; verbatim spans shielded around the whole pipeline
 RULES: list[tuple[str, Callable[[str], str]]] = [
     ("headings", _rule_headings),
@@ -95,6 +103,7 @@ def wiki_to_md(s: str) -> str:
     """
     if s is None:
         return None
+    s = _sanitize(s)
     spans: list[str] = []
 
     def shield(m: re.Match) -> str:
@@ -225,6 +234,7 @@ def tiddly_to_md(s: str) -> str:
     """
     if s is None:
         return None
+    s = _sanitize(s)
     spans: list[str] = []
 
     def shield(m: re.Match) -> str:
@@ -340,6 +350,7 @@ def roam_to_md(s: str) -> str:
     """
     if s is None:
         return None
+    s = _sanitize(s)
     for _, rule in ROAM_RULES:
         s = rule(s)
     return s
@@ -424,6 +435,7 @@ def bbcode_to_md(s: str) -> str:
     """
     if s is None:
         return None
+    s = _sanitize(s)
     for _, rule in BBCODE_RULES:
         s = rule(s)
     return s
@@ -484,6 +496,7 @@ def html_to_md(s: str) -> str:
     """
     if s is None:
         return None
+    s = _sanitize(s)
     import html as _html
 
     spans: list[str] = []
@@ -647,6 +660,7 @@ def enml_to_md(s: str) -> str:
     """
     if s is None:
         return None
+    s = _sanitize(s)
     h = _EnmlHandler()
     h.feed(s)
     h.close()
@@ -670,6 +684,7 @@ def colornote_to_md(s: str) -> str:
     """
     if s is None:
         return None
+    s = _sanitize(s)
     return _CN_OPEN.sub("- [ ] ", _CN_DONE.sub("- [x] ", s))
 
 
@@ -689,6 +704,7 @@ def cherrytree_to_md(s: str) -> str:
     """
     if s is None:
         return None
+    s = _sanitize(s)
     return _CT_BULLET.sub(
         lambda m: "  " * _CT_BULLETS.index(m.group(2)) + "- ", s
     )
