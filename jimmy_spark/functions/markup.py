@@ -198,10 +198,12 @@ def _rule_tid_tables(s: str) -> str:
         header: list[str] | None = None
         rows: list[list[str]] = []
         for ln in block.rstrip("\n").split("\n"):
+            # trim exactly ONE pipe per edge: strip('|') would eat empty
+            # edge cells ('||a|' must yield ['', 'a'], not ['a'])
             if ln.endswith("|h"):
                 header = [c.strip() for c in ln[1:-2].split("|")]
             else:
-                rows.append([c.strip() for c in ln.strip("|").split("|")])
+                rows.append([c.strip() for c in ln[1:-1].split("|")])
         if header is None and rows:
             header, rows = rows[0], rows[1:]
         out = ["| " + " | ".join(header) + " |"]

@@ -184,8 +184,12 @@ def embedding_near_dup_pairs(
     near-dup class) collide in every table — recall is exactly 1 for them,
     which is what makes the all-pairs SQL oracle hold bit-for-bit on
     dup-planted corpora. For cos = c < 1 pairs, per-table collision is
-    (1 - acos(c)/pi)^n_bits and recall 1-(1-p)^n_tables (~1-1e-7 at
-    c=0.99 with 8 bits x 8 tables).
+    p = (1 - acos(c)/pi)^n_bits and recall 1-(1-p)^n_tables: at c=0.99
+    with 8 bits x 8 tables, p ~ 0.69 and recall ~ 1 - 0.31^8 ~ 1-8e-5.
+    The exact-oracle parity therefore additionally assumes the corpus
+    has no NON-collinear pair at cos >= tau (true for the generated
+    embeddings, whose non-planted pairs sit far below 0.99) — a datagen
+    change that introduces such pairs would surface as a recall gap.
 
     Scale notes: candidates are ~sum of bucket sizes squared; skewed
     buckets (many near-identical vectors) are real duplicates and belong

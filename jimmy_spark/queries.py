@@ -290,9 +290,11 @@ def q_tree_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived parent_id, orphans (missing parent) coalesce to the root."""
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
-    # every 5th doc points at a nonexistent parent (orphan); doc 0's
-    # parent -1 never exists either
-    parent_id = F.when(did % 5 == 0, did * 100 + 7).otherwise(did - 1)
+    # every 5th doc is an orphan: its parent id is negative, which is out
+    # of range at EVERY sf (doc ids are >= 0), so the orphan->root coalesce
+    # is exercised deterministically; other docs chain to doc_id - 1
+    # (doc 0's parent -1 is likewise always missing)
+    parent_id = F.when(did % 5 == 0, -did - 7).otherwise(did - 1)
     kids = docs.select("doc_id", parent_id.alias("parent_id"))
     parents = docs.select(
         F.col("doc_id").alias("parent_id"), F.col("source").alias("p_source")
@@ -394,7 +396,7 @@ def _oracle_generic() -> dict[str, str]:
         ),
         "tree_span": (
             "WITH kids AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
-            "THEN doc_id * 100 + 7 ELSE doc_id - 1 END AS parent_id "
+            "THEN -doc_id - 7 ELSE doc_id - 1 END AS parent_id "
             "FROM documents) "
             "SELECT k.doc_id, k.parent_id, "
             "coalesce(p.source, 'root') AS parent_source "

@@ -131,5 +131,13 @@ def read_image_archives(spark: SparkSession, path_glob: str) -> DataFrame:
                 columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
             )
 
-    scan = spark.read.format("binaryFile").load(path_glob)
+    # same extension filter as read_archives: without it any non-underscore
+    # stray file in the directory (Spark's binaryFile only hides _-prefixed
+    # files like the datagen _MARKER.json) would surface as a spurious
+    # __corrupt_archive__ sentinel row and break oracle parity
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{zip,tar,tgz}")
+        .load(path_glob)
+    )
     return scan.select("path", "content").mapInPandas(gen, IMAGES_SCHEMA)
