@@ -206,13 +206,27 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on candidates only
-    tok = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("ts"),
-                    F.size(_tokens(text_col)).alias("n"))
-    ta = tok.select(F.col("id").alias("doc_a"), F.col("ts").alias("ts_a"),
-                    F.col("n").alias("na"))
-    tb = tok.select(F.col("id").alias("doc_b"), F.col("ts").alias("ts_b"),
-                    F.col("n").alias("nb"))
+    # exact verification on candidates only — but first the standard SIZE
+    # prefilter: Jaccard >= tau implies 100*min(na,nb) >= tau*max(na,nb)
+    # (common <= min, union >= max), so impossible pairs die on a join of
+    # two ints BEFORE the full token arrays ever ride a shuffle. The
+    # filter is a provable consequence of the final predicate — it never
+    # changes the result set, it only keeps arrays off doomed pairs.
+    sizes = df.select(
+        F.col(id_col).alias("id"), F.size(_tokens(text_col)).alias("n")
+    )
+    na = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    cand = (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.lit(100) * F.least("na", "nb") >= F.lit(tau_pct) * F.greatest("na", "nb")
+        )
+    )
+    tok = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("ts"))
+    ta = tok.select(F.col("id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tok.select(F.col("id").alias("doc_b"), F.col("ts").alias("ts_b"))
     j = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -280,20 +294,119 @@ def connected_components(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iter: int = 50,
+    max_iter: int = 100,
 ) -> DataFrame:
     """(id, cluster_id) where cluster_id = min doc id reachable through the
     near-dup pair graph — the step that turns pair streams (minhash/ngram/
     simhash/embedding) into dedup groups.
 
-    Iterative hash-min label propagation: each round every node takes the
+    Alternating large-star/small-star (the public CC-in-MapReduce
+    algorithm, Kiveris et al. 2014): each round contracts every node's
+    larger neighbors onto its local minimum (large-star), then hangs all
+    smaller neighbors plus the node itself off that minimum (small-star).
+    The edge set converges to per-component stars centered at the
+    component minimum in O(log^2 n) rounds REGARDLESS of graph diameter —
+    a 10^9-node chain of boilerplate near-dups finishes in ~30 rounds
+    where plain label propagation needs 10^9. Skewed components are fine:
+    a hot node's edges shrink monotonically toward the star.
+
+    Each round is two groupBy-min + join stages on (node) — the same
+    shuffle key both phases — with lineage truncated per round
+    (localCheckpoint) so the plan does not grow with iterations.
+    Convergence is detected EXACTLY (anti-join edge-set equality over a
+    full round), not via a hashed fingerprint.
+
+    ``connected_components_hashmin`` below is the older
+    O(diameter)-rounds label propagation, kept for differential testing:
+    both must produce identical labels wherever hashmin converges.
+    """
+    e = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("x"), F.col(b_col).cast("long").alias("y")
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = e.isEmpty()  # edgeless graph: all singletons, nothing to do
+    for _ in range(max_iter):
+        if converged:
+            break
+        prev = e
+        prev_cnt = prev.count()
+        # large-star: for every node, connect each LARGER neighbor to the
+        # min of (self + neighborhood). Edges (v>u) become (v, m(u)) with
+        # m(u) <= u < v, so no self-loops and the component stays connected.
+        sym = e.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")).unionByName(
+            e.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+        )
+        lmins = (
+            sym.groupBy("node")
+            .agg(F.min("nbr").alias("mn"))
+            .select("node", F.least("mn", F.col("node")).alias("m"))
+        )
+        e = (
+            sym.join(lmins, "node")
+            .filter(F.col("nbr") > F.col("node"))
+            .select(F.col("nbr").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: direct edges larger->smaller; hang every smaller
+        # neighbor AND the node itself off the minimum neighbor.
+        d = e.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+        smins = d.groupBy("node").agg(F.min("nbr").alias("m"))
+        e = (
+            d.join(smins, "node")
+            .select(F.col("nbr").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select(F.col("node").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # exact fixpoint test: both sets are distinct, so equal counts +
+        # empty anti-join  <=>  identical edge sets over the full round
+        converged = e.count() == prev_cnt and e.join(
+            prev, ["hi", "lo"], "left_anti"
+        ).isEmpty()
+    if not converged:
+        # returning a non-fixpoint edge set would ship WRONG dedup groups;
+        # unreachable in practice (rounds needed ~ O(log^2 n))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # at the fixpoint every component is a star (hi -> component min = lo);
+    # min() is a no-op safety net, singletons label themselves
+    stars = e.groupBy("hi").agg(F.min("lo").alias("_cluster"))
+    out = (
+        ids.select(F.col(id_col).alias("id"))
+        .join(stars, F.col("id") == F.col("hi"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_cluster", F.col("id").cast("long")).alias("cluster_id"),
+        )
+    )
+    return out
+
+
+def connected_components_hashmin(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Iterative hash-min label propagation: each round every node takes the
     min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds. Labels only decrease, so sum(label) is a
-    strictly decreasing convergence metric — no row-level diff join
-    needed. Lineage is truncated per round (localCheckpoint) so the plan
-    does not grow with iterations; at production scale use a checkpoint
-    dir + the large-star/small-star variant for skewed components
-    (public CC-in-MapReduce algorithm).
+    O(graph diameter) rounds — which is why ``connected_components`` above
+    (diameter-independent) is the default. Labels only decrease, so
+    sum(label) is a strictly decreasing convergence metric — no row-level
+    diff join needed. Lineage is truncated per round (localCheckpoint) so
+    the plan does not grow with iterations. Raises past max_iter rounds
+    (a >50-diameter chain component); kept as the differential twin.
     """
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
@@ -333,10 +446,11 @@ def connected_components(
     if not converged:
         # returning partial labels would silently ship WRONG dedup groups
         # (and break the recursive-CTE oracle); a >max_iter-diameter
-        # component needs more rounds or the large-star/small-star variant
+        # component needs the large-star/small-star default instead
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter"
+            f"connected_components_hashmin did not converge in {max_iter} "
+            "rounds (component diameter exceeds max_iter); use "
+            "connected_components (large-star/small-star)"
         )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
@@ -422,19 +536,27 @@ bands AS (
     FROM bands_all
   ) WHERE bs <= {max_bucket}
 ),
-cand AS (
+cand0 AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
 ),
-tsets AS (SELECT doc_id AS id, {toks} AS ts, len({toks}) AS n FROM {table})
+sizes AS (SELECT doc_id AS id, len({toks}) AS n FROM {table}),
+-- size prefilter mirrored from the Spark side; implied by the final
+-- Jaccard predicate, so the result set is unchanged
+cand AS (
+  SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb
+  FROM cand0 c JOIN sizes sa ON sa.id = c.doc_a JOIN sizes sb ON sb.id = c.doc_b
+  WHERE 100 * least(sa.n, sb.n) >= {tau_pct} * greatest(sa.n, sb.n)
+),
+tsets AS (SELECT doc_id AS id, {toks} AS ts FROM {table})
 SELECT c.doc_a, c.doc_b,
        len(list_intersect(ta.ts, tb.ts)) AS common,
-       (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) AS union_cnt
+       (c.na + c.nb - len(list_intersect(ta.ts, tb.ts))) AS union_cnt
 FROM cand c
 JOIN tsets ta ON ta.id = c.doc_a
 JOIN tsets tb ON tb.id = c.doc_b
 WHERE 100 * len(list_intersect(ta.ts, tb.ts))
-      >= {tau_pct} * (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts)))
+      >= {tau_pct} * (c.na + c.nb - len(list_intersect(ta.ts, tb.ts)))
 """,
     }

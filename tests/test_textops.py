@@ -143,6 +143,60 @@ class TestDedup:
                for r in dedup.connected_components(ids, pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
+    def test_connected_components_long_chain(self, spark):
+        """A 300-node path component (diameter 299): the large-star/
+        small-star default converges in O(log^2 n) rounds where plain
+        hash-min label propagation needs 299 and raises at its 50-round
+        guard — the realistic chained-boilerplate dedup graph that used
+        to abort the whole job."""
+        n = 300
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.connected_components(ids, pairs).collect()}
+        assert got == {i: 0 for i in range(n)}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components_hashmin(ids, pairs).collect()
+
+    def test_connected_components_vs_union_find(self, spark):
+        """Differential check on a seeded random graph (plus an isolated
+        star and a two-chain merge): star-contraction labels == a pure
+        Python union-find over the identical edge list."""
+        rng = np.random.default_rng(7)
+        n = 120
+        edges = {(int(a), int(b)) for a, b in rng.integers(0, n, (90, 2)) if a != b}
+        edges |= {(200, 201), (201, 202), (202, 203), (50, 203)}
+        parent = list(range(250))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        node_ids = sorted({x for e in edges for x in e} | {249})
+        want = {}
+        roots = {}
+        for i in node_ids:
+            r = find(i)
+            roots.setdefault(r, min(j for j in node_ids if find(j) == r))
+            want[i] = roots[r]
+        ids = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+        pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.connected_components(ids, pairs).collect()}
+        assert got == want
+        # and the hashmin twin agrees wherever it converges
+        got2 = {r.doc_id: r.cluster_id
+                for r in dedup.connected_components_hashmin(ids, pairs).collect()}
+        assert got2 == want
+
     def test_minhash_candidates_nonempty(self, docs):
         # word-salad docs share vocabulary; LSH must find something at low tau
         assert dedup.minhash_lsh_pairs(docs, tau_pct=20).count() > 0
