@@ -3,5 +3,6 @@ from jimmy_spark.datagen.datasets import (  # noqa: F401
     dataset_dir,
     ensure_archives,
     ensure_dataset,
+    ensure_exports,
     ensure_media,
 )

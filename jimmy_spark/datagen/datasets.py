@@ -80,6 +80,37 @@ def ensure_media(name: str = "t2av", n_rows: int = 400) -> Path:
     return d
 
 
+def ensure_exports(name: str) -> Path:
+    """Deterministic export-format twins (SQLite db, JSONL shards, XML
+    shards) of a dataset's images table — fixtures for the sqlite/json/xml
+    source scans (sources/sqlite.py, queries.py). Marker-cached and keyed
+    on the SOURCE dataset's marker like ensure_archives."""
+    from jimmy_spark.datagen.exports import (
+        write_jsonl_notes,
+        write_sqlite_notes,
+        write_xml_notes,
+    )
+
+    d = ensure_dataset(name)
+    exp = d / "exports"
+    marker = exp / "_MARKER.json"
+    recipe = {"v": 1, "src": name,
+              "src_recipe": json.loads((d / "_MARKER.json").read_text())}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == recipe:
+                return exp
+        except Exception:
+            pass
+    exp.mkdir(parents=True, exist_ok=True)
+    src = str(d / "images.parquet")
+    write_sqlite_notes(src, str(exp / "notes.sqlite"))
+    write_jsonl_notes(src, str(exp / "jsonl"))
+    write_xml_notes(src, str(exp / "xml"))
+    marker.write_text(json.dumps(recipe))
+    return exp
+
+
 def ensure_archives(name: str, shards: int = 4) -> Path:
     """Deterministic archive twin of a dataset's images table: the same
     rows packed into zip/tgz shard archives (alternating formats) with a

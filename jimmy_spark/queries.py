@@ -140,6 +140,73 @@ def q_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite source scan (anki.py:121-153's ``select id, guid, ... , flds
+    from notes`` shape, also qownnotes.py:5 / affine.py:2-5): the t2 rows
+    seeded into a .sqlite ``notes`` table are read back through the
+    rowid-range-partitioned executor-side reader (sources/sqlite.py); the
+    oracle recomputes every column from the parquet ground truth, so the
+    scan must be lossless and complete."""
+    from jimmy_spark.datagen import ensure_exports
+    from jimmy_spark.sources import sqlite as sq
+
+    exp = str(ensure_exports("t2"))
+    return sq.read_sqlite(
+        spark,
+        f"{exp}/notes.sqlite",
+        "notes",
+        ["id", "guid", "mid", "mtime", "tags", "flds"],
+        "id long, guid string, mid long, mtime long, tags string, flds string",
+        n_partitions=4,
+    )
+
+
+JSON_NOTE_SCHEMA = (
+    "content string, id string, lastModified long, tags array<string>"
+)
+
+
+def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source scan (the reference's largest scan family:
+    simplenote.py:11-17, telegram.py:12-53 read whole JSON exports): the
+    t2 rows written as sharded JSONL are read with ``spark.read.json``
+    under a PINNED schema (schema inference is a second full scan and can
+    drift types at 10^12 scale), nested tag arrays projected with JVM
+    array functions. The oracle reads the SAME files via DuckDB's
+    read_json with the same pinned columns — a true dual-engine read of
+    one JSON fixture."""
+    from jimmy_spark.datagen import ensure_exports
+
+    exp = str(ensure_exports("t2"))
+    notes = spark.read.schema(JSON_NOTE_SCHEMA).json(f"{exp}/jsonl")
+    return notes.select(
+        F.col("id").alias("note_id"),
+        "content",
+        F.size("tags").cast("long").alias("n_tags"),
+        F.array_join("tags", ",").alias("tags_cat"),
+        F.col("lastModified").alias("mod_ts"),
+    )
+
+
+def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML document source scan (wordpress.py:18-103, diaro.py:25-50 parse
+    whole XML exports): sharded <channel><item> documents read with
+    Spark's native XML source (rowTag streaming — the file is never
+    materialized as one string), schema pinned. Oracle recomputes the
+    fields from the parquet ground truth; XML escaping round-trips, so
+    the scan must be byte-lossless on text."""
+    from jimmy_spark.datagen import ensure_exports
+
+    exp = str(ensure_exports("t2"))
+    items = (
+        spark.read.format("xml")
+        .option("rowTag", "item")
+        .schema("fmt string, height long, post_id string, title string, width long")
+        .load(f"{exp}/xml")
+    )
+    return items.select("post_id", "title", "fmt", "width", "height")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash dedup (jimmy Resource.__eq__ md5 semantics,
     /root/reference/src/jimmy/intermediate_format.py:123-131)."""
@@ -151,7 +218,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_spatial() -> dict[str, str]:
+    from jimmy_spark.datagen import ensure_exports
+
     t2 = _t2()
+    ensure_exports("t2")  # json_scan's oracle reads the jsonl shards directly
     g = _georef_sql()
     tile_union = " UNION ALL ".join(
         "SELECT image_id, {z} AS z, {x} AS x, {y} AS y FROM ({g})".format(
@@ -188,6 +258,24 @@ FROM pip JOIN t USING (image_id) GROUP BY pip.polygon_id, t.x, t.y
         "archive_scan": (
             f"SELECT image_id, w, h, fmt, caption, phash, "
             f"md5(hex(bytes)) AS content_md5 FROM '{t2}/images.parquet'"
+        ),
+        "sqlite_scan": (
+            f"SELECT row_number() OVER (ORDER BY image_id) AS id, "
+            f"image_id AS guid, phash AS mid, w::BIGINT * h::BIGINT AS mtime, "
+            f"fmt AS tags, caption AS flds FROM '{t2}/images.parquet'"
+        ),
+        # dual-engine JSON read: DuckDB scans the SAME jsonl shards with the
+        # same pinned column types the Spark side uses
+        "json_scan": (
+            "SELECT id AS note_id, content, len(tags)::BIGINT AS n_tags, "
+            "array_to_string(tags, ',') AS tags_cat, lastModified AS mod_ts "
+            f"FROM read_json('{t2}/exports/jsonl/*.jsonl', "
+            "format='newline_delimited', columns={id: 'VARCHAR', "
+            "content: 'VARCHAR', tags: 'VARCHAR[]', lastModified: 'BIGINT'})"
+        ),
+        "xml_scan": (
+            f"SELECT image_id AS post_id, caption AS title, fmt, "
+            f"w::BIGINT AS width, h::BIGINT AS height FROM '{t2}/images.parquet'"
         ),
     }
 
@@ -852,6 +940,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlay": q_overlay,
     "decode_stats": q_decode_stats,
     "archive_scan": q_archive_scan,
+    "sqlite_scan": q_sqlite_scan,
+    "json_scan": q_json_scan,
+    "xml_scan": q_xml_scan,
     "dedup_exact": q_dedup_exact,
     "stats_agg": q_stats_agg,
     "select_glob": q_select_glob,

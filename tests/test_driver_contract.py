@@ -62,7 +62,8 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
     "name",
     [
         "georef", "hex_cells", "tiles", "pip", "knn", "cell_counts",
-        "tile_counts", "overlay", "dedup_exact", "archive_scan", "stats_agg",
+        "tile_counts", "overlay", "dedup_exact", "archive_scan", "sqlite_scan",
+        "json_scan", "xml_scan", "stats_agg",
         "select_glob",
         "linkres", "unique_names", "two_hop", "rollup_concat", "topk_per_group",
         "link_semi", "tree_span", "binary_kernels", "metadata_map",

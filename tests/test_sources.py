@@ -1,0 +1,117 @@
+"""SQLite / JSON / XML source scans: partitioning, losslessness, guards.
+
+(Archive-source tests live in test_archives.py; these cover the round-3
+export-container sources.)
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from jimmy_spark.datagen import ensure_exports
+from jimmy_spark.sources import sqlite as sq
+
+SCHEMA = "id long, guid string, mid long, mtime long, tags string, flds string"
+COLS = ["id", "guid", "mid", "mtime", "tags", "flds"]
+
+
+@pytest.fixture(scope="module")
+def exports():
+    return str(ensure_exports("t2"))
+
+
+class TestSqliteSource:
+    def test_partitioned_read_equals_serial(self, spark, exports):
+        """Rowid-range split must be a pure parallelization: 1-partition
+        and 8-partition scans return identical row sets."""
+        db = f"{exports}/notes.sqlite"
+        one = sq.read_sqlite(spark, db, "notes", COLS, SCHEMA, n_partitions=1)
+        many = sq.read_sqlite(spark, db, "notes", COLS, SCHEMA, n_partitions=8)
+        assert one.count() == many.count() == 2000
+        assert one.exceptAll(many).isEmpty() and many.exceptAll(one).isEmpty()
+
+    def test_matches_sqlite3_directly(self, spark, exports):
+        db = f"{exports}/notes.sqlite"
+        got = {
+            r.id: (r.guid, r.mid, r.mtime, r.tags, r.flds)
+            for r in sq.read_sqlite(
+                spark, db, "notes", COLS, SCHEMA, n_partitions=3
+            ).collect()
+        }
+        con = sqlite3.connect(db)
+        try:
+            want = {
+                row[0]: tuple(row[1:])
+                for row in con.execute(
+                    "SELECT id, guid, mid, mtime, tags, flds FROM notes"
+                )
+            }
+        finally:
+            con.close()
+        assert got == want
+
+    def test_empty_table(self, spark, tmp_path):
+        db = str(tmp_path / "empty.sqlite")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY, guid TEXT)")
+        con.commit()
+        con.close()
+        out = sq.read_sqlite(
+            spark, db, "notes", ["id", "guid"], "id long, guid string"
+        )
+        assert out.count() == 0
+        assert out.columns == ["id", "guid"]
+
+    def test_rejects_non_identifier_names(self, spark, exports):
+        db = f"{exports}/notes.sqlite"
+        with pytest.raises(ValueError):
+            sq.read_sqlite(spark, db, "notes; drop", COLS, SCHEMA)
+        with pytest.raises(ValueError):
+            sq.read_sqlite(spark, db, "notes", ["id, guid"], "id long")
+
+    def test_sparse_rowids_lossless(self, spark, tmp_path):
+        """Gappy rowid domains (deleted rows) must not lose rows: ranges
+        partition the [min,max] interval, and BETWEEN scans skip holes."""
+        db = str(tmp_path / "sparse.sqlite")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", [(i * 97, f"v{i}") for i in range(50)]
+        )
+        con.commit()
+        con.close()
+        out = sq.read_sqlite(
+            spark, db, "t", ["id", "v"], "id long, v string", n_partitions=7
+        )
+        assert sorted(r.id for r in out.collect()) == [i * 97 for i in range(50)]
+
+
+class TestJsonXmlScans:
+    def test_json_scan_row_shape(self, spark):
+        from jimmy_spark.queries import q_json_scan
+
+        df = q_json_scan(spark, "/root/testdata/sf0.01")
+        rows = df.collect()
+        assert len(rows) == 2000
+        assert all(r.n_tags == 2 for r in rows)
+
+    def test_xml_scan_escaping_roundtrip(self, spark):
+        """XML-escaped captions must come back byte-identical to parquet."""
+        import pandas as pd
+
+        from jimmy_spark.datagen import ensure_dataset
+        from jimmy_spark.queries import q_xml_scan
+
+        t2 = ensure_dataset("t2")
+        want = (
+            pd.read_parquet(t2 / "images.parquet", columns=["image_id", "caption"])
+            .set_index("image_id")["caption"]
+            .to_dict()
+        )
+        got = {
+            r.post_id: r.title
+            for r in q_xml_scan(spark, "/root/testdata/sf0.01").collect()
+        }
+        assert got == want
