@@ -87,6 +87,60 @@ def write_jsonl_notes(images_parquet: str, out_dir: str, shards: int = 4) -> Non
                 )
 
 
+ENC_PASSWORD = b"jimmy-spark"
+# the reference uses 50000 PBKDF2 rounds (md_lib/evernote.py:35,43); the
+# fixture uses 1000 so the per-row KDF in the registry query stays cheap —
+# the derivation SHAPE (PBKDF2-HMAC-SHA256 -> 16-byte key, HMAC verify
+# before decrypt) is identical
+PBKDF2_ITERS = 1000
+
+
+def write_encrypted_notes(images_parquet: str, out_path: str) -> None:
+    """Foreign-ciphertext fixtures in the reference's two export shapes,
+    encrypted with the from-scratch FIPS-197 encryptor (datagen/aes.py):
+
+    - ColorNote (formats/colornote.py:37-54): key = md5(pw+salt),
+      iv = md5(key+pw+salt), AES-128-CBC, PKCS7. Columns cn_salt/cn_ct.
+    - Evernote ENC0 (md_lib/evernote.py:19-49): blob =
+      'ENC0' || salt || hmac_salt || iv || ct || hmac-sha256, keys via
+      PBKDF2-HMAC-SHA256; HMAC must verify before decrypting. Column
+      en_blob.
+
+    Salts/ivs are deterministic md5 digests of the record id, so the
+    fixture is byte-stable across regenerations.
+    """
+    import hashlib
+    import hmac as hm
+
+    from jimmy_spark.datagen.aes import aes128_cbc_encrypt
+
+    pw = ENC_PASSWORD
+    pdf = _rows(images_parquet)
+    out = {"image_id": [], "cn_salt": [], "cn_ct": [], "en_blob": []}
+    for r in pdf.itertuples():
+        rid = r.image_id.encode()
+        plain = r.caption.encode()
+        # colornote shape
+        salt = hashlib.md5(rid + b"/cn-salt").digest()
+        key = hashlib.md5(pw + salt).digest()
+        iv = hashlib.md5(key + pw + salt).digest()
+        cn_ct = aes128_cbc_encrypt(key, iv, plain)
+        # evernote ENC0 shape
+        e_salt = hashlib.md5(rid + b"/en-salt").digest()
+        h_salt = hashlib.md5(rid + b"/en-hsalt").digest()
+        e_iv = hashlib.md5(rid + b"/en-iv").digest()
+        e_key = hashlib.pbkdf2_hmac("sha256", pw, e_salt, PBKDF2_ITERS, 16)
+        ct = aes128_cbc_encrypt(e_key, e_iv, plain)
+        msg = b"ENC0" + e_salt + h_salt + e_iv + ct
+        h_key = hashlib.pbkdf2_hmac("sha256", pw, h_salt, PBKDF2_ITERS, 16)
+        blob = msg + hm.new(h_key, msg, hashlib.sha256).digest()
+        out["image_id"].append(r.image_id)
+        out["cn_salt"].append(salt)
+        out["cn_ct"].append(cn_ct)
+        out["en_blob"].append(blob)
+    pd.DataFrame(out).to_parquet(out_path, index=False)
+
+
 def write_xml_notes(images_parquet: str, out_dir: str, shards: int = 4) -> None:
     """WordPress-ish XML export: <channel><item>...</item></channel> per
     shard file; text fields are XML-escaped (the parser unescapes, so the

@@ -207,6 +207,74 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return items.select("post_id", "title", "fmt", "width", "height")
 
 
+def q_decrypt_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-ciphertext decryption (the round-2 gap: binary_kernels only
+    round-tripped its own encryption). The fixture ciphertexts were minted
+    at datagen time by a from-scratch FIPS-197 encryptor
+    (datagen/aes.py, NIST-vector-checked); decryption here runs on
+    Spark's built-in OpenSSL-backed ``aes_decrypt`` — two independent AES
+    implementations must meet on every row, and the oracle is the known
+    plaintext from the parquet ground truth.
+
+    - ColorNote shape (colornote.py:37-54): the whole KDF chain is JVM
+      expressions — key = unhex(md5(pw||salt)), iv = unhex(md5(key||pw||
+      salt)), then aes_decrypt(iv||ct, 'CBC', 'PKCS'). Zero Python.
+    - Evernote ENC0 shape (md_lib/evernote.py:19-49): blob parsing is JVM
+      substring arithmetic; PBKDF2 + constant-time HMAC verify run in one
+      Arrow-batched UDF that returns the 16-byte key ONLY if the HMAC
+      matches (tamper -> null key -> null plaintext, never garbage);
+      the AES-CBC decrypt itself stays JVM-side.
+    """
+    from jimmy_spark.datagen import ensure_exports
+    from jimmy_spark.datagen.exports import ENC_PASSWORD, PBKDF2_ITERS
+
+    exp = str(ensure_exports("t2"))
+    enc = spark.read.parquet(f"{exp}/enc.parquet")
+    pw = F.lit(ENC_PASSWORD)
+    cn_key = F.unhex(F.md5(F.concat(pw, F.col("cn_salt"))))
+    cn_iv = F.unhex(F.md5(F.concat(cn_key, pw, F.col("cn_salt"))))
+    cn_plain = F.aes_decrypt(
+        F.concat(cn_iv, F.col("cn_ct")), cn_key, F.lit("CBC"), F.lit("PKCS")
+    ).cast("string")
+
+    @F.pandas_udf("binary")
+    def en_verified_key(blobs: pd.Series) -> pd.Series:
+        import hashlib
+        import hmac as hm
+
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            if len(b) < 84 or b[:4] != b"ENC0":
+                out.append(None)
+                continue
+            salt, h_salt = b[4:20], b[20:36]
+            msg, ref = b[:-32], b[-32:]
+            h_key = hashlib.pbkdf2_hmac(
+                "sha256", ENC_PASSWORD, h_salt, PBKDF2_ITERS, 16
+            )
+            if not hm.compare_digest(
+                hm.new(h_key, msg, hashlib.sha256).digest(), ref
+            ):
+                out.append(None)
+                continue
+            out.append(
+                hashlib.pbkdf2_hmac("sha256", ENC_PASSWORD, salt, PBKDF2_ITERS, 16)
+            )
+        return pd.Series(out)
+
+    en_ivct = F.expr("substring(en_blob, 37, length(en_blob) - 68)")
+    en_plain = F.aes_decrypt(
+        en_ivct, en_verified_key(F.col("en_blob")), F.lit("CBC"), F.lit("PKCS")
+    ).cast("string")
+    return enc.select(
+        "image_id", cn_plain.alias("cn_plain"), en_plain.alias("en_plain")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash dedup (jimmy Resource.__eq__ md5 semantics,
     /root/reference/src/jimmy/intermediate_format.py:123-131)."""
@@ -276,6 +344,12 @@ FROM pip JOIN t USING (image_id) GROUP BY pip.polygon_id, t.x, t.y
         "xml_scan": (
             f"SELECT image_id AS post_id, caption AS title, fmt, "
             f"w::BIGINT AS width, h::BIGINT AS height FROM '{t2}/images.parquet'"
+        ),
+        # the oracle for a decrypt is the known plaintext: both fixture
+        # shapes encrypt the caption, so a correct decrypt must reproduce it
+        "decrypt_kernels": (
+            f"SELECT image_id, caption AS cn_plain, caption AS en_plain "
+            f"FROM '{t2}/images.parquet'"
         ),
     }
 
@@ -943,6 +1017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sqlite_scan": q_sqlite_scan,
     "json_scan": q_json_scan,
     "xml_scan": q_xml_scan,
+    "decrypt_kernels": q_decrypt_kernels,
     "dedup_exact": q_dedup_exact,
     "stats_agg": q_stats_agg,
     "select_glob": q_select_glob,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import sqlite3
 
+import pandas as pd
 import pytest
 
 from jimmy_spark.datagen import ensure_exports
@@ -115,3 +116,70 @@ class TestJsonXmlScans:
             for r in q_xml_scan(spark, "/root/testdata/sf0.01").collect()
         }
         assert got == want
+
+
+class TestDecryptKernels:
+    def test_decrypts_to_known_plaintext(self, spark):
+        import pandas as pd
+
+        from jimmy_spark.datagen import ensure_dataset
+        from jimmy_spark.queries import q_decrypt_kernels
+
+        t2 = ensure_dataset("t2")
+        want = (
+            pd.read_parquet(t2 / "images.parquet", columns=["image_id", "caption"])
+            .set_index("image_id")["caption"]
+            .to_dict()
+        )
+        rows = q_decrypt_kernels(spark, "/root/testdata/sf0.01").collect()
+        assert len(rows) == len(want)
+        for r in rows:
+            assert r.cn_plain == want[r.image_id]
+            assert r.en_plain == want[r.image_id]
+
+    def test_tampered_blob_yields_null_not_garbage(self, spark):
+        """Flipping one ciphertext byte must fail the HMAC verify and
+        surface as a null plaintext — never silently-wrong bytes."""
+        from jimmy_spark.datagen import ensure_exports
+        from jimmy_spark.datagen.exports import ENC_PASSWORD, PBKDF2_ITERS
+        from pyspark.sql import functions as F
+
+        exp = str(ensure_exports("t2"))
+        pdf = pd.read_parquet(f"{exp}/enc.parquet").head(5).copy()
+        pdf["en_blob"] = pdf["en_blob"].map(
+            lambda b: bytes(b[:60]) + bytes([b[60] ^ 0xFF]) + bytes(b[61:])
+        )
+        enc = spark.createDataFrame(pdf[["image_id", "en_blob"]])
+
+        @F.pandas_udf("binary")
+        def en_verified_key(blobs: pd.Series) -> pd.Series:
+            import hashlib
+            import hmac as hm
+
+            out = []
+            for b in blobs:
+                b = bytes(b)
+                h_key = hashlib.pbkdf2_hmac(
+                    "sha256", ENC_PASSWORD, b[20:36], PBKDF2_ITERS, 16
+                )
+                ok = hm.compare_digest(
+                    hm.new(h_key, b[:-32], hashlib.sha256).digest(), b[-32:]
+                )
+                out.append(
+                    hashlib.pbkdf2_hmac(
+                        "sha256", ENC_PASSWORD, b[4:20], PBKDF2_ITERS, 16
+                    )
+                    if ok
+                    else None
+                )
+            return pd.Series(out)
+
+        out = enc.select(
+            F.aes_decrypt(
+                F.expr("substring(en_blob, 37, length(en_blob) - 68)"),
+                en_verified_key(F.col("en_blob")),
+                F.lit("CBC"),
+                F.lit("PKCS"),
+            ).cast("string").alias("p")
+        ).collect()
+        assert all(r.p is None for r in out)
