@@ -23,10 +23,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _VERBATIM = re.compile(r"''(.+?)''")
-_HEADING = re.compile(r"^(={2,6}) (.+?) \1\s*$", re.M)
-_CHECK_OPEN = re.compile(r"^\[ \] ", re.M)
-_CHECK_DONE = re.compile(r"^\[\*\] ", re.M)
-_ITALIC = re.compile(r"//(.+?)//")
+_CODEBLOCK = re.compile(r"^'''\n(.*?)\n'''$", re.M | re.S)
+_HEADING = re.compile(r"^(={2,6}) (.+?) ={2,6}\s*$", re.M)
+# the four zim checkbox states (reference checklist_re, zim.py:16):
+# ' ' open, '>'/'<' moved (render open), '*'/'x' done; indentation kept
+_CHECKLIST = re.compile(r"^( *)\[([ <>*x])\] ", re.M)
+_TABLIST = re.compile(r"^(\t+)(?=\* )", re.M)
+_ITALIC = re.compile(r"(?<!:)//(.+?)//")
+_HIGHLIGHT = re.compile(r"__(.+?)__")
+_SUPER = re.compile(r"\^\{(.+?)\}")
+_SUB = re.compile(r"_\{(.+?)\}")
 _LINK_LABELED = re.compile(r"\[\[([^\]|]+)\|([^\]]+)\]\]")
 _LINK_BARE = re.compile(r"\[\[([^\]|]+)\]\]")
 _IMAGE = re.compile(r"\{\{([^}]+)\}\}")
@@ -47,33 +53,85 @@ def _rule_checklists(s: str) -> str:
     """
     >>> _rule_checklists("[ ] todo\\n[*] done")
     '- [ ] todo\\n- [x] done'
+    >>> _rule_checklists("[ ] u\\n    [>] np\\n[x] d")
+    '- [ ] u\\n    - [ ] np\\n- [x] d'
     """
-    return _CHECK_DONE.sub("- [x] ", _CHECK_OPEN.sub("- [ ] ", s))
+    return _CHECKLIST.sub(
+        lambda m: m.group(1)
+        + ("- [x] " if m.group(2) in "*x" else "- [ ] "),
+        s,
+    )
+
+
+def _rule_lists(s: str) -> str:
+    """Tab-indented zim bullets -> 4-space md indents.
+
+    >>> _rule_lists("* a\\n\\t* b")
+    '* a\\n    * b'
+    """
+    return _TABLIST.sub(lambda m: "    " * len(m.group(1)), s)
 
 
 def _rule_italic(s: str) -> str:
-    """
+    """``//`` emphasis; a ``//`` right after ``:`` never OPENS a span, so
+    bare URLs (http://...) survive untouched.
+
     >>> _rule_italic("a //b// c")
     'a *b* c'
+    >>> _rule_italic("see http://x.de/a and http://y.de/.")
+    'see http://x.de/a and http://y.de/.'
     """
     return _ITALIC.sub(r"*\1*", s)
 
 
-def _rule_links(s: str) -> str:
+def _rule_highlight(s: str) -> str:
+    """zim __highlight__ -> ==highlight== (zim.py doctest semantics).
+
+    >>> _rule_highlight("**__hot__**")
+    '**==hot==**'
     """
+    return _HIGHLIGHT.sub(r"==\1==", s)
+
+
+def _rule_scripts(s: str) -> str:
+    """
+    >>> _rule_scripts("super^{script}, sub_{script}")
+    'super^script^, sub~script~'
+    """
+    return _SUB.sub(r"~\1~", _SUPER.sub(r"^\1^", s))
+
+
+def _clean_target(t: str) -> str:
+    t = t.split("?", 1)[0]
+    return t[2:] if t.startswith("./") else t
+
+
+def _rule_links(s: str) -> str:
+    """zim links are [[target|label]]; bare targets keep the raw text as
+    the label but the url drops a leading './' (zim.py doctests).
+
     >>> _rule_links("see [[page|the page]] and [[other]]")
     'see [the page](page) and [other](other)'
+    >>> _rule_links("[[./0.mp3]]")
+    '[./0.mp3](0.mp3)'
     """
     s = _LINK_LABELED.sub(r"[\2](\1)", s)
-    return _LINK_BARE.sub(r"[\1](\1)", s)
+    return _LINK_BARE.sub(lambda m: f"[{m.group(1)}]({_clean_target(m.group(1))})", s)
 
 
 def _rule_images(s: str) -> str:
+    """{{target}} -> ![basename](clean target); './' and '?width=...'
+    stripped (zim.py doctest semantics).
+
+    >>> _rule_images("pic {{./img.png?width=600}}")
+    'pic ![img.png](img.png)'
     """
-    >>> _rule_images("pic {{img.png}}")
-    'pic ![](img.png)'
-    """
-    return _IMAGE.sub(r"![](\1)", s)
+
+    def conv(m: re.Match) -> str:
+        tgt = _clean_target(m.group(1))
+        return f"![{tgt.rsplit('/', 1)[-1]}]({tgt})"
+
+    return _IMAGE.sub(conv, s)
 
 
 def _sanitize(s: str) -> str:
@@ -84,38 +142,52 @@ def _sanitize(s: str) -> str:
     return s.replace("\x00", "")
 
 
-# fixed order; verbatim spans shielded around the whole pipeline
+# fixed order; verbatim/code spans shielded around the whole pipeline
 RULES: list[tuple[str, Callable[[str], str]]] = [
     ("headings", _rule_headings),
     ("checklists", _rule_checklists),
+    ("lists", _rule_lists),
     ("links", _rule_links),
     ("images", _rule_images),
     ("italic", _rule_italic),
+    ("highlight", _rule_highlight),
+    ("scripts", _rule_scripts),
 ]
 
 
 def wiki_to_md(s: str) -> str:
-    """Full ordered pipeline with verbatim shielding.
+    """Full ordered pipeline with verbatim + code-block shielding.
 
     >>> print(wiki_to_md("=== T ===\\n[ ] do //it// ''//not this//''"))
     #### T
     - [ ] do *it* `//not this//`
+    >>> wiki_to_md("'''\\nsome code\\nblock\\n'''")
+    '```\\nsome code\\nblock\\n```'
     """
     if s is None:
         return None
     s = _sanitize(s)
-    spans: list[str] = []
+    spans: list[tuple[str, str]] = []  # (kind, payload)
 
-    def shield(m: re.Match) -> str:
-        spans.append(m.group(1))
-        return f"\x00{len(spans) - 1}\x00"
+    def shield(kind: str):
+        def sub(m: re.Match) -> str:
+            spans.append((kind, m.group(1)))
+            return f"\x00{len(spans) - 1}\x00"
 
-    s = _VERBATIM.sub(shield, s)
+        return sub
+
+    s = _CODEBLOCK.sub(shield("block"), s)
+    s = _VERBATIM.sub(shield("inline"), s)
     for _, rule in RULES:
         s = rule(s)
-    return re.sub(
-        r"\x00(\d+)\x00", lambda m: "`" + spans[int(m.group(1))] + "`", s
-    )
+
+    def unshield(m: re.Match) -> str:
+        kind, payload = spans[int(m.group(1))]
+        if kind == "block":
+            return f"```\n{payload}\n```"
+        return f"`{payload}`"
+
+    return re.sub(r"\x00(\d+)\x00", unshield, s)
 
 
 def wiki_to_md_udf() -> Column:
@@ -134,18 +206,29 @@ def wiki_to_md_udf() -> Column:
 
 _TID_CODE = re.compile(r"\{\{\{(.+?)\}\}\}")
 _TID_HEADING = re.compile(r"^(!{1,6})\s*(.+?)\s*$", re.M)
-_TID_OL = re.compile(r"^(#+) ", re.M)
-_TID_UL = re.compile(r"^(\*+) ", re.M)
+_TID_LIST = re.compile(r"^([*#>]+) ", re.M)
 _TID_BOLD = re.compile(r"''(.+?)''")
-_TID_ITALIC = re.compile(r"//(.+?)//")
+_TID_ITALIC = re.compile(r"(?<!:)//(.+?)//")
 _TID_UNDER = re.compile(r"__(.+?)__")
+_TID_HR = re.compile(r"^----+\s*$", re.M)
+# dashes must have a real non-dash neighbor on both sides so hr lines
+# ('---' alone on a line, including ones this rule just emitted) survive
+_TID_MDASH = re.compile(r"(?<=[^-\n])---(?=[^-\n])|^---(?=[^-\n])", re.M)
+_TID_NDASH = re.compile(r"(?<=[^-\n])--(?=[^-\n])|^--(?=[^-\n])", re.M)
+_TID_QUOTE = re.compile(r"^<<<\n(.*?)\n<<<([^\n]*)$", re.M | re.S)
+_TID_IMG = re.compile(
+    r"\[img(?:\s+[^\[\]]*)?\[(?:([^\]|]*)\|)?([^\]]+)\]\]"
+)
+_TID_EXT = re.compile(r"\[ext\[(?:([^\]|]*)\|)?([^\]]+)\]\]")
 _TID_LINK_LABELED = re.compile(r"\[\[([^\]|]+)\|([^\]]+)\]\]")
 _TID_LINK_BARE = re.compile(r"\[\[([^\]|]+)\]\]")
 _TID_TABLE_BLOCK = re.compile(r"(?:^\|[^\n]*\|h?(?:\n|$))+", re.M)
+_SCHEME = re.compile(r"^(?:[a-z][a-z0-9+.-]*:|#)")
 
 
 def _rule_tid_headings(s: str) -> str:
-    """
+    """'!' count = level (tiddlywiki.py doctests).
+
     >>> _rule_tid_headings("!! Sub")
     '## Sub'
     """
@@ -153,43 +236,130 @@ def _rule_tid_headings(s: str) -> str:
 
 
 def _rule_tid_lists(s: str) -> str:
-    """Nested '#'/'*' list markers -> indented md markers.
+    """Nested '*'/'#'/'>' run-length markers -> 4-space-indented md; the
+    marker type comes from the LAST character (mixed runs like '*#' nest
+    an ordered item under a bullet — tiddlywiki.py doctests).
 
     >>> _rule_tid_lists("# one\\n## one.a\\n* b\\n** b.a")
-    '1. one\\n  1. one.a\\n- b\\n  - b.a'
+    '1. one\\n    1. one.a\\n* b\\n    * b.a'
+    >>> _rule_tid_lists("* Do\\n*# Eat\\n**> A quote")
+    '* Do\\n    1. Eat\\n        > A quote'
     """
-    s = _TID_OL.sub(lambda m: "  " * (len(m.group(1)) - 1) + "1. ", s)
-    return _TID_UL.sub(lambda m: "  " * (len(m.group(1)) - 1) + "- ", s)
+
+    def conv(m: re.Match) -> str:
+        run = m.group(1)
+        marker = {"#": "1.", "*": "*", ">": ">"}[run[-1]]
+        return "    " * (len(run) - 1) + marker + " "
+
+    return _TID_LIST.sub(conv, s)
+
+
+def _rule_tid_rules_and_dashes(s: str) -> str:
+    """'----' lines -> md hr; standalone '---'/'--' -> em/en dashes.
+    Runs on raw wikitext BEFORE tables (md separator rows contain '---').
+
+    >>> _rule_tid_rules_and_dashes("----\\n---")
+    '---\\n---'
+    >>> _rule_tid_rules_and_dashes("* -- n-dash\\n* --- m-dash")
+    '* – n-dash\\n* — m-dash'
+    """
+    s = _TID_HR.sub("---", s)
+    s = _TID_MDASH.sub("—", s)
+    return _TID_NDASH.sub("–", s)
+
+
+def _rule_tid_quotes(s: str) -> str:
+    """<<< block quotes; a trailing citation on the closing fence becomes
+    an italic quote line (tiddlywiki.py doctests).
+
+    >>> _rule_tid_quotes("<<<\\nQuoted\\nlines\\n<<<")
+    '\\n> Quoted\\n> lines'
+    >>> _rule_tid_quotes("<<<\\nBicycle for the mind\\n<<< S. Jobs")
+    '\\n> Bicycle for the mind\\n> *S. Jobs*'
+    """
+
+    def conv(m: re.Match) -> str:
+        body = "\n".join("> " + ln for ln in m.group(1).split("\n"))
+        cite = m.group(2).strip()
+        if cite:
+            body += f"\n> *{cite}*"
+        return "\n" + body
+
+    return _TID_QUOTE.sub(conv, s)
 
 
 def _rule_tid_emphasis(s: str) -> str:
-    """
+    """'' bold, // italic (never opening right after ':', so URLs
+    survive), __ underline -> ++ (tiddlywiki.py doctest semantics).
+
     >>> _rule_tid_emphasis("''b'' //i// __u__")
-    '**b** *i* <u>u</u>'
+    '**b** *i* ++u++'
+    >>> _rule_tid_emphasis("from http://h/MyApp to http://h/.")
+    'from http://h/MyApp to http://h/.'
     """
     s = _TID_BOLD.sub(r"**\1**", s)
     s = _TID_ITALIC.sub(r"*\1*", s)
-    return _TID_UNDER.sub(r"<u>\1</u>", s)
+    return _TID_UNDER.sub(r"++\1++", s)
+
+
+def _wrap_url(url: str) -> str:
+    return f"<{url}>" if (" " in url or "\\" in url) else url
+
+
+def _rule_tid_images(s: str) -> str:
+    """[img[...]] with optional tooltip and ignored attributes.
+
+    >>> _rule_tid_images("[img[Jack.jpg]] [img[tip|b.jpg]]")
+    '![Jack.jpg](Jack.jpg) ![tip](b.jpg)'
+    >>> _rule_tid_images("[img width=32 class='x' [Jack.jpg]]")
+    '![Jack.jpg](Jack.jpg)'
+    """
+    return _TID_IMG.sub(
+        lambda m: f"![{m.group(1) or m.group(2)}]({m.group(2)})", s
+    )
 
 
 def _rule_tid_links(s: str) -> str:
-    """tiddly [[label|target]] (label first — opposite of zim).
+    """tiddly [[label|target]] (label first — opposite of zim). Targets
+    without a URL scheme are internal tiddler titles and get the
+    ``tiddlywiki://`` prefix (tiddlywiki.py doctest semantics);
+    [ext[...|path]] is always an external path, <>-wrapped when it
+    contains spaces or backslashes.
 
     >>> _rule_tid_links("[[the page|page]] and [[other]]")
-    '[the page](page) and [other](other)'
+    '[the page](tiddlywiki://page) and [other](tiddlywiki://other)'
+    >>> _rule_tid_links("[[TW5|https://tiddlywiki.com/]]")
+    '[TW5](https://tiddlywiki.com/)'
+    >>> _rule_tid_links("[ext[Open|../README Space.md]]")
+    '[Open](<../README Space.md>)'
     """
-    s = _TID_LINK_LABELED.sub(r"[\1](\2)", s)
-    return _TID_LINK_BARE.sub(r"[\1](\1)", s)
+    s = _TID_EXT.sub(
+        lambda m: f"[{m.group(1) or m.group(2)}]({_wrap_url(m.group(2))})", s
+    )
+
+    def link(label: str, target: str) -> str:
+        if _SCHEME.match(target):
+            return f"[{label}]({target})"
+        return f"[{label}](tiddlywiki://{target})"
+
+    s = _TID_LINK_LABELED.sub(lambda m: link(m.group(1), m.group(2)), s)
+    return _TID_LINK_BARE.sub(lambda m: link(m.group(1), m.group(1)), s)
 
 
 def _rule_tid_tables(s: str) -> str:
     """Wikitext table block -> md table. A row ending in '|h' is the
-    header; without one the first row becomes the header.
+    header; so is a first row whose cells all start with '!'
+    (tiddlywiki.py doctest); otherwise the first row becomes the header.
 
     >>> print(_rule_tid_tables("|a|b|h\\n|1|2|"))
     | a | b |
     | --- | --- |
     | 1 | 2 |
+    >>> print(_rule_tid_tables("|!Cell1 |!Cell2 |\\n|Cell3 |Cell4 |\\n"))
+    | Cell1 | Cell2 |
+    | --- | --- |
+    | Cell3 | Cell4 |
+    <BLANKLINE>
     """
 
     def conv(m: re.Match) -> str:
@@ -205,7 +375,11 @@ def _rule_tid_tables(s: str) -> str:
             else:
                 rows.append([c.strip() for c in ln[1:-1].split("|")])
         if header is None and rows:
-            header, rows = rows[0], rows[1:]
+            if rows[0] and all(c.startswith("!") for c in rows[0]):
+                header = [c[1:].strip() for c in rows[0]]
+            else:
+                header = rows[0]
+            rows = rows[1:]
         out = ["| " + " | ".join(header) + " |"]
         out.append("| " + " | ".join("---" for _ in header) + " |")
         for r in rows:
@@ -216,9 +390,13 @@ def _rule_tid_tables(s: str) -> str:
 
 
 TIDDLY_RULES: list[tuple[str, Callable[[str], str]]] = [
+    # dashes run on RAW text (md table separators contain '---')
+    ("dashes", _rule_tid_rules_and_dashes),
+    ("quotes", _rule_tid_quotes),
     ("tables", _rule_tid_tables),
     ("lists", _rule_tid_lists),
     ("headings", _rule_tid_headings),
+    ("images", _rule_tid_images),
     ("links", _rule_tid_links),
     ("emphasis", _rule_tid_emphasis),
 ]
@@ -460,14 +638,82 @@ _H_CODE = re.compile(r"<code>(.*?)</code>", re.S)
 _H_LINK = re.compile(r'<a\s+href="([^"]*)"[^>]*>(.*?)</a>', re.S)
 _H_IMG = re.compile(r'<img\s+src="([^"]*)"(?:\s+alt="([^"]*)")?[^>]*/?>')
 _H_LI = re.compile(r"<li>\s*(.*?)\s*</li>", re.S)
-_H_ROW = re.compile(r"<tr>(.*?)</tr>", re.S)
-_H_CELL = re.compile(r"<t[dh]>\s*(.*?)\s*</t[dh]>", re.S)
+_H_ROW = re.compile(r"<tr[^>]*>(.*?)</tr>", re.S)
+_H_CELL = re.compile(r"<t[dh][^>]*>\s*(.*?)\s*</t[dh]>", re.S)
 _H_PARA = re.compile(r"</?p>")
 _H_TAG = re.compile(r"</?[A-Za-z][^>]*>")
 _H_BLANKS = re.compile(r"\n{3,}")
+# checklist divs (reference html_filter.py:48-63 div_checklists): a
+# class="checklist" container whose items are checked/unchecked divs
+_H_CHECKLIST = re.compile(
+    r'<div\s+class="checklist">\s*'
+    r'((?:<div\s+class="(?:un)?checked">.*?</div>\s*)+)'
+    r"</div>",
+    re.S,
+)
+_H_CHECKITEM = re.compile(
+    r'<div\s+class="(un)?checked">\s*(.*?)\s*</div>', re.S
+)
+# adjacent same-tag formatting runs (html_filter.py:142
+# merge_consecutive_formatting, the immediate-sibling case)
+_H_MERGE = re.compile(r"</(b|strong|i|em|u|s|code)><\1>")
+_H_TABLE = re.compile(r"<table[^>]*>(.*?)</table>", re.S)
+_H_TBL_UNWRAP = re.compile(r"</?(?:div|span|pre|thead|tbody)[^>]*>")
+_H_TBL_HEAD = re.compile(r"<(/?)h[1-6]>")
+_H_TBL_BREAK = re.compile(r"<br\s*/?>|</?p>|\n")
+
+
+def _pass_checklists(s: str) -> str:
+    """<div class="checklist"> containers -> md task lists."""
+
+    def conv(m: re.Match) -> str:
+        items = [
+            ("- [ ] " if unchecked else "- [x] ") + text
+            for unchecked, text in _H_CHECKITEM.findall(m.group(1))
+        ]
+        return "\n" + "\n".join(items) + "\n"
+
+    return _H_CHECKLIST.sub(conv, s)
+
+
+def _pass_merge_formatting(s: str) -> str:
+    """Merge immediately-adjacent same-tag formatting (</b><b> -> gone)
+    so exporters that split every word into its own <b> don't produce
+    ``**a****b**``; loops to a fixpoint like the reference's soup pass."""
+    prev = None
+    while prev != s:
+        prev = s
+        s = _H_MERGE.sub("", s)
+    return s
+
+
+def _pass_tables(s: str) -> str:
+    """Streamlined md tables (reference html_filter.py:568
+    streamline_tables): inside each <table>, wrapper tags (div/span/pre/
+    thead/tbody) are unwrapped, headings demoted to <strong>, line breaks
+    inside cells become spaces (md rows are single-line), and the first
+    row is promoted to the header row."""
+
+    def conv(m: re.Match) -> str:
+        inner = _H_TBL_UNWRAP.sub("", m.group(1))
+        inner = _H_TBL_HEAD.sub(lambda h: f"<{h.group(1)}strong>", inner)
+        inner = _H_TBL_BREAK.sub(" ", inner)
+        lines = []
+        for ri, row in enumerate(_H_ROW.findall(inner)):
+            cells = [" ".join(c.split()) for c in _H_CELL.findall(row)]
+            lines.append("| " + " | ".join(cells) + " |")
+            if ri == 0:
+                lines.append("| " + " | ".join("---" for _ in cells) + " |")
+        return "\n" + "\n".join(lines) + "\n"
+
+    return _H_TABLE.sub(conv, s)
+
 
 HTML_RULES: list[tuple[str, Callable[[str], str]]] = [
     ("comments", lambda s: _H_COMMENT.sub("", s)),
+    ("checklists", _pass_checklists),
+    ("merge_formatting", _pass_merge_formatting),
+    ("tables", _pass_tables),
     ("breaks", lambda s: _H_HR.sub("\n---\n", _H_BR.sub("\n", s))),
     ("headings", lambda s: _H_HEAD.sub(
         lambda m: "\n" + "#" * int(m.group(1)) + " " + m.group(2).strip() + "\n", s)),
@@ -477,8 +723,6 @@ HTML_RULES: list[tuple[str, Callable[[str], str]]] = [
     ("links", lambda s: _H_LINK.sub(r"[\2](\1)", s)),
     ("images", lambda s: _H_IMG.sub(
         lambda m: f"![{m.group(2) or ''}]({m.group(1)})", s)),
-    ("rows", lambda s: _H_ROW.sub(
-        lambda m: "| " + " | ".join(_H_CELL.findall(m.group(1))) + " |\n", s)),
     ("items", lambda s: _H_LI.sub(r"- \1\n", s)),
     ("paragraphs", lambda s: _H_PARA.sub("\n", s)),
     ("strip", lambda s: _H_TAG.sub("", s)),
@@ -495,6 +739,15 @@ def html_to_md(s: str) -> str:
     '- x\\n- *y*'
     >>> html_to_md('<pre><code>a <b>raw</b></code></pre>')
     '```\\na <b>raw</b>\\n```'
+    >>> print(html_to_md('<table><tr><td>a</td><td>b</td></tr>'
+    ...                  '<tr><td>1<br/>x</td><td>2</td></tr></table>'))
+    | a | b |
+    | --- | --- |
+    | 1 x | 2 |
+    >>> html_to_md('<b>bo</b><b>ld</b><div class="checklist">'
+    ...            '<div class="checked">x</div>'
+    ...            '<div class="unchecked">y</div></div>')
+    '**bold**\\n- [x] x\\n- [ ] y'
     """
     if s is None:
         return None

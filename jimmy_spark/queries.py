@@ -890,9 +890,14 @@ def markup_sources(doc_id, lang, source, snippet):
     )
     html = F.concat(
         F.lit("<h1>"), lang, F.lit("</h1><p><b>"), source,
-        F.lit('</b> &amp; <a href="http://d/'), doc_id, F.lit('">doc '),
-        doc_id, F.lit("</a></p><ul><li><i>"), snippet,
-        F.lit("</i></li></ul><pre><code>"), snippet, F.lit("</code></pre>"),
+        F.lit("</b><b> says</b> &amp; <a href=\"http://d/"), doc_id,
+        F.lit('">doc '), doc_id, F.lit("</a></p><ul><li><i>"), snippet,
+        F.lit("</i></li></ul><table><tr><td><h3>id</h3></td><td>src</td></tr>"
+              "<tr><td>"), doc_id, F.lit("<br/>x</td><td><span>"), source,
+        F.lit('</span></td></tr></table><div class="checklist">'
+              '<div class="checked">review '), doc_id,
+        F.lit('</div><div class="unchecked">publish</div></div><pre><code>'),
+        snippet, F.lit("</code></pre>"),
     )
     enml = F.concat(
         F.lit("<en-note><h2>"), lang, F.lit("</h2><div>doc "), doc_id,
@@ -902,21 +907,32 @@ def markup_sources(doc_id, lang, source, snippet):
         F.lit('" type="image/png"/><table><tr><td>'), source,
         F.lit("</td><td>"), doc_id, F.lit("</td></tr></table></en-note>"),
     )
-    return zim, tid, roam, bb, html, enml
+    cn = F.concat(
+        F.lit("[V] reviewed "), doc_id, F.lit("\n[ ] publish to "), source,
+        F.lit("\nnote: "), snippet,
+    )
+    ct = F.concat(
+        F.lit("• "), lang, F.lit("\n◦ doc "), doc_id, F.lit("\n▪ "), snippet,
+        F.lit("\n• by "), source,
+    )
+    return zim, tid, roam, bb, html, enml, cn, ct
 
 
 def q_markup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered markup-grammar rewrite (SURVEY §2.7, the reference's densest
-    layer): zim, tiddlywiki, Roam and Zettelkasten-BBCode sources ->
-    Markdown via the fixed-order rule pipelines in functions/markup.py,
-    vectorized UDFs. Hash-checked against the golden parquet computed by
-    the local pipeline twins."""
+    layer): all 8 grammars — zim, tiddlywiki, Roam, Zettelkasten-BBCode,
+    the HTML filter pipeline (incl. streamline-tables / div-checklists /
+    merge-formatting passes), ENML, ColorNote and CherryTree — via the
+    fixed-order rule pipelines in functions/markup.py, vectorized UDFs.
+    Hash-checked against the golden parquet computed by the local pipeline
+    twins; the zim/tiddly grammars are additionally anchored to the
+    reference's published doctests in tests/test_markup.py."""
     from jimmy_spark.functions import markup
 
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     snippet = F.substring(F.col("text"), 1, 24)
-    zim, tid, roam, bb, html, enml = markup_sources(
+    zim, tid, roam, bb, html, enml, cn, ct = markup_sources(
         did, F.col("lang"), F.col("source"), snippet
     )
     return docs.select(
@@ -927,6 +943,8 @@ def q_markup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         markup.bbcode_to_md_udf()(bb).alias("md_bb"),
         markup.html_to_md_udf()(html).alias("md_html"),
         markup.enml_to_md_udf()(enml).alias("md_enex"),
+        markup.colornote_to_md_udf()(cn).alias("md_cn"),
+        markup.cherrytree_to_md_udf()(ct).alias("md_ct"),
     )
 
 

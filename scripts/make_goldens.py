@@ -116,6 +116,8 @@ def golden_video_frames() -> pd.DataFrame:
 def golden_markup_rewrite() -> pd.DataFrame:
     from jimmy_spark.functions.markup import (
         bbcode_to_md,
+        cherrytree_to_md,
+        colornote_to_md,
         enml_to_md,
         html_to_md,
         roam_to_md,
@@ -127,7 +129,7 @@ def golden_markup_rewrite() -> pd.DataFrame:
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
     )
     out = pd.DataFrame({"doc_id": docs["doc_id"]})
-    zim, tid, roam, bb, htm, enx = [], [], [], [], [], []
+    zim, tid, roam, bb, htm, enx, cn, ct = [], [], [], [], [], [], [], []
     for r in docs.itertuples():
         did = str(r.doc_id)
         snip = r.text[:24]
@@ -149,9 +151,15 @@ def golden_markup_rewrite() -> pd.DataFrame:
             f"[img]img{did}.png[/img] [code]{snip}[/code]"
         ))
         htm.append(html_to_md(
-            f"<h1>{r.lang}</h1><p><b>{r.source}</b> &amp; "
+            f"<h1>{r.lang}</h1><p><b>{r.source}</b><b> says</b> &amp; "
             f'<a href="http://d/{did}">doc {did}</a></p>'
-            f"<ul><li><i>{snip}</i></li></ul><pre><code>{snip}</code></pre>"
+            f"<ul><li><i>{snip}</i></li></ul>"
+            f"<table><tr><td><h3>id</h3></td><td>src</td></tr>"
+            f"<tr><td>{did}<br/>x</td><td><span>{r.source}</span></td></tr>"
+            f'</table><div class="checklist">'
+            f'<div class="checked">review {did}</div>'
+            f'<div class="unchecked">publish</div></div>'
+            f"<pre><code>{snip}</code></pre>"
         ))
         enx.append(enml_to_md(
             f"<en-note><h2>{r.lang}</h2><div>doc {did} by <b>{r.source}</b>"
@@ -159,12 +167,20 @@ def golden_markup_rewrite() -> pd.DataFrame:
             f'<br/><en-media hash="h{did}" type="image/png"/>'
             f"<table><tr><td>{r.source}</td><td>{did}</td></tr></table></en-note>"
         ))
+        cn.append(colornote_to_md(
+            f"[V] reviewed {did}\n[ ] publish to {r.source}\nnote: {snip}"
+        ))
+        ct.append(cherrytree_to_md(
+            f"• {r.lang}\n◦ doc {did}\n▪ {snip}\n• by {r.source}"
+        ))
     out["md_zim"] = zim
     out["md_tid"] = tid
     out["md_roam"] = roam
     out["md_bb"] = bb
     out["md_html"] = htm
     out["md_enex"] = enx
+    out["md_cn"] = cn
+    out["md_ct"] = ct
     return out
 
 

@@ -19,9 +19,44 @@ CASES = [
     ("[ ] a\n[*] b", "- [ ] a\n- [x] b"),
     ("//em// and ''//code//''", "*em* and `//code//`"),
     ("[[target|label]] x [[bare]]", "[label](target) x [bare](bare)"),
-    ("{{shot.png}}", "![](shot.png)"),
+    ("{{shot.png}}", "![shot.png](shot.png)"),
     ("plain text stays", "plain text stays"),
 ]
+
+# Independent anchors: input/output pairs taken VERBATIM from the
+# reference's published doctests (/root/reference/src/jimmy/md_lib/
+# zim.py:21-51), so the grammar is checked against the reference's
+# documented semantics, not against its own golden twin.
+ZIM_REF_CASES = [
+    ("''monospace'' **bold**", "`monospace` **bold**"),
+    ("super^{script}, sub_{script}", "super^script^, sub~script~"),
+    ("====== heading 1 ======", "# heading 1"),
+    ("== heading5 ==", "##### heading5"),
+    ("**__highlighted and bold__**", "**==highlighted and bold==**"),
+    ("'''\nsome code\nblock\n'''", "```\nsome code\nblock\n```"),
+    ("[ ] unchecked\n[x] not done", "- [ ] unchecked\n- [x] not done"),
+    (
+        "[ ] u\n    [>] np\n    [*] nd\n[x] nd",
+        "- [ ] u\n    - [ ] np\n    - [x] nd\n- [x] nd",
+    ),
+    (
+        "* lvl1\n\t* lvl2\n\t* lvl2\n* lvl1",
+        "* lvl1\n    * lvl2\n    * lvl2\n* lvl1",
+    ),
+    ("{{./image.png}}", "![image.png](image.png)"),
+    ("{{./image.png?width=600}}", "![image.png](image.png)"),
+    ("[[#heading3|heading3]]", "[heading3](#heading3)"),
+    (
+        "[[https://www.bvb.de/|TITLE ''monospace'']]",
+        "[TITLE `monospace`](https://www.bvb.de/)",
+    ),
+    ("[[./0.mp3]]", "[./0.mp3](0.mp3)"),
+]
+
+
+@pytest.mark.parametrize("src,expected", ZIM_REF_CASES)
+def test_zim_reference_doctest_anchors(src, expected):
+    assert markup.wiki_to_md(src) == expected
 
 
 @pytest.mark.parametrize("src,expected", CASES)
@@ -48,13 +83,139 @@ def test_rule_order_matters():
 
 TIDDLY_CASES = [
     ("!!! Deep", "### Deep"),
-    ("# a\n## b\n* c\n** d", "1. a\n  1. b\n- c\n  - d"),
-    ("''b'' //i// __u__", "**b** *i* <u>u</u>"),
-    ("[[Label|tgt]] [[Bare]]", "[Label](tgt) [Bare](Bare)"),
+    ("# a\n## b\n* c\n** d", "1. a\n    1. b\n* c\n    * d"),
+    ("''b'' //i// __u__", "**b** *i* ++u++"),
+    (
+        "[[Label|tgt]] [[Bare]]",
+        "[Label](tiddlywiki://tgt) [Bare](tiddlywiki://Bare)",
+    ),
     ("|h1|h2|h\n|x|y|\n|z|w|", "| h1 | h2 |\n| --- | --- |\n| x | y |\n| z | w |"),
     ("|first|row|\n|x|y|", "| first | row |\n| --- | --- |\n| x | y |"),
     ("keep {{{''raw''}}} safe", "keep `''raw''` safe"),
 ]
+
+# Anchors verbatim from the reference's published doctests
+# (/root/reference/src/jimmy/md_lib/tiddlywiki.py:210-294).
+TIDDLY_REF_CASES = [
+    (
+        "Double single quotes are used for ''bold'' text",
+        "Double single quotes are used for **bold** text",
+    ),
+    ("!! //italic heading//", "## *italic heading*"),
+    (
+        "''only bold text followed by: //bold and italic text//''",
+        "**only bold text followed by: *bold and italic text***",
+    ),
+    ("//italic text://", "*italic text:*"),
+    (
+        "from http://127.0.0.1/MyApp to default http://127.0.0.1/.",
+        "from http://127.0.0.1/MyApp to default http://127.0.0.1/.",
+    ),
+    (
+        "! level 1 heading!\n!!!!!! level 6! heading",
+        "# level 1 heading!\n###### level 6! heading",
+    ),
+    (
+        "<<<\nThis is a block quoted paragraph\nwritten in English\n<<<",
+        "\n> This is a block quoted paragraph\n> written in English",
+    ),
+    (
+        "<<<\nComputers are like a bicycle for our minds\n<<< S. Jobs",
+        "\n> Computers are like a bicycle for our minds\n> *S. Jobs*",
+    ),
+    (
+        "> Quoted text\n> Another line of quoted text",
+        "> Quoted text\n> Another line of quoted text",
+    ),
+    (
+        "* -- n-dash\n* --- m-dash --- example\n----",
+        "* – n-dash\n* — m-dash — example\n---",
+    ),
+    ("----\n---", "---\n---"),
+    ("[img[Motovun Jack.jpg]]", "![Motovun Jack.jpg](Motovun Jack.jpg)"),
+    (
+        "[img[https://tiddlywiki.com/favicon.ico]]",
+        "![https://tiddlywiki.com/favicon.ico](https://tiddlywiki.com/favicon.ico)",
+    ),
+    (
+        "[img[An explanatory tooltip|Motovun Jack.jpg]]",
+        "![An explanatory tooltip](Motovun Jack.jpg)",
+    ),
+    ("abc [img[a|b.jpg]] def", "abc ![a](b.jpg) def"),
+    (
+        "[img width=32 class='tc-image' [Motovun Jack.jpg]]",
+        "![Motovun Jack.jpg](Motovun Jack.jpg)",
+    ),
+    (
+        "link to [[Tiddler Title]]",
+        "link to [Tiddler Title](tiddlywiki://Tiddler Title)",
+    ),
+    (
+        "[[Displayed Link Title|Tiddler Title]]",
+        "[Displayed Link Title](tiddlywiki://Tiddler Title)",
+    ),
+    ("abc [[TW5|https://tiddlywiki.com/]]", "abc [TW5](https://tiddlywiki.com/)"),
+    ("[[Mail me|mailto:me@where.net]] def", "[Mail me](mailto:me@where.net) def"),
+    (
+        "[[mailto:me@where.net]] def",
+        "[mailto:me@where.net](mailto:me@where.net) def",
+    ),
+    (
+        "[[Open file|file:///c:/users/me/index.html]]",
+        "[Open file](file:///c:/users/me/index.html)",
+    ),
+    ("[ext[Open file|index.html]]", "[Open file](index.html)"),
+    ("abc [ext[Open file|./index.html]]", "abc [Open file](./index.html)"),
+    ("[ext[Open file|../README.md]] def", "[Open file](../README.md) def"),
+    (
+        "[ext[Open file|../README Space.md]] def",
+        "[Open file](<../README Space.md>) def",
+    ),
+    (
+        "[ext[Open file|c:\\users\\me\\index.html]]",
+        "[Open file](<c:\\users\\me\\index.html>)",
+    ),
+    ("[ext[https://www.bvb.de/]]", "[https://www.bvb.de/](https://www.bvb.de/)"),
+    (
+        "text1 [[title 1|link 1]] text2 [[link2]] text3",
+        "text1 [title 1](tiddlywiki://link 1) text2 "
+        "[link2](tiddlywiki://link2) text3",
+    ),
+    (
+        "`[]`, [[Links|Links]], [[Filters|Filters]]",
+        "`[]`, [Links](tiddlywiki://Links), [Filters](tiddlywiki://Filters)",
+    ),
+    (
+        "* First item\n* Second item\n** Subitem\n* Third list item",
+        "* First item\n* Second item\n    * Subitem\n* Third list item",
+    ),
+    (
+        "# Step 1\n# Step 2\n## Step2.1\n# Step 3",
+        "1. Step 1\n1. Step 2\n    1. Step2.1\n1. Step 3",
+    ),
+    (
+        "* Do today\n*# Eat\n* To do\n*# This\n*# That\n*## Other",
+        "* Do today\n    1. Eat\n* To do\n    1. This\n    1. That\n        1. Other",
+    ),
+    (
+        "* One\n** Two\n**> A quote\n**> Another quote\n* List Three",
+        "* One\n    * Two\n        > A quote\n        > Another quote\n* List Three",
+    ),
+    (
+        "|!Cell1 |!Cell2 |\n|Cell3 |Cell4 |\n",
+        "| Cell1 | Cell2 |\n| --- | --- |\n| Cell3 | Cell4 |\n",
+    ),
+    (
+        "- ''modifier''\n- __underlined__",
+        "- **modifier**\n- ++underlined++",
+    ),
+    ("|C1 |''modifier''|\n", "| C1 | **modifier** |\n| --- | --- |\n"),
+]
+
+
+@pytest.mark.parametrize("src,expected", TIDDLY_REF_CASES)
+def test_tiddly_reference_doctest_anchors(src, expected):
+    assert markup.tiddly_to_md(src) == expected
 
 
 @pytest.mark.parametrize("src,expected", TIDDLY_CASES)
@@ -112,7 +273,19 @@ HTML_CASES = [
     ('<a href="u">t</a> <img src="p.png" alt="alt"/>', "[t](u) ![alt](p.png)"),
     ("<ul><li>one</li><li>two</li></ul>", "- one\n- two"),
     ("<table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>b</td></tr></table>",
-     "| h1 | h2 |\n| a | b |"),
+     "| h1 | h2 |\n| --- | --- |\n| a | b |"),
+    # streamline_tables semantics (html_filter.py:568): wrappers unwrapped,
+    # headings demoted to bold, cell line breaks -> spaces
+    ("<table><tr><td><div><h3>K</h3></div></td><td>v</td></tr>"
+     "<tr><td>a<br/>b</td><td><span>c</span></td></tr></table>",
+     "| **K** | v |\n| --- | --- |\n| a b | c |"),
+    # div_checklists semantics (html_filter.py:48)
+    ('<div class="checklist"><div class="checked">done it</div>'
+     '<div class="unchecked">todo it</div></div>',
+     "- [x] done it\n- [ ] todo it"),
+    # merge_consecutive_formatting semantics (html_filter.py:142)
+    ("<b>split</b><b> bold</b> and <i>it</i><i>al</i>",
+     "**split bold** and *ital*"),
     ("x &lt;tag&gt; &amp; y", "x <tag> & y"),
     ("<pre><code>keep <b>raw</b></code></pre>", "```\nkeep <b>raw</b>\n```"),
     ("<!-- hidden --><span>kept</span>", "kept"),

@@ -152,6 +152,9 @@ class TestMarkupProperties:
 
         from jimmy_spark.functions import markup
 
-        assume(not any(t in s for t in ("''", "//", "[[", "{{", "[ ]", "[*]")))
+        assume(not any(t in s for t in (
+            "''", "//", "[[", "{{", "[ ]", "[*]", "[x]", "[>]", "[<]",
+            "__", "^{", "_{", "\t",
+        )))
         assume("=" not in s and "\x00" not in s)
         assert markup.wiki_to_md(s) == s
