@@ -95,6 +95,75 @@ class TestHexgrid:
         assert (eu[m] >= 1.5 * s * d[m] - 1e-6).all()
 
 
+# ---------------------------------------------------------------------------
+# Independent S2 twin: a scalar, per-point encoder derived from FIRST
+# PRINCIPLES of the published S2 scheme — the Hilbert child order is
+# reconstructed at runtime from the canonical U-order [(0,0),(0,1),(1,1),
+# (1,0)], the swap/invert orientation transforms, and the child orientation
+# deltas [swap, 0, 0, swap|invert]; each level searches that order instead
+# of using the production module's precomputed 4-bit lookup tables
+# (functions/s2.py:_init_lookup). Shares no Hilbert code with production —
+# agreement on random points is the anti-circularity check the golden twin
+# cannot provide.
+
+_SB_SWAP, _SB_INVERT = 1, 2
+_SB_BASE = [(0, 0), (0, 1), (1, 1), (1, 0)]
+_SB_DELTA = [_SB_SWAP, 0, 0, _SB_SWAP | _SB_INVERT]
+
+
+def _sb_child_ij(orient: int, pos: int) -> tuple[int, int]:
+    i, j = _SB_BASE[pos]
+    if orient & _SB_SWAP:
+        i, j = j, i
+    if orient & _SB_INVERT:
+        i, j = 1 - i, 1 - j
+    return i, j
+
+
+def _s2_leaf_independent(lat_e7: int, lon_e7: int) -> int:
+    import math
+
+    lat = lat_e7 * math.pi / 180.0 / 1e7
+    lon = lon_e7 * math.pi / 180.0 / 1e7
+    x = math.cos(lat) * math.cos(lon)
+    y = math.cos(lat) * math.sin(lon)
+    z = math.sin(lat)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    face = (0 if ax >= az else 2) if ax >= ay else (1 if ay >= az else 2)
+    comp = (x, y, z)[face]
+    if comp < 0:
+        face += 3
+    u, v = {
+        0: (y / x, z / x),
+        1: (-x / y, z / y),
+        2: (-x / z, -y / z),
+        3: (z / x, y / x),
+        4: (z / y, -x / y),
+        5: (-y / z, -x / z),
+    }[face]
+
+    def st(w: float) -> float:
+        return 0.5 * math.sqrt(1.0 + 3.0 * w) if w >= 0 else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * w)
+
+    def ij(w: float) -> int:
+        return min(max(int(w * (1 << 30)), 0), (1 << 30) - 1)
+
+    i, j = ij(st(u)), ij(st(v))
+    orient = face & _SB_SWAP
+    pos = 0
+    for k in range(29, -1, -1):
+        bits = ((i >> k) & 1, (j >> k) & 1)
+        p = next(p for p in range(4) if _sb_child_ij(orient, p) == bits)
+        pos = (pos << 2) | p
+        orient ^= _SB_DELTA[p]
+    return (face << 61) | (pos << 1) | 1
+
+
+def _s2_parent_independent(leaf: int, level: int) -> int:
+    lsb = 1 << (2 * (30 - level))
+    return (leaf & ~(lsb - 1)) | lsb
+
+
 class TestS2:
     def test_known_values(self):
         """Canonical S2 anchors: face centers and the NYC 89c2... prefix."""
@@ -103,6 +172,50 @@ class TestS2:
         leaf = s2.encode(lat, lon, 30).view(np.uint64)
         assert leaf[0] == np.uint64(0x1000000000000001)  # center of face 0
         assert (leaf[1] >> np.uint64(48)) == np.uint64(0x89C2)  # NYC S2 prefix
+
+    def test_all_face_center_anchors(self):
+        """The center point of every cube face encodes to the structural
+        leaf id (face << 61) | (1 << 60) | 1 — the published S2 id layout
+        (3 face bits, Hilbert position, trailing lsb)."""
+        centers = [
+            (0, 0), (0, 900000000), (900000000, 0),
+            (0, 1800000000), (0, -900000000), (-900000000, 0),
+        ]
+        lat = np.array([c[0] for c in centers], dtype=np.int64)
+        lon = np.array([c[1] for c in centers], dtype=np.int64)
+        leaf = s2.encode(lat, lon, 30).view(np.uint64)
+        for f in range(6):
+            if f == 3:
+                # (0, 180) is not exactly representable on face 3's center:
+                # sin(pi) ~ 1.2e-16 shifts the point one leaf off center
+                # (the real s2geometry lat/lng path rounds identically), so
+                # the exact anchor only holds at the face level
+                continue
+            want = (np.uint64(f) << np.uint64(61)) | np.uint64(1 << 60) | np.uint64(1)
+            assert leaf[f] == want, f"face {f}"
+        # level-0 anchor holds exactly for ALL six faces: the face cell id
+        # is (face << 61) | (1 << 60) in the published layout
+        lvl0 = s2.encode(lat, lon, 0).view(np.uint64)
+        for f in range(6):
+            assert lvl0[f] == (np.uint64(f) << np.uint64(61)) | np.uint64(1 << 60)
+
+    def test_matches_independent_first_principles_encoder(self, coords):
+        """Production (LUT-based, vectorized) vs the scalar from-first-
+        principles twin above, on 1500 seeded random points at leaf and
+        at the engine's three levels."""
+        _, lat, lon = coords
+        lat, lon = lat[:1500], lon[:1500]
+        got_leaf = s2.encode(lat, lon, 30).view(np.uint64)
+        for n in range(1500):
+            want = _s2_leaf_independent(int(lat[n]), int(lon[n]))
+            assert int(got_leaf[n]) == want, (lat[n], lon[n])
+        for level in (12, 14, 16):
+            got = s2.encode(lat, lon, level).view(np.uint64)
+            for n in range(0, 1500, 7):
+                want = _s2_parent_independent(
+                    _s2_leaf_independent(int(lat[n]), int(lon[n])), level
+                )
+                assert int(got[n]) == want
 
     def test_levels_and_hierarchy(self, coords):
         _, lat, lon = coords
