@@ -117,3 +117,54 @@ def test_near_dup_vectors_not_in_candidate_shuffle(spark):
         if "Exchange hashpartitioning" in line:
             assert "vec_a" in line or "vec_b" in line or "bkt" in line
             assert " v#" not in line and "va#" not in line and "vb#" not in line
+
+
+def test_json_scan_prunes_to_pinned_schema(spark):
+    """json_scan reads under a PINNED schema and must prune the JSON parse
+    to exactly the projected fields — schema inference (a second full
+    scan) and full-record parsing are the 100-TB anti-patterns."""
+    from jimmy_spark.queries import q_json_scan
+
+    plan = _plan(q_json_scan(spark, "/root/testdata/sf0.001"))
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("id", "content", "tags", "lastModified"):
+        assert col in read_schema
+    assert "EvalPython" not in plan  # projection is pure JVM
+
+
+def test_xml_scan_projection_jvm_side(spark):
+    from jimmy_spark.queries import q_xml_scan
+
+    plan = _plan(q_xml_scan(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan  # straight scan -> project, no shuffle
+
+
+def test_sqlite_scan_is_partitioned_map(spark):
+    """The SQLite source must be bounds -> mapInPandas with no driver-side
+    row collection and no shuffle beyond the bounds repartition."""
+    from jimmy_spark.queries import q_sqlite_scan
+
+    plan = _plan(q_sqlite_scan(spark, "/root/testdata/sf0.001"))
+    assert "MapInPandas" in plan
+
+
+def test_decrypt_colornote_lane_pure_jvm(spark):
+    """The ColorNote decrypt lane (key/iv KDF + CBC decrypt) must compile
+    to JVM expressions; only the Evernote KDF/HMAC lane may use Python."""
+    from jimmy_spark.datagen import ensure_exports
+    from jimmy_spark.datagen.exports import ENC_PASSWORD
+
+    exp = str(ensure_exports("t2"))
+    enc = spark.read.parquet(f"{exp}/enc.parquet")
+    pw = F.lit(ENC_PASSWORD)
+    key = F.unhex(F.md5(F.concat(pw, F.col("cn_salt"))))
+    iv = F.unhex(F.md5(F.concat(key, pw, F.col("cn_salt"))))
+    lane = enc.select(
+        F.aes_decrypt(
+            F.concat(iv, F.col("cn_ct")), key, F.lit("CBC"), F.lit("PKCS")
+        ).cast("string").alias("p")
+    )
+    plan = _plan(lane)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
