@@ -135,3 +135,77 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
         prev = _encrypt_block(blk, rks)
         out.append(prev)
     return b"".join(out)
+
+
+# --- inverse cipher (FIPS-197 §5.3) — used by the ENML <en-crypt>
+# recursive re-parse (functions/markup.py), which decrypts INSIDE a
+# per-row Python handler where Spark's JVM aes_decrypt can't reach.
+
+_ISBOX = [0] * 256
+for _i, _v in enumerate(_SBOX):
+    _ISBOX[_v] = _i
+
+
+def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    def add_rk(st, rk):
+        return [a ^ b for a, b in zip(st, rk)]
+
+    def inv_sub_shift(st):
+        # inverse of sub_shift: row r rotates RIGHT by r, then InvSubBytes
+        out = [0] * 16
+        for c in range(4):
+            for r in range(4):
+                out[((c + r) % 4) * 4 + r] = _ISBOX[st[c * 4 + r]]
+        return out
+
+    def inv_mix(st):
+        out = [0] * 16
+        for c in range(4):
+            a = st[c * 4 : c * 4 + 4]
+            for r in range(4):
+                out[c * 4 + r] = (
+                    _gf_mul(a[r], 14)
+                    ^ _gf_mul(a[(r + 1) % 4], 11)
+                    ^ _gf_mul(a[(r + 2) % 4], 13)
+                    ^ _gf_mul(a[(r + 3) % 4], 9)
+                )
+        return out
+
+    s = add_rk(list(block), rks[10])
+    for rnd in range(9, 0, -1):
+        s = inv_mix(add_rk(inv_sub_shift(s), rks[rnd]))
+    s = add_rk(inv_sub_shift(s), rks[0])
+    return bytes(s)
+
+
+def aes128_cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
+    """PKCS7-unpadded AES-128-CBC decrypt; inverse of the encryptor above.
+
+    >>> key, iv = bytes(range(16)), bytes(range(16, 32))
+    >>> aes128_cbc_decrypt(key, iv, aes128_cbc_encrypt(key, iv, b'round trip!'))
+    b'round trip!'
+
+    NIST SP 800-38A F.2.2 CBC-AES128.Decrypt first block:
+
+    >>> key = bytes.fromhex('2b7e151628aed2a6abf7158809cf4f3c')
+    >>> iv = bytes.fromhex('000102030405060708090a0b0c0d0e0f')
+    >>> ct = bytes.fromhex('7649abac8119b246cee98e9b12e9197d')
+    >>> bytes(a ^ b for a, b in zip(_decrypt_block(ct, _expand_key(key)), iv)).hex()
+    '6bc1bee22e409f96e93d7e117393172a'
+    """
+    if len(key) != 16 or len(iv) != 16:
+        raise ValueError("AES-128-CBC needs 16-byte key and iv")
+    if len(ciphertext) % 16 or not ciphertext:
+        raise ValueError("ciphertext must be a positive multiple of 16 bytes")
+    rks = _expand_key(key)
+    out = []
+    prev = iv
+    for i in range(0, len(ciphertext), 16):
+        blk = ciphertext[i : i + 16]
+        out.append(bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev)))
+        prev = blk
+    data = b"".join(out)
+    pad = data[-1]
+    if not 1 <= pad <= 16 or data[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad PKCS7 padding")
+    return data[:-pad]

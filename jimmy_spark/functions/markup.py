@@ -794,13 +794,51 @@ from html.parser import HTMLParser  # noqa: E402 — optional dep pattern
 class _EnmlHandler(HTMLParser):
     _WRAP = {"b": "**", "strong": "**", "i": "*", "em": "*", "code": "`"}
 
-    def __init__(self) -> None:
+    def __init__(self, password: bytes | None = None, pbkdf2_iters: int = 1000) -> None:
         super().__init__(convert_charrefs=True)
         self.out: list[str] = []
         self.list_stack: list[str] = []  # "ul" / "ol"
         self.cells: list[str] | None = None  # inside <tr>
         self.in_cell = False
         self.row_count = 0
+        self.password = password
+        self.pbkdf2_iters = pbkdf2_iters
+        self._crypt_buf: list[str] | None = None  # inside <en-crypt>
+
+    def _decrypt_encrypt_block(self, b64_payload: str) -> str | None:
+        """Evernote ENC0 inline block (md_lib/evernote.py:19-49 layout):
+        'ENC0' || salt || hmac_salt || iv || ct || hmac-sha256, keys via
+        PBKDF2-HMAC-SHA256 (reference: 50000 rounds; configurable here —
+        the committed fixtures use 1000, same shape). Returns the
+        decrypted ENML fragment, or None when there is no password, the
+        HMAC fails, or the blob is malformed."""
+        if self.password is None:
+            return None
+        import base64
+        import hashlib
+        import hmac as hm
+
+        from jimmy_spark.datagen.aes import aes128_cbc_decrypt
+
+        try:
+            blob = base64.b64decode(b64_payload, validate=False)
+            if len(blob) < 84 or blob[:4] != b"ENC0":
+                return None
+            salt, h_salt, iv = blob[4:20], blob[20:36], blob[36:52]
+            ct, msg, ref = blob[52:-32], blob[:-32], blob[-32:]
+            h_key = hashlib.pbkdf2_hmac(
+                "sha256", self.password, h_salt, self.pbkdf2_iters, 16
+            )
+            if not hm.compare_digest(
+                hm.new(h_key, msg, hashlib.sha256).digest(), ref
+            ):
+                return None
+            key = hashlib.pbkdf2_hmac(
+                "sha256", self.password, salt, self.pbkdf2_iters, 16
+            )
+            return aes128_cbc_decrypt(key, iv, ct).decode("utf-8")
+        except Exception:  # noqa: BLE001 — per-block error isolation
+            return None
 
     # -- helpers ------------------------------------------------------
     def _emit(self, s: str) -> None:
@@ -841,6 +879,8 @@ class _EnmlHandler(HTMLParser):
             self._emit("- [x] " if a.get("checked") == "true" else "- [ ] ")
         elif tag == "en-media":
             self._emit(f"![]({a.get('hash', '')})")
+        elif tag == "en-crypt":
+            self._crypt_buf = []
         elif tag == "a":
             self._emit("[")
             self._href = a.get("href", "")
@@ -865,6 +905,8 @@ class _EnmlHandler(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
+        if tag == "en-crypt":  # self-closing: close the (empty) buffer
+            self.handle_endtag(tag)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in self._WRAP:
@@ -876,6 +918,19 @@ class _EnmlHandler(HTMLParser):
             self._newline()
         elif tag == "a":
             self._emit(f"]({getattr(self, '_href', '')})")
+        elif tag == "en-crypt":
+            payload, self._crypt_buf = "".join(self._crypt_buf or []), None
+            plain = self._decrypt_encrypt_block(payload.strip())
+            if plain is None:
+                self._emit("[encrypted]")
+            else:
+                # recursive re-parse of the decrypted fragment (the
+                # reference's recursive shape, md_lib/evernote.py:441-474)
+                # through a FRESH handler so its state can't corrupt ours
+                sub = _EnmlHandler(self.password, self.pbkdf2_iters)
+                sub.feed(plain)
+                sub.close()
+                self._emit(sub.result())
         elif tag in ("td", "th"):
             self.in_cell = False
         elif tag == "tr" and self.cells is not None:
@@ -892,14 +947,23 @@ class _EnmlHandler(HTMLParser):
                 self.row_count += 1
 
     def handle_data(self, data: str) -> None:
+        if self._crypt_buf is not None:
+            self._crypt_buf.append(data)
+            return
         self._emit(data)
 
     def result(self) -> str:
         return "".join(self.out).strip()
 
 
-def enml_to_md(s: str) -> str:
-    """Streaming ENML -> Markdown.
+def enml_to_md(
+    s: str, password: bytes | None = None, pbkdf2_iters: int = 1000
+) -> str:
+    """Streaming ENML -> Markdown. ``password`` unlocks inline
+    ``<en-crypt>`` blocks (ENC0 layout, PBKDF2 + HMAC verify + pure-Python
+    AES-CBC, datagen/aes.py), whose decrypted ENML is re-parsed
+    recursively; without a password (or on HMAC failure) the block renders
+    as the deterministic ``[encrypted]`` placeholder, never garbage.
 
     >>> enml_to_md('<en-note><h2>T</h2><div><b>x</b> and <i>y</i></div></en-note>')
     '## T\\n**x** and *y*'
@@ -916,7 +980,7 @@ def enml_to_md(s: str) -> str:
     if s is None:
         return None
     s = _sanitize(s)
-    h = _EnmlHandler()
+    h = _EnmlHandler(password, pbkdf2_iters)
     h.feed(s)
     h.close()
     return h.result()

@@ -663,6 +663,49 @@ def q_emb_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(aug, tau_micro=990_000)
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: top-50 tokens by document frequency
+    (df DESC, token ASC tie-break — fully deterministic). The df count is
+    the canonical wordcount shape: per-doc distinct tokens explode, one
+    groupBy with map-side partial aggregation, then a driver-scale top-k.
+    At 100 TB the explode output is bounded by corpus token mass and the
+    groupBy key (token) is the only shuffle; the window runs over the
+    already-aggregated (vocabulary-sized) frame."""
+    docs = _docs(spark, sf_dir)
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    df_counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.orderBy(F.desc("df"), "token")
+    return (
+        df_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select(F.col("rk").cast("long").alias("rk"), "token", "df")
+    )
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment — the step every
+    training-data pipeline needs and random() can never give it (resume,
+    re-run and cross-engine reproducibility all require the split to be a
+    pure function of the key). Bucket = md5(doc_id)-derived 28-bit int
+    mod 100 (the engine's standard cross-engine hash lane, exactly
+    mirrored in DuckDB): <80 train, <90 val, else test."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split"), "lang"
+    )
+
+
 def q_image_features(spark, sf_dir):
     return multimodal.image_features(_images(spark))
 
@@ -699,6 +742,26 @@ def _oracle_training() -> dict[str, str]:
     out["minhash_dedup"] = d["minhash_dedup"]
     out["dup_clusters"] = dedup.duckdb_components_sql(d["minhash_dedup"])
     out["ann_topk"] = similarity.duckdb_ann_sql(ANN_QUERY_IDS, k=10)
+    out["vocab_topk"] = """
+WITH df_counts AS (
+  SELECT t AS token, count(*) AS df FROM (
+    SELECT doc_id,
+           unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
+    FROM documents
+  ) GROUP BY t
+)
+SELECT rk, token, df FROM (
+  SELECT token, df,
+         row_number() OVER (ORDER BY df DESC, token) AS rk
+  FROM df_counts
+) WHERE rk <= 50
+"""
+    out["split_assign"] = (
+        "SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' "
+        "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, lang FROM ("
+        "SELECT doc_id, ('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT "
+        "% 100 AS bucket, lang FROM documents)"
+    )
     # bit-level simhash oracle: md5[:8] big-endian as uint64 via UBIGINT,
     # per-bit majority vote, signed-int64 wrap — matches the NumPy kernel
     out["simhash"] = """
@@ -1060,6 +1123,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "emb_near_dup": q_emb_near_dup,
     "ann_ivf": q_ann_ivf,
+    "vocab_topk": q_vocab_topk,
+    "split_assign": q_split_assign,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,

@@ -341,6 +341,48 @@ def test_colornote_and_cherrytree(spark):
     assert row.ct == markup.cherrytree_to_md(ct)
 
 
+def _enc0_blob(plain: bytes, password: bytes, iters: int = 1000) -> bytes:
+    """Build an ENC0 blob with the from-scratch encryptor (datagen/aes.py)
+    — the decrypt side in the ENML handler is the independent inverse."""
+    import hashlib
+    import hmac as hm
+
+    from jimmy_spark.datagen.aes import aes128_cbc_encrypt
+
+    salt, h_salt, iv = b"s" * 16, b"h" * 16, b"i" * 16
+    key = hashlib.pbkdf2_hmac("sha256", password, salt, iters, 16)
+    ct = aes128_cbc_encrypt(key, iv, plain)
+    msg = b"ENC0" + salt + h_salt + iv + ct
+    h_key = hashlib.pbkdf2_hmac("sha256", password, h_salt, iters, 16)
+    return msg + hm.new(h_key, msg, hashlib.sha256).digest()
+
+
+def test_enml_en_crypt_recursive_reparse():
+    """<en-crypt> blocks decrypt and re-parse recursively (the reference's
+    md_lib/evernote.py:441-474 shape); no/wrong password degrades to a
+    deterministic placeholder, never garbage."""
+    import base64
+
+    pw = b"hunter2"
+    blob = _enc0_blob(b"<b>secret</b> plan", pw)
+    src = (
+        "<en-note>before <en-crypt cipher=\"AES\" length=\"128\">"
+        + base64.b64encode(blob).decode()
+        + "</en-crypt> after</en-note>"
+    )
+    assert markup.enml_to_md(src, password=pw) == "before **secret** plan after"
+    assert markup.enml_to_md(src) == "before [encrypted] after"
+    assert markup.enml_to_md(src, password=b"wrong") == "before [encrypted] after"
+    # malformed payload is error-isolated too
+    bad = "<en-note><en-crypt>!!notbase64!!</en-crypt></en-note>"
+    assert markup.enml_to_md(bad, password=pw) == "[encrypted]"
+    # a self-closing <en-crypt/> must not swallow the rest of the note
+    assert (
+        markup.enml_to_md("<en-note>a <en-crypt/> b</en-note>", password=pw)
+        == "a [encrypted] b"
+    )
+
+
 def test_enml_udf_matches_local(spark):
     df = spark.createDataFrame(
         [(i, s) for i, (s, _) in enumerate(ENML_CASES)], "i int, t string"
