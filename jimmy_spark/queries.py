@@ -706,6 +706,68 @@ def q_split_assign(spark, sf_dir):
     )
 
 
+SEQ_BUDGET = 2048
+
+
+def q_seq_pack(spark, sf_dir):
+    """Training-sequence packing: assign each document to a fixed-token-
+    budget sequence by running-prefix-sum bucketing (documents may span a
+    boundary; the sequence a doc STARTS in is its home). Packing runs
+    PER LANGUAGE GROUP — the window partitions by lang — because a single
+    global ordering window is one partition at 100 TB; real pipelines pack
+    within shards exactly like this and concatenate shard outputs.
+    Deterministic: ordering is (doc_id), budget fixed."""
+    docs = _docs(spark, sf_dir)
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_toks).over(w)
+    start = cum - n_toks
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_toks.alias("n_toks"),
+        F.floor(start / SEQ_BUDGET).alias("seq_id"),
+        (start % SEQ_BUDGET).alias("seq_offset"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII/URL scrubbing kernels (quality-pipeline redaction): emails,
+    URLs and phone-shaped numbers replaced with typed sentinels, plus
+    per-doc match counts — pure JVM regexp expressions over text with
+    PLANTED pii (both engines synthesize the same contact line, so the
+    redaction is actually exercised). Patterns restricted to the
+    character-class subset where Java regex (Spark) and RE2 (DuckDB)
+    agree exactly."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("contact user"), did, F.lit("@mail.example or "),
+        F.lit("https://docs.example/d/"), did, F.lit(" or 555-010"),
+        F.substring(did, -1, 1), F.lit("-2345 :: "),
+        F.substring("text", 1, 40),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    phone = r"\d{3}-\d{3,4}-\d{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(raw, email, "<EMAIL>"), url, "<URL>"),
+        phone,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(raw, F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(url)).cast("long").alias("n_urls"),
+        F.regexp_count(raw, F.lit(phone)).cast("long").alias("n_phones"),
+    )
+
+
 def q_image_features(spark, sf_dir):
     return multimodal.image_features(_images(spark))
 
@@ -762,6 +824,44 @@ SELECT rk, token, df FROM (
         "SELECT doc_id, ('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT "
         "% 100 AS bucket, lang FROM documents)"
     )
+    out["seq_pack"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_toks,
+         sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_toks AS start
+  FROM t
+)
+SELECT doc_id, lang, n_toks,
+       (start // {SEQ_BUDGET})::BIGINT AS seq_id,
+       (start % {SEQ_BUDGET})::BIGINT AS seq_offset
+FROM c
+"""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    url = "https?://[^\\s]+"
+    phone = "\\d{3}-\\d{3,4}-\\d{4}"
+    out["pii_scrub"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         'contact user' || doc_id::VARCHAR || '@mail.example or ' ||
+         'https://docs.example/d/' || doc_id::VARCHAR || ' or 555-010' ||
+         substring(doc_id::VARCHAR, -1, 1) || '-2345 :: ' ||
+         substring(text, 1, 40) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+           '{email}', '<EMAIL>', 'g'), '{url}', '<URL>', 'g'),
+           '{phone}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(raw, '{email}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(raw, '{url}'))::BIGINT AS n_urls,
+       len(regexp_extract_all(raw, '{phone}'))::BIGINT AS n_phones
+FROM r
+"""
     # bit-level simhash oracle: md5[:8] big-endian as uint64 via UBIGINT,
     # per-bit majority vote, signed-int64 wrap — matches the NumPy kernel
     out["simhash"] = """
@@ -1125,6 +1225,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "vocab_topk": q_vocab_topk,
     "split_assign": q_split_assign,
+    "seq_pack": q_seq_pack,
+    "pii_scrub": q_pii_scrub,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,

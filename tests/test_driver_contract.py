@@ -69,7 +69,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "link_semi", "tree_span", "binary_kernels", "metadata_map",
         "token_count", "quality_score", "lang_id", "fingerprint",
         "ngram_dedup", "minhash_dedup", "dup_clusters", "ann_topk",
-        "emb_near_dup", "vocab_topk", "split_assign",
+        "emb_near_dup", "vocab_topk", "split_assign", "seq_pack", "pii_scrub",
         "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
         "date_kernels", "string_kernels2",
