@@ -285,6 +285,76 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), sh(_tokens(text_col)).alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs (a < b) with simhash hamming distance <= max_hamming,
+    via 16-bit band LSH: by pigeonhole, any pair within hamming 3 of a
+    4-band split shares at least one full band, so band-equality candidates
+    have recall 1 for the target radius — the standard simhash dedup join.
+    Verification is one JVM expression (bit_count(xor)); buckets above
+    ``max_bucket`` are skipped exactly like minhash (rule mirrored in the
+    oracle). Completes the dedup ladder: exact -> ngram -> minhash ->
+    simhash pairs -> clustering.
+
+    Scale: the only shuffle keys are (band index, 16-bit band value); the
+    64-bit signature rides as one long. Candidate volume is sum of bucket
+    sizes squared — random corpora spread over 65536 values per band.
+    """
+    from pyspark.sql import Window
+
+    sigs = simhash64(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
+    )
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        # mask AFTER the shift: & 65535 keeps exactly bits
+                        # [16*bi, 16*bi+16) whether the shift is arithmetic
+                        # (Spark, DuckDB) or logical — sign-fill bits land
+                        # above the mask
+                        F.shiftright("sig", 16 * bi)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bv"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "sig", "bs.band", "bs.bv")
+    bands = (
+        bands.withColumn("_bs", F.count("*").over(Window.partitionBy("band", "bv")))
+        .filter(F.col("_bs") <= max_bucket)
+        .drop("_bs")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 # --- duplicate clustering (connected components) ---------------------------
 
 

@@ -625,6 +625,22 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Simhash near-dup pairs over a dup-planted corpus: every doc gets a
+    one-token-appended copy (id + 1e6) — the deterministic stand-in for a
+    lightly-edited duplicate — built IDENTICALLY on both engines, then the
+    banded hamming join (operators/dedup.py simhash_pairs) must find the
+    planted near-identical pairs and nothing random."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    return dedup.simhash_pairs(aug, max_hamming=3)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the minhash pair
     graph (iterative hash-min label propagation vs a recursive-CTE
@@ -864,27 +880,35 @@ FROM r
 """
     # bit-level simhash oracle: md5[:8] big-endian as uint64 via UBIGINT,
     # per-bit majority vote, signed-int64 wrap — matches the NumPy kernel
-    out["simhash"] = """
-WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
-  FROM documents
+    out["simhash"] = _simhash_sql("documents")
+    # dup-planted corpus (identical construction to q_simhash_pairs) ->
+    # banded candidates with the same bucket cap -> bit_count(xor) verify
+    out["simhash_pairs"] = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text FROM documents
 ),
-h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 16))::UBIGINT::HUGEINT AS hv FROM tok),
-bits AS (
-  SELECT doc_id, b.b AS bit,
-         sum(CASE WHEN ((hv // (1::HUGEINT << b.b)) % 2) = 1 THEN 1 ELSE -1 END) AS votes
-  FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
-  GROUP BY doc_id, b.b
+sigs AS ({_simhash_sql("docs2")}),
+bands_all AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id AS id, simhash AS sig, {bi} AS band, "
+      f"(simhash >> {16 * bi}) & 65535 AS bv FROM sigs"
+      for bi in range(4)
+  )}
 ),
-acc AS (
-  SELECT doc_id,
-         sum(CASE WHEN votes > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS uval
-  FROM bits GROUP BY doc_id
+bands AS (
+  SELECT id, sig, band, bv FROM (
+    SELECT id, sig, band, bv, count(*) OVER (PARTITION BY band, bv) AS bs
+    FROM bands_all
+  ) WHERE bs <= {dedup.DEFAULT_MAX_BUCKET}
 )
-SELECT doc_id,
-       (CASE WHEN uval >= (1::HUGEINT << 63) THEN uval - (1::HUGEINT << 64)
-             ELSE uval END)::BIGINT AS simhash
-FROM acc
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+         bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+) WHERE hamming <= 3
 """
     # all-pairs oracle over the same dup-planted corpus (x2 rescale in
     # double space is IEEE-exact on both engines); the Spark side reaches
@@ -906,6 +930,31 @@ WHERE round(list_dot_product(a.v, b.v) /
             6) * 1000000 >= 990000
 """
     return out
+
+
+def _simhash_sql(table: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
+  FROM {table}
+),
+h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 16))::UBIGINT::HUGEINT AS hv FROM tok),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN ((hv // (1::HUGEINT << b.b)) % 2) = 1 THEN 1 ELSE -1 END) AS votes
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+acc AS (
+  SELECT doc_id,
+         sum(CASE WHEN votes > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS uval
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id,
+       (CASE WHEN uval >= (1::HUGEINT << 63) THEN uval - (1::HUGEINT << 64)
+             ELSE uval END)::BIGINT AS simhash
+FROM acc
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1125,6 +1174,19 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.windowed_counts_batch(ev)
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME windowed aggregation executed as a REAL Structured
+    Streaming query (readStream file source -> watermark -> windowed agg
+    -> memory sink, drained synchronously) — streaming execution itself
+    sits behind the driver's exact-hash gate, not just pytest: the oracle
+    is identical to `windowed_counts`, so stream == batch == SQL."""
+    from jimmy_spark.streaming import windows
+
+    return windows.windowed_counts_stream(
+        spark, f"{sf_dir}/events.parquet", query_name="gate_wc_stream"
+    )
+
+
 def _oracle_kernels() -> dict[str, str]:
     from jimmy_spark.functions import strings
     from jimmy_spark.streaming import windows
@@ -1160,6 +1222,7 @@ def _oracle_kernels() -> dict[str, str]:
         # Spark side (no baked path)
         "session_windows": windows.duckdb_sessionize_sql("events"),
         "windowed_counts": windows.duckdb_windows_sql("events"),
+        "stream_windowed_counts": windows.duckdb_windows_sql("events"),
         "date_kernels": (
             "SELECT event_id, floor(epoch(ts))::BIGINT AS epoch_s, "
             "strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso, "
@@ -1219,6 +1282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "dup_clusters": q_dup_clusters,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "emb_near_dup": q_emb_near_dup,
@@ -1240,6 +1304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markup_rewrite": q_markup_rewrite,
     "session_windows": q_session_windows,
     "windowed_counts": q_windowed_counts,
+    "stream_windowed_counts": q_stream_windowed_counts,
 }
 
 # Queries with no SQL oracle (driver records rows-only) and why:

@@ -41,15 +41,25 @@ def windowed_counts_batch(events: DataFrame, minutes: int = 5) -> DataFrame:
 
 
 def windowed_counts_stream(
-    spark: SparkSession, events_dir: str, minutes: int = 5, query_name: str = "wc_out"
+    spark: SparkSession,
+    events_dir: str,
+    minutes: int = 5,
+    query_name: str = "wc_out",
+    glob: str | None = None,
 ) -> DataFrame:
     """Same aggregation as a streaming query over a file source; returns the
-    completed result from the memory sink (synchronous for tests)."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-    )
+    completed result from the memory sink (synchronous for tests). The file
+    source requires a DIRECTORY: passing a file path streams its parent
+    directory filtered to that filename (how the driver's single-file
+    testdata tables are streamed)."""
+    import os
+
+    if glob is None and not os.path.isdir(events_dir):
+        events_dir, glob = os.path.dirname(events_dir), os.path.basename(events_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.load(events_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")

@@ -72,6 +72,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "emb_near_dup", "vocab_topk", "split_assign", "seq_pack", "pii_scrub",
         "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
+        "stream_windowed_counts", "simhash_pairs",
         "date_kernels", "string_kernels2",
         "frontmatter", "simhash",
         # golden-parquet oracles (scripts/make_goldens.py)
