@@ -694,11 +694,14 @@ def q_vocab_topk(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-50
+    # + a 50-row merge — NOT a single-partition global sort of the whole
+    # vocabulary (10^8 tokens at web scale); the rank window then runs
+    # over only the 50 survivors
+    top = df_counts.orderBy(F.desc("df"), "token").limit(50)
     w = Window.orderBy(F.desc("df"), "token")
-    return (
-        df_counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 50)
-        .select(F.col("rk").cast("long").alias("rk"), "token", "df")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        F.col("rk").cast("long").alias("rk"), "token", "df"
     )
 
 
