@@ -86,6 +86,7 @@ def ensure_exports(name: str) -> Path:
     source scans (sources/sqlite.py, queries.py). Marker-cached and keyed
     on the SOURCE dataset's marker like ensure_archives."""
     from jimmy_spark.datagen.exports import (
+        write_crdt_notes,
         write_encrypted_notes,
         write_jsonl_notes,
         write_sqlite_notes,
@@ -95,7 +96,7 @@ def ensure_exports(name: str) -> Path:
     d = ensure_dataset(name)
     exp = d / "exports"
     marker = exp / "_MARKER.json"
-    recipe = {"v": 2, "src": name,
+    recipe = {"v": 3, "src": name,
               "src_recipe": json.loads((d / "_MARKER.json").read_text())}
     if marker.exists():
         try:
@@ -109,6 +110,7 @@ def ensure_exports(name: str) -> Path:
     write_jsonl_notes(src, str(exp / "jsonl"))
     write_xml_notes(src, str(exp / "xml"))
     write_encrypted_notes(src, str(exp / "enc.parquet"))
+    write_crdt_notes(src, str(exp / "crdt.parquet"))
     marker.write_text(json.dumps(recipe))
     return exp
 

@@ -141,6 +141,43 @@ def write_encrypted_notes(images_parquet: str, out_path: str) -> None:
     pd.DataFrame(out).to_parquet(out_path, index=False)
 
 
+CRDT_DECOY = "draft "
+
+
+def write_crdt_notes(images_parquet: str, out_path: str) -> None:
+    """CRDT op-log twin (sources/crdt.py QCRD1 format): client 0 types the
+    caption character by character; client 1 concurrently types a decoy
+    prefix at the document start which client 0 then deletes — so the
+    converged fold must equal the caption exactly (origin-tree ordering,
+    tombstones and sibling conflict all exercised). Ops are written in a
+    per-doc seeded SHUFFLED order, so decoding cannot rely on log order."""
+    import random
+
+    from jimmy_spark.sources.crdt import START, encode_ops
+
+    pdf = _rows(images_parquet)
+    out = {"doc_id": [], "ops": []}
+    for r in pdf.itertuples():
+        ops = []
+        prev = START
+        for i, ch in enumerate(r.caption):
+            oid = (0, i)
+            ops.append(("ins", oid, prev, ch))
+            prev = oid
+        dprev = START
+        base = len(r.caption)
+        for j, ch in enumerate(CRDT_DECOY):
+            oid = (1, j)
+            ops.append(("ins", oid, dprev, ch))
+            ops.append(("del", (0, base + j), oid))
+            dprev = oid
+        rng = random.Random(f"crdt/{r.image_id}")
+        rng.shuffle(ops)
+        out["doc_id"].append(r.image_id)
+        out["ops"].append(encode_ops(ops))
+    pd.DataFrame(out).to_parquet(out_path, index=False)
+
+
 def write_xml_notes(images_parquet: str, out_dir: str, shards: int = 4) -> None:
     """WordPress-ish XML export: <channel><item>...</item></channel> per
     shard file; text fields are XML-escaped (the parser unescapes, so the

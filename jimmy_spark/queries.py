@@ -275,6 +275,23 @@ def q_decrypt_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crdt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRDT document fold (AFFiNE ingest analogue, affine.py:2-5 — the one
+    scan whose decode is a MERGE): per-doc op logs, written in shuffled
+    order with a concurrent-decoy conflict and tombstones, fold
+    executor-side (sources/crdt.py) to the converged text; the oracle is
+    the known final caption plus the arithmetic op count, so a wrong
+    sibling order, lost tombstone or silent partial fold all hash-fail."""
+    from jimmy_spark.datagen import ensure_exports
+    from jimmy_spark.datagen.exports import CRDT_DECOY
+    from jimmy_spark.sources import crdt
+
+    exp = str(ensure_exports("t2"))
+    blobs = spark.read.parquet(f"{exp}/crdt.parquet")
+    assert len(CRDT_DECOY) == 6  # oracle's n_ops arithmetic assumes this
+    return crdt.fold_documents(blobs)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash dedup (jimmy Resource.__eq__ md5 semantics,
     /root/reference/src/jimmy/intermediate_format.py:123-131)."""
@@ -350,6 +367,13 @@ FROM pip JOIN t USING (image_id) GROUP BY pip.polygon_id, t.x, t.y
         "decrypt_kernels": (
             f"SELECT image_id, caption AS cn_plain, caption AS en_plain "
             f"FROM '{t2}/images.parquet'"
+        ),
+        # converged text == caption; n_ops = caption chars + 6 decoy
+        # inserts + 6 tombstones (datagen/exports.py write_crdt_notes)
+        "crdt_fold": (
+            f"SELECT image_id AS doc_id, TRUE AS ok, caption AS text, "
+            f"(length(caption) + 12)::INTEGER AS n_ops, "
+            f"NULL::VARCHAR AS error FROM '{t2}/images.parquet'"
         ),
     }
 
@@ -1265,6 +1289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_scan": q_json_scan,
     "xml_scan": q_xml_scan,
     "decrypt_kernels": q_decrypt_kernels,
+    "crdt_fold": q_crdt_fold,
     "dedup_exact": q_dedup_exact,
     "stats_agg": q_stats_agg,
     "select_glob": q_select_glob,

@@ -63,7 +63,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
     [
         "georef", "hex_cells", "tiles", "pip", "knn", "cell_counts",
         "tile_counts", "overlay", "dedup_exact", "archive_scan", "sqlite_scan",
-        "json_scan", "xml_scan", "decrypt_kernels", "stats_agg",
+        "json_scan", "xml_scan", "decrypt_kernels", "crdt_fold", "stats_agg",
         "select_glob",
         "linkres", "unique_names", "two_hop", "rollup_concat", "topk_per_group",
         "link_semi", "tree_span", "binary_kernels", "metadata_map",

@@ -118,6 +118,70 @@ class TestJsonXmlScans:
         assert got == want
 
 
+class TestCrdtFold:
+    def test_convergence_under_any_order(self):
+        """The defining CRDT property: every permutation of the op log
+        folds to the same document."""
+        import itertools
+
+        from jimmy_spark.sources.crdt import START, fold_ops
+
+        ops = [
+            ("ins", (0, 0), START, "a"),
+            ("ins", (0, 1), (0, 0), "b"),
+            ("ins", (1, 0), START, "X"),      # concurrent at start
+            ("ins", (1, 1), (0, 0), "Y"),     # concurrent sibling of (0,1)
+            ("del", (0, 2), (1, 0)),
+        ]
+        results = {fold_ops(list(p)) for p in itertools.permutations(ops)}
+        assert results == {"aYb"}
+
+    def test_wire_roundtrip_and_shuffled_blob(self):
+        import random
+
+        from jimmy_spark.sources.crdt import START, encode_ops, _parse_ops, fold_ops
+
+        ops = [("ins", (0, i), START if i == 0 else (0, i - 1), c)
+               for i, c in enumerate("hello world")]
+        ops.append(("del", (1, 0), (0, 5)))  # delete the space
+        random.Random(1).shuffle(ops)
+        blob = encode_ops(ops)
+        assert fold_ops(_parse_ops(blob)) == "helloworld"
+
+    def test_incomplete_log_raises(self):
+        from jimmy_spark.sources.crdt import fold_ops
+
+        with pytest.raises(ValueError, match="unreachable"):
+            fold_ops([("ins", (0, 1), (0, 0), "x")])  # origin never arrives
+        with pytest.raises(ValueError, match="unknown ids"):
+            fold_ops([("del", (0, 0), (9, 9))])
+
+    def test_fold_matches_captions_and_isolates_corruption(self, spark, exports):
+        import pandas as pd
+
+        from jimmy_spark.datagen import ensure_dataset
+        from jimmy_spark.sources import crdt
+
+        want = (
+            pd.read_parquet(
+                ensure_dataset("t2") / "images.parquet",
+                columns=["image_id", "caption"],
+            )
+            .set_index("image_id")["caption"]
+            .to_dict()
+        )
+        pdf = pd.read_parquet(f"{exports}/crdt.parquet").head(50).copy()
+        # corrupt one blob: must become its own ok=false row, not kill the task
+        pdf.loc[pdf.index[0], "ops"] = b"JUNK" + bytes(pdf.iloc[0]["ops"][4:])
+        out = crdt.fold_documents(spark.createDataFrame(pdf)).collect()
+        assert len(out) == 50
+        bad = [r for r in out if not r.ok]
+        assert len(bad) == 1 and "magic" in bad[0].error
+        for r in out:
+            if r.ok:
+                assert r.text == want[r.doc_id]
+
+
 class TestDecryptKernels:
     def test_decrypts_to_known_plaintext(self, spark):
         import pandas as pd
