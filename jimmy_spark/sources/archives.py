@@ -59,17 +59,36 @@ def _iter_members(path: str, blob: bytes):
         raise ValueError(f"unsupported archive type: {path}")
 
 
-def extract_members(archives: DataFrame) -> DataFrame:
+def extract_members(archives: DataFrame, max_depth: int = 1) -> DataFrame:
     """binaryFile rows (path, content) -> one row per archive member.
-    A broken archive yields a single ok=false row carrying the error."""
+    A broken archive yields a single ok=false row carrying the error.
+
+    ``max_depth`` > 1 recurses into members that are themselves archives
+    (Notion's zip-of-zips export, /root/reference/src/jimmy/formats/
+    notion.py:20-36): a nested member's rows carry the joined path
+    ``outer.zip!inner.zip`` and the inner archive itself emits no row.
+    Depth is bounded — a malicious 1000-deep bomb stops at max_depth and
+    surfaces the remaining archive as an ordinary binary member."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def walk(rows: list, path: str, blob: bytes, depth: int) -> None:
+            for name, data in _iter_members(path, blob):
+                if depth < max_depth and name.endswith(
+                    (".zip", ".tar", ".tar.gz", ".tgz")
+                ):
+                    try:
+                        walk(rows, f"{path}!{name}", data, depth + 1)
+                        continue
+                    except Exception as e:  # noqa: BLE001
+                        rows.append((f"{path}!{name}", None, None, False, str(e)))
+                        continue
+                rows.append((path, name, data, True, None))
+
         for pdf in batches:
-            rows = []
+            rows: list = []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 try:
-                    for name, data in _iter_members(path, bytes(blob)):
-                        rows.append((path, name, data, True, None))
+                    walk(rows, path, bytes(blob), 1)
                 except Exception as e:  # noqa: BLE001 — per-archive isolation
                     rows.append((path, None, None, False, str(e)))
             yield pd.DataFrame(
@@ -79,12 +98,15 @@ def extract_members(archives: DataFrame) -> DataFrame:
     return archives.select("path", "content").mapInPandas(gen, MEMBER_SCHEMA)
 
 
-def read_archives(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_archives(
+    spark: SparkSession, path_glob: str, max_depth: int = 1
+) -> DataFrame:
     """Scan archive files and explode their members to rows."""
     return extract_members(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{zip,tar,tgz}")
-        .load(path_glob)
+        .load(path_glob),
+        max_depth=max_depth,
     )
 
 

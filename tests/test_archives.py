@@ -122,3 +122,49 @@ def test_decode_runs_on_archive_source(spark, image_rows, tmp_path):
     src = archives.read_image_archives(spark, str(d))
     out = decode.decode_stage(src).toPandas()
     assert len(out) == 10 and out["ok"].all()
+
+
+def test_nested_zip_of_zips(spark, tmp_path):
+    """Notion's zip-of-zips shape (notion.py:20-36): inner archives explode
+    recursively with joined paths; depth is bounded; a non-archive member
+    at any level stays a plain row."""
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("note1.md", b"hello")
+        zf.writestr("note2.md", b"world")
+    deep = io.BytesIO()
+    with zipfile.ZipFile(deep, "w") as zf:
+        zf.writestr("deepest.md", b"bottom")
+    mid = io.BytesIO()
+    with zipfile.ZipFile(mid, "w") as zf:
+        zf.writestr("deep.zip", deep.getvalue())
+        zf.writestr("readme.txt", b"top-of-mid")
+    outer_path = tmp_path / "export.zip"
+    with zipfile.ZipFile(outer_path, "w") as zf:
+        zf.writestr("inner.zip", inner.getvalue())
+        zf.writestr("mid.zip", mid.getvalue())
+        zf.writestr("cover.png", b"\x89PNGfake")
+
+    out = archives.read_archives(spark, str(tmp_path), max_depth=2).collect()
+    got = {(r.archive.split("/")[-1], r.member): bytes(r.content) for r in out}
+    assert got[("export.zip!inner.zip", "note1.md")] == b"hello"
+    assert got[("export.zip!inner.zip", "note2.md")] == b"world"
+    assert got[("export.zip!mid.zip", "readme.txt")] == b"top-of-mid"
+    # depth bound: deep.zip at depth 3 stays an opaque binary member
+    assert ("export.zip!mid.zip", "deep.zip") in got
+    assert got[("export.zip", "cover.png")] == b"\x89PNGfake"
+    # depth 3 unlocks it
+    out3 = archives.read_archives(spark, str(tmp_path), max_depth=3).collect()
+    got3 = {(r.archive.split("/")[-1], r.member): bytes(r.content) for r in out3}
+    assert got3[("export.zip!mid.zip!deep.zip", "deepest.md")] == b"bottom"
+
+
+def test_nested_corrupt_inner_is_isolated(spark, tmp_path):
+    with zipfile.ZipFile(tmp_path / "outer.zip", "w") as zf:
+        zf.writestr("broken.zip", b"PK\x03\x04 not really a zip")
+        zf.writestr("fine.md", b"ok")
+    out = archives.read_archives(spark, str(tmp_path), max_depth=2).collect()
+    by_member = {r.member: r for r in out if r.member}
+    assert bytes(by_member["fine.md"].content) == b"ok"
+    bad = [r for r in out if not r.ok]
+    assert len(bad) == 1 and bad[0].archive.endswith("outer.zip!broken.zip")

@@ -74,3 +74,21 @@ def test_qvid_roundtrip():
     np.testing.assert_array_equal(out, frames)
     with pytest.raises(ValueError):
         qvid.decode(b"QVIDgarbage")
+
+
+def test_suffix_repair_sniffing():
+    """Mislabeled bytes decode via magic-byte sniffing (google_keep.py's
+    suffix-repair fallback); hopeless bytes still raise."""
+    from jimmy_spark.codecs import registry
+
+    arr = _img(5, 12, 9)
+    for true_fmt in registry.FORMATS:
+        data = registry.encode_image(arr, true_fmt)
+        assert registry.sniff_format(data) == true_fmt
+        for lie in ("gif", None, *(f for f in registry.FORMATS if f != true_fmt)):
+            px, actual = registry.decode_image_sniffed(data, lie)
+            assert actual == true_fmt
+            if true_fmt in registry.LOSSLESS:
+                np.testing.assert_array_equal(px, arr)
+    with pytest.raises(ValueError, match="undecodable"):
+        registry.decode_image_sniffed(b"\x00\x01garbage", "gif")
