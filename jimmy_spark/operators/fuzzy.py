@@ -98,3 +98,44 @@ def fuzzy_pairs(
         .filter(F.col("ratio_milli") >= thr)
         .select("doc_a", "doc_b", "ratio_milli")
     )
+
+
+def fuzzy_lev_pairs(
+    df: DataFrame,
+    max_dist: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    prefix_len: int = 24,
+) -> DataFrame:
+    """Edit-distance fuzzy theta-join — the ORACLE-EXACT sibling of
+    ``fuzzy_pairs``: both Spark and DuckDB ship a built-in classic
+    levenshtein, so unlike the difflib scorer this join is checkable
+    end-to-end by the driver's hash gate. Same blocked shape (equality
+    block keys bound the quadratic), scored on a fixed-length title
+    prefix entirely JVM-side, with the provable length prefilter
+    ``|len_a - len_b| <= max_dist`` applied on two ints before the
+    string-pair comparison (levenshtein cannot beat the length gap).
+    """
+    snip = F.substring(F.trim(F.col(text_col)), 1, prefix_len)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        snip.alias("s"),
+        F.length(snip).alias("ln"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
+    return (
+        a.join(b, cond)
+        .withColumn("dist", F.levenshtein(F.col("a.s"), F.col("b.s")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

@@ -1082,6 +1082,26 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.fuzzy_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact fuzzy join: levenshtein-over-title-prefix theta-join
+    on a dup-planted corpus (every doc gets a copy with its first
+    character edited — guaranteed distance-1 pairs), blocked by lang and
+    length-prefiltered. The difflib sibling (`fuzzy_pairs`) keeps the
+    reference's exact scorer semantics as a documented rows-only entry;
+    this one puts the same join SHAPE behind the exact hash gate."""
+    from jimmy_spark.operators import fuzzy
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    aug = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            "lang",
+            F.concat(F.lit("q"), F.substring("text", 2, 1_000_000)).alias("text"),
+        )
+    )
+    return fuzzy.fuzzy_lev_pairs(aug, max_dist=4)
+
+
 def q_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontmatter/template serialization (SURVEY §2.2,
     intermediate_format.py:214-287 + NoteFormatter): deterministic
@@ -1257,6 +1277,25 @@ def _oracle_kernels() -> dict[str, str]:
             "(floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 60) "
             "AS minute_floor FROM events"
         ),
+        "fuzzy_lev": """
+WITH aug AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang,
+         'q' || substring(text, 2, 1000000) AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, lang, substring(trim(text), 1, 24) AS s,
+         length(substring(trim(text), 1, 24)) AS ln
+  FROM aug
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.s, b.s)::BIGINT AS dist
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
+WHERE levenshtein(a.s, b.s) <= 4
+""",
         "string_kernels2": (
             "SELECT doc_id, "
             "regexp_replace(trim(regexp_replace(lower(substring(text, 1, 36)), "
@@ -1327,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ordered_rollup": q_ordered_rollup,
     "frontmatter": q_frontmatter,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "fuzzy_lev": q_fuzzy_lev,
     "date_kernels": q_date_kernels,
     "string_kernels2": q_string_kernels2,
     "markup_rewrite": q_markup_rewrite,
