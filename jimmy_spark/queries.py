@@ -1102,6 +1102,38 @@ def q_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.fuzzy_lev_pairs(aug, max_dist=4)
 
 
+def q_path_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer/link micro-kernels (SURVEY §2.2/§2.3 leftovers): line-ending
+    normalization before write (writer.py:298), web/mail-link scheme
+    predicates (md_lib/links.py:67-76), and the output-path join the
+    path determiner computes (writer.py:37-109) — all JVM expressions
+    over planted inputs both engines synthesize identically."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("l1\r\n"), F.substring("text", 1, 20), F.lit("\rl3\nl4"),
+    )
+    normalized = F.replace(
+        F.replace(body, F.lit("\r\n"), F.lit("\n")), F.lit("\r"), F.lit("\n")
+    )
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("https://ex.com/"), did))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("mailto:u"), did, F.lit("@ex.com")))
+        .otherwise(F.concat(F.lit("notes/"), did))
+    )
+    is_web = url.like("http://%") | url.like("https://%")
+    is_mail = url.like("mailto:%")
+    out_path = F.concat_ws("/", F.col("lang"), F.col("source"), did)
+    return docs.select(
+        "doc_id",
+        normalized.alias("body_norm"),
+        url.alias("url"),
+        is_web.alias("is_web"),
+        is_mail.alias("is_mail"),
+        out_path.alias("out_path"),
+    )
+
+
 def q_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontmatter/template serialization (SURVEY §2.2,
     intermediate_format.py:214-287 + NoteFormatter): deterministic
@@ -1277,6 +1309,18 @@ def _oracle_kernels() -> dict[str, str]:
             "(floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 60) "
             "AS minute_floor FROM events"
         ),
+        "path_kernels": (
+            "SELECT doc_id, replace(replace('l1' || chr(13) || chr(10) || "
+            "substring(text, 1, 20) || chr(13) || 'l3' || chr(10) || 'l4', "
+            "chr(13) || chr(10), chr(10)), chr(13), chr(10)) AS body_norm, "
+            "url, (url LIKE 'http://%' OR url LIKE 'https://%') AS is_web, "
+            "url LIKE 'mailto:%' AS is_mail, "
+            "lang || '/' || source || '/' || doc_id::VARCHAR AS out_path "
+            "FROM (SELECT *, CASE WHEN doc_id % 3 = 0 "
+            "THEN 'https://ex.com/' || doc_id::VARCHAR "
+            "WHEN doc_id % 3 = 1 THEN 'mailto:u' || doc_id::VARCHAR || '@ex.com' "
+            "ELSE 'notes/' || doc_id::VARCHAR END AS url FROM documents)"
+        ),
         "fuzzy_lev": """
 WITH aug AS (
   SELECT doc_id, lang, text FROM documents
@@ -1367,6 +1411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontmatter": q_frontmatter,
     "fuzzy_pairs": q_fuzzy_pairs,
     "fuzzy_lev": q_fuzzy_lev,
+    "path_kernels": q_path_kernels,
     "date_kernels": q_date_kernels,
     "string_kernels2": q_string_kernels2,
     "markup_rewrite": q_markup_rewrite,
