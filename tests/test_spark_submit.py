@@ -55,3 +55,51 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         f"SELECT * FROM '{tmp_path}/out/cell_counts/*.parquet' ORDER BY hex_r8"
     ).fetchall()
     assert counts2 == counts1
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_dedup_job(spark, tmp_path):
+    """The dedup ladder through the real deployment path: spark-submit
+    --py-files, run twice (second = resume no-op), clusters identical to
+    the in-process computation."""
+    sys.path.insert(0, str(REPO))
+    from scripts.make_pyfiles_zip import build
+
+    from jimmy_spark.operators import dedup
+
+    zip_path = build(tmp_path / "jimmy_spark.zip")
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+
+    def run():
+        cmd = [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(REPO / "jobs" / "dedup_job.py"),
+            "--docs", docs_path,
+            "--out", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "cp"),
+            "--run-id", "submit-dedup",
+            "--tau", "30",
+            "--buckets", "8",
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    s2 = run()
+    assert s2 == s1  # resume no-op: no new lineage rows, same metrics
+
+    got = duckdb.sql(
+        f"SELECT doc_id, cluster_id FROM '{tmp_path}/out/clusters/*.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    docs = spark.read.parquet(docs_path)
+    pairs = dedup.minhash_lsh_pairs(docs, tau_pct=30)
+    want = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(docs, pairs).collect()
+    )
+    assert got == want
