@@ -657,6 +657,24 @@ _H_CHECKITEM = re.compile(
 # adjacent same-tag formatting runs (html_filter.py:142
 # merge_consecutive_formatting, the immediate-sibling case)
 _H_MERGE = re.compile(r"</(b|strong|i|em|u|s|code)><\1>")
+# empty inline markup (html_filter.py:428 remove_empty_markup)
+_H_EMPTY = re.compile(r"<(b|strong|i|em|u|s|mark|code)>(\s*)</\1>")
+# underline / strikethrough / highlight tags and their styled-span forms
+# (html_filter.py:676 underline, :470 strikethrough, :66 highlighting)
+_H_UNDER = re.compile(
+    r"<(?:u|ins)>(.*?)</(?:u|ins)>"
+    r'|<span style="[^"]*underline[^"]*">(.*?)</span>',
+    re.S,
+)
+_H_STRIKE = re.compile(
+    r"<(?:s|del|strike)>(.*?)</(?:s|del|strike)>"
+    r'|<span style="[^"]*line-through[^"]*">(.*?)</span>',
+    re.S,
+)
+_H_MARK = re.compile(r"<mark[^>]*>(.*?)</mark>", re.S)
+# iframes -> links (html_filter.py:72 iframes_to_links)
+_H_IFRAME = re.compile(r'<iframe\s+src="([^"]*)"[^>]*>(.*?)</iframe>', re.S)
+_H_IFRAME_EMPTY = re.compile(r"<iframe(?:\s+[^>]*)?></iframe>")
 _H_TABLE = re.compile(r"<table[^>]*>(.*?)</table>", re.S)
 _H_TBL_UNWRAP = re.compile(r"</?(?:div|span|pre|thead|tbody)[^>]*>")
 _H_TBL_HEAD = re.compile(r"<(/?)h[1-6]>")
@@ -709,10 +727,29 @@ def _pass_tables(s: str) -> str:
     return _H_TABLE.sub(conv, s)
 
 
+def _pass_iframes(s: str) -> str:
+    """iframe -> plain link; body text wins over the src as the label,
+    src-less iframes vanish (reference iframes_to_links doctests)."""
+
+    def conv(m: re.Match) -> str:
+        src, body = m.group(1), m.group(2)
+        label = body.strip() if body and body.strip() not in ("", "&nbsp;") else src
+        return f'<a href="{src}">{label}</a>'
+
+    return _H_IFRAME_EMPTY.sub("", _H_IFRAME.sub(conv, s))
+
+
 HTML_RULES: list[tuple[str, Callable[[str], str]]] = [
     ("comments", lambda s: _H_COMMENT.sub("", s)),
     ("checklists", _pass_checklists),
     ("merge_formatting", _pass_merge_formatting),
+    ("empty_markup", lambda s: _H_EMPTY.sub(r"\2", s)),
+    ("iframes", _pass_iframes),
+    ("underline", lambda s: _H_UNDER.sub(
+        lambda m: f"++{m.group(1) or m.group(2)}++", s)),
+    ("strikethrough", lambda s: _H_STRIKE.sub(
+        lambda m: f"~~{m.group(1) or m.group(2)}~~", s)),
+    ("highlight", lambda s: _H_MARK.sub(r"==\1==", s)),
     ("tables", _pass_tables),
     ("breaks", lambda s: _H_HR.sub("\n---\n", _H_BR.sub("\n", s))),
     ("headings", lambda s: _H_HEAD.sub(
@@ -748,6 +785,14 @@ def html_to_md(s: str) -> str:
     ...            '<div class="checked">x</div>'
     ...            '<div class="unchecked">y</div></div>')
     '**bold**\\n- [x] x\\n- [ ] y'
+    >>> html_to_md('<u>a</u> <s>b</s> <mark>c</mark> <b> </b>')
+    '++a++ ~~b~~ ==c=='
+    >>> html_to_md('<iframe src="https://kicker.de"></iframe>')
+    '[https://kicker.de](https://kicker.de)'
+    >>> html_to_md('<iframe src="https://k.de">link</iframe> <iframe></iframe>')
+    '[link](https://k.de)'
+    >>> html_to_md('<span style="text-decoration: line-through">x</span>')
+    '~~x~~'
     """
     if s is None:
         return None

@@ -1134,6 +1134,49 @@ def q_path_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-repair kernels: the latin1<->utf8 mojibake round-trip
+    (facebook.py:10-12 fix_encoding_error — a planted non-ASCII suffix is
+    BROKEN with the wrong charset then repaired, so the oracle equality
+    proves the repair does real work), the strange-ascii entity stream
+    decode (converter.py:161-168: split ';', strip the \\x02amp\\x03#
+    wrapper, chr() each code — oracle derives the expected string
+    independently from the id arithmetic), and to_pascal_case
+    (common.py:301-343). All JVM expressions."""
+    docs = _docs(spark, sf_dir)
+    plain = F.concat(F.substring("text", 1, 24), F.lit(" café—münchen"))
+    moji = F.decode(F.encode(plain, "UTF-8"), "ISO-8859-1")
+    fixed = F.decode(F.encode(moji, "ISO-8859-1"), "UTF-8")
+    wrapper = "\x02amp\x03#"
+    code = (F.col("doc_id") % 26 + 65).cast("int")
+    esc = F.concat(
+        F.lit(wrapper), code.cast("string"), F.lit(";" + wrapper + "33;")
+    )
+    codes = F.filter(
+        F.transform(F.split(esc, ";"), lambda t: F.ltrim(t, F.lit(wrapper))),
+        lambda c: c != "",
+    )
+    strange = F.concat_ws(
+        "", F.transform(codes, lambda c: F.char(c.cast("int")))
+    )
+    words = F.split(F.lower(F.substring("text", 1, 20)), " ")
+    pascal = F.concat_ws(
+        "",
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 1_000_000)
+            ),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        strange.alias("strange"),
+        pascal.alias("pascal"),
+    )
+
+
 def q_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontmatter/template serialization (SURVEY §2.2,
     intermediate_format.py:214-287 + NoteFormatter): deterministic
@@ -1187,7 +1230,10 @@ def markup_sources(doc_id, lang, source, snippet):
               "<tr><td>"), doc_id, F.lit("<br/>x</td><td><span>"), source,
         F.lit('</span></td></tr></table><div class="checklist">'
               '<div class="checked">review '), doc_id,
-        F.lit('</div><div class="unchecked">publish</div></div><pre><code>'),
+        F.lit('</div><div class="unchecked">publish</div></div>'
+              "<p><u>due</u> <s>done</s> <mark>"), lang,
+        F.lit('</mark> <i></i> <iframe src="https://d/'), doc_id,
+        F.lit('"></iframe></p><pre><code>'),
         snippet, F.lit("</code></pre>"),
     )
     enml = F.concat(
@@ -1309,6 +1355,18 @@ def _oracle_kernels() -> dict[str, str]:
             "(floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 60) "
             "AS minute_floor FROM events"
         ),
+        # fixed: the repair is provably the identity on the planted string,
+        # so the oracle states the expected DIRECTLY; strange: expected
+        # derived from the id arithmetic, independent of the decode chain
+        "encoding_kernels": (
+            "SELECT doc_id, "
+            "substring(text, 1, 24) || ' café—münchen' AS fixed, "
+            "chr(65 + (doc_id % 26)::INT) || '!' AS strange, "
+            "array_to_string(list_transform("
+            "string_split(lower(substring(text, 1, 20)), ' '), "
+            "w -> upper(substring(w, 1, 1)) || substring(w, 2)), '') AS pascal "
+            "FROM documents"
+        ),
         "path_kernels": (
             "SELECT doc_id, replace(replace('l1' || chr(13) || chr(10) || "
             "substring(text, 1, 20) || chr(13) || 'l3' || chr(10) || 'l4', "
@@ -1412,6 +1470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "fuzzy_lev": q_fuzzy_lev,
     "path_kernels": q_path_kernels,
+    "encoding_kernels": q_encoding_kernels,
     "date_kernels": q_date_kernels,
     "string_kernels2": q_string_kernels2,
     "markup_rewrite": q_markup_rewrite,

@@ -159,6 +159,8 @@ def golden_markup_rewrite() -> pd.DataFrame:
             f'</table><div class="checklist">'
             f'<div class="checked">review {did}</div>'
             f'<div class="unchecked">publish</div></div>'
+            f"<p><u>due</u> <s>done</s> <mark>{r.lang}</mark> <i></i> "
+            f'<iframe src="https://d/{did}"></iframe></p>'
             f"<pre><code>{snip}</code></pre>"
         ))
         enx.append(enml_to_md(

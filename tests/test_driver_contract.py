@@ -75,6 +75,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "stream_windowed_counts", "simhash_pairs",
         "date_kernels", "string_kernels2",
         "frontmatter", "simhash", "fuzzy_lev", "path_kernels",
+        "encoding_kernels",
         # golden-parquet oracles (scripts/make_goldens.py)
         "s2_cells", "decode_stats", "image_features", "ann_lsh", "ann_ivf",
         "markup_rewrite", "audio_features", "video_frames",
