@@ -675,6 +675,16 @@ _H_MARK = re.compile(r"<mark[^>]*>(.*?)</mark>", re.S)
 # iframes -> links (html_filter.py:72 iframes_to_links)
 _H_IFRAME = re.compile(r'<iframe\s+src="([^"]*)"[^>]*>(.*?)</iframe>', re.S)
 _H_IFRAME_EMPTY = re.compile(r"<iframe(?:\s+[^>]*)?></iframe>")
+# headings whose ENTIRE content is bold: drop the redundant bold
+# (html_filter.py:397 remove_bold_header)
+_H_BOLD_HEAD = re.compile(
+    r"<h([1-6])>\s*<(b|strong)>(.*?)</\2>\s*</h\1>", re.S
+)
+# immediately-repeated identical links (html_filter.py:413
+# remove_duplicated_links)
+_H_DUP_LINK = re.compile(
+    r'(<a\s+href="([^"]*)"[^>]*>(.*?)</a>)\s*<a\s+href="\2"[^>]*>\3</a>', re.S
+)
 _H_TABLE = re.compile(r"<table[^>]*>(.*?)</table>", re.S)
 _H_TBL_UNWRAP = re.compile(r"</?(?:div|span|pre|thead|tbody)[^>]*>")
 _H_TBL_HEAD = re.compile(r"<(/?)h[1-6]>")
@@ -750,6 +760,8 @@ HTML_RULES: list[tuple[str, Callable[[str], str]]] = [
     ("strikethrough", lambda s: _H_STRIKE.sub(
         lambda m: f"~~{m.group(1) or m.group(2)}~~", s)),
     ("highlight", lambda s: _H_MARK.sub(r"==\1==", s)),
+    ("bold_headers", lambda s: _H_BOLD_HEAD.sub(r"<h\1>\3</h\1>", s)),
+    ("dup_links", lambda s: _H_DUP_LINK.sub(r"\1", s)),
     ("tables", _pass_tables),
     ("breaks", lambda s: _H_HR.sub("\n---\n", _H_BR.sub("\n", s))),
     ("headings", lambda s: _H_HEAD.sub(
@@ -793,6 +805,10 @@ def html_to_md(s: str) -> str:
     '[link](https://k.de)'
     >>> html_to_md('<span style="text-decoration: line-through">x</span>')
     '~~x~~'
+    >>> html_to_md('<h2><b>All Bold</b></h2>')
+    '## All Bold'
+    >>> html_to_md('<a href="u">x</a> <a href="u">x</a> <a href="u">y</a>')
+    '[x](u) [y](u)'
     """
     if s is None:
         return None

@@ -811,6 +811,47 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end training-data prep composite — the pipeline a real
+    corpus build runs, composed as ONE declarative plan so Catalyst
+    optimizes across stage boundaries: quality gate (length band) ->
+    exact-dedup winners (min doc id per content fingerprint) ->
+    deterministic split assignment -> per-(lang, split) sequence packing.
+    Every stage is an operator verified on its own elsewhere in the
+    registry; this query proves they COMPOSE exactly (the chained SQL
+    oracle mirrors each stage)."""
+    docs = _docs(spark, sf_dir)
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    gated = docs.filter((F.col("n_chars") >= 80) & (F.col("n_chars") <= 1200))
+    fp = F.md5(F.col("text"))
+    w_dup = Window.partitionBy(fp).orderBy("doc_id")
+    winners = (
+        gated.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    assigned = winners.select(
+        "doc_id", "lang", split.alias("split"), n_toks.alias("n_toks")
+    )
+    w_pack = (
+        Window.partitionBy("lang", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_toks").over(w_pack) - F.col("n_toks")
+    return assigned.select(
+        "doc_id", "lang", "split", "n_toks",
+        F.floor(start / SEQ_BUDGET).alias("seq_id"),
+    )
+
+
 def q_image_features(spark, sf_dir):
     return multimodal.image_features(_images(spark))
 
@@ -883,6 +924,31 @@ SELECT doc_id, lang, n_toks,
        (start // {SEQ_BUDGET})::BIGINT AS seq_id,
        (start % {SEQ_BUDGET})::BIGINT AS seq_offset
 FROM c
+"""
+    out["corpus_prep"] = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_toks
+  FROM documents WHERE n_chars BETWEEN 80 AND 1200
+),
+winners AS (
+  SELECT doc_id, lang, n_toks FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT doc_id, lang, n_toks,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+        % 100 AS b FROM winners)
+)
+SELECT doc_id, lang, split, n_toks,
+       ((sum(n_toks) OVER (PARTITION BY lang, split ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_toks)
+        // {SEQ_BUDGET})::BIGINT AS seq_id
+FROM assigned
 """
     email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     url = "https?://[^\\s]+"
@@ -1233,7 +1299,9 @@ def markup_sources(doc_id, lang, source, snippet):
         F.lit('</div><div class="unchecked">publish</div></div>'
               "<p><u>due</u> <s>done</s> <mark>"), lang,
         F.lit('</mark> <i></i> <iframe src="https://d/'), doc_id,
-        F.lit('"></iframe></p><pre><code>'),
+        F.lit('"></iframe></p><h4><b>'), source,
+        F.lit('</b></h4><a href="https://d/'), doc_id, F.lit('">go</a> '
+              '<a href="https://d/'), doc_id, F.lit('">go</a><pre><code>'),
         snippet, F.lit("</code></pre>"),
     )
     enml = F.concat(
@@ -1460,6 +1528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "seq_pack": q_seq_pack,
     "pii_scrub": q_pii_scrub,
+    "corpus_prep": q_corpus_prep,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,

@@ -161,6 +161,8 @@ def golden_markup_rewrite() -> pd.DataFrame:
             f'<div class="unchecked">publish</div></div>'
             f"<p><u>due</u> <s>done</s> <mark>{r.lang}</mark> <i></i> "
             f'<iframe src="https://d/{did}"></iframe></p>'
+            f"<h4><b>{r.source}</b></h4>"
+            f'<a href="https://d/{did}">go</a> <a href="https://d/{did}">go</a>'
             f"<pre><code>{snip}</code></pre>"
         ))
         enx.append(enml_to_md(

@@ -70,6 +70,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "token_count", "quality_score", "lang_id", "fingerprint",
         "ngram_dedup", "minhash_dedup", "dup_clusters", "ann_topk",
         "emb_near_dup", "vocab_topk", "split_assign", "seq_pack", "pii_scrub",
+        "corpus_prep",
         "caption_kernels",
         "select_tags", "ordered_rollup", "session_windows", "windowed_counts",
         "stream_windowed_counts", "simhash_pairs",
