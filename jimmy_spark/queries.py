@@ -382,6 +382,55 @@ FROM pip JOIN t USING (image_id) GROUP BY pip.polygon_id, t.x, t.y
 # operator-semantics queries over the driver's testdata views (SURVEY §2)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine addition the brief names — Spark has no built-in;
+    SURVEY §2.4 notes the reference has none either): every event picks up
+    the value of that user's latest earlier-or-equal event of the
+    reference type, via the one-shuffle union+window formulation
+    (operators/temporal.py). The oracle is DuckDB's NATIVE ASOF JOIN — an
+    independent implementation of the semantics, not a rebuild of ours."""
+    from jimmy_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ref_type = ev.agg(F.min("event_type")).first()[0]
+    right = (
+        ev.filter(F.col("event_type") == ref_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("r_value"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    return temporal.asof_join(left, right)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (engine addition): events matched to the
+    per-user intervals containing them, through time-bin bucketing —
+    EQUALITY join on (user, bin) + exact containment filter — never the
+    per-key cross product a raw inequality join costs. Oracle = the plain
+    inequality join, so the binning must be provably lossless."""
+    from jimmy_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    iv = span.select(
+        "user_id", F.lit(1).alias("interval_id"),
+        F.col("t0").alias("i_start"),
+        (F.col("t0") + F.expr("INTERVAL 3 HOURS")).alias("i_end"),
+    ).unionByName(
+        span.select(
+            "user_id", F.lit(2).alias("interval_id"),
+            (F.col("t1") - F.expr("INTERVAL 2 HOURS")).alias("i_start"),
+            (F.col("t1") + F.expr("INTERVAL 1 HOURS")).alias("i_end"),
+        )
+    )
+    out = temporal.range_join(ev.select("event_id", "user_id", "ts"), iv)
+    return out.select(
+        "event_id", "user_id", F.col("interval_id").cast("long").alias("interval_id")
+    )
+
+
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jimmy get_import_stats analogue (common.py:433-451): one-row counts."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -574,6 +623,28 @@ def _oracle_generic() -> dict[str, str]:
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        # DuckDB's native ASOF JOIN is the independent oracle
+        "asof_join": (
+            "WITH r AS (SELECT user_id, ts, max(value) AS r_value FROM events "
+            "WHERE event_type = (SELECT min(event_type) FROM events) "
+            "GROUP BY user_id, ts), "
+            "l AS (SELECT event_id, user_id, ts FROM events) "
+            "SELECT l.event_id, l.user_id, l.ts, r.r_value "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        # plain inequality join: the binning in the Spark path must be
+        # lossless against this
+        "range_join": (
+            "WITH span AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 "
+            "FROM events GROUP BY user_id), "
+            "iv AS (SELECT user_id, 1 AS interval_id, t0 AS i_start, "
+            "t0 + INTERVAL 3 HOUR AS i_end FROM span "
+            "UNION ALL SELECT user_id, 2, t1 - INTERVAL 2 HOUR, "
+            "t1 + INTERVAL 1 HOUR FROM span) "
+            "SELECT e.event_id, e.user_id, iv.interval_id::BIGINT AS interval_id "
+            "FROM events e JOIN iv ON e.user_id = iv.user_id "
+            "AND e.ts >= iv.i_start AND e.ts < iv.i_end"
         ),
         "link_semi": (
             "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
@@ -1506,6 +1577,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_names": q_unique_names,
     "two_hop": q_two_hop,
     "link_semi": q_link_semi,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "tree_span": q_tree_span,
     "binary_kernels": q_binary_kernels,
     "metadata_map": q_metadata_map,

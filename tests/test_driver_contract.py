@@ -67,6 +67,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "select_glob",
         "linkres", "unique_names", "two_hop", "rollup_concat", "topk_per_group",
         "link_semi", "tree_span", "binary_kernels", "metadata_map",
+        "asof_join", "range_join",
         "token_count", "quality_score", "lang_id", "fingerprint",
         "ngram_dedup", "minhash_dedup", "dup_clusters", "ann_topk",
         "emb_near_dup", "vocab_topk", "split_assign", "seq_pack", "pii_scrub",
