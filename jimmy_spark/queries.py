@@ -582,6 +582,18 @@ def q_rollup_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (engine addition — the reference has no grouping
+    sets, SURVEY §2.5): counts + char sums at every (lang, source)
+    grouping combination, subtotals and grand total included. Catalyst
+    expands the cube into an Expand node feeding ONE aggregation — no
+    4-way self-union."""
+    docs = _docs(spark, sf_dir)
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k (engine kNN's secondary-sort shape over plain data)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -673,6 +685,10 @@ def _oracle_generic() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_events, "
             "array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types "
             "FROM events GROUP BY user_id"
+        ),
+        "cube_counts": (
+            "SELECT lang, source, count(*) AS n, sum(n_chars)::BIGINT AS chars "
+            "FROM documents GROUP BY CUBE(lang, source)"
         ),
         "topk_per_group": (
             "SELECT event_type, rk, event_id FROM (SELECT event_type, event_id, "
@@ -1584,6 +1600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metadata_map": q_metadata_map,
     "rollup_concat": q_rollup_concat,
     "topk_per_group": q_topk_per_group,
+    "cube_counts": q_cube_counts,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,

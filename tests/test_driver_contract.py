@@ -66,6 +66,7 @@ def test_every_query_has_runnable_oracle_or_is_documented(contract):
         "json_scan", "xml_scan", "decrypt_kernels", "crdt_fold", "stats_agg",
         "select_glob",
         "linkres", "unique_names", "two_hop", "rollup_concat", "topk_per_group",
+        "cube_counts",
         "link_semi", "tree_span", "binary_kernels", "metadata_map",
         "asof_join", "range_join",
         "token_count", "quality_score", "lang_id", "fingerprint",
