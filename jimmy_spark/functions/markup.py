@@ -685,6 +685,22 @@ _H_BOLD_HEAD = re.compile(
 _H_DUP_LINK = re.compile(
     r'(<a\s+href="([^"]*)"[^>]*>(.*?)</a>)\s*<a\s+href="\2"[^>]*>\3</a>', re.S
 )
+# whitespace inside inline formatting (html_filter.py:711
+# unwrap_inline_whitespace + :216 multiline_markup): md emphasis may
+# neither touch spaces nor span lines — move edge whitespace OUT of the
+# tag and collapse interior runs (incl. newlines) to single spaces
+_H_INLINE_WS = re.compile(r"<(b|strong|i|em)>(\s*)(.*?)(\s*)</\1>", re.S)
+
+
+def _pass_inline_whitespace(s: str) -> str:
+    def conv(m: re.Match) -> str:
+        tag = m.group(1)
+        inner = re.sub(r"\s+", " ", m.group(3))
+        lead = " " if m.group(2) else ""
+        trail = " " if m.group(4) else ""
+        return f"{lead}<{tag}>{inner}</{tag}>{trail}"
+
+    return _H_INLINE_WS.sub(conv, s)
 _H_TABLE = re.compile(r"<table[^>]*>(.*?)</table>", re.S)
 _H_TBL_UNWRAP = re.compile(r"</?(?:div|span|pre|thead|tbody)[^>]*>")
 _H_TBL_HEAD = re.compile(r"<(/?)h[1-6]>")
@@ -762,6 +778,7 @@ HTML_RULES: list[tuple[str, Callable[[str], str]]] = [
     ("highlight", lambda s: _H_MARK.sub(r"==\1==", s)),
     ("bold_headers", lambda s: _H_BOLD_HEAD.sub(r"<h\1>\3</h\1>", s)),
     ("dup_links", lambda s: _H_DUP_LINK.sub(r"\1", s)),
+    ("inline_whitespace", _pass_inline_whitespace),
     ("tables", _pass_tables),
     ("breaks", lambda s: _H_HR.sub("\n---\n", _H_BR.sub("\n", s))),
     ("headings", lambda s: _H_HEAD.sub(
@@ -809,6 +826,8 @@ def html_to_md(s: str) -> str:
     '## All Bold'
     >>> html_to_md('<a href="u">x</a> <a href="u">x</a> <a href="u">y</a>')
     '[x](u) [y](u)'
+    >>> html_to_md('a<b> bold\\ntext </b>z')
+    'a **bold text** z'
     """
     if s is None:
         return None

@@ -118,6 +118,32 @@ class TestJsonXmlScans:
         assert got == want
 
 
+class TestJsonCorruptRecords:
+    def test_malformed_lines_isolate_not_fail(self, spark, tmp_path):
+        """The JSON scan's error-isolation story: PERMISSIVE mode routes
+        malformed lines into a corrupt-record column instead of failing
+        the scan — the per-record isolation discipline every source in
+        this engine follows (decode ok/error, archive sentinels, CRDT
+        ok=false rows)."""
+        p = tmp_path / "notes.jsonl"
+        p.write_text(
+            '{"id": "a", "content": "fine"}\n'
+            "{this is not json}\n"
+            '{"id": "b", "content": "also fine"}\n'
+        )
+        df = spark.read.schema(
+            "id string, content string, _corrupt_record string"
+        ).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).json(str(tmp_path))
+        rows = df.collect()
+        assert len(rows) == 3
+        good = {r.id: r.content for r in rows if r._corrupt_record is None}
+        bad = [r for r in rows if r._corrupt_record is not None]
+        assert good == {"a": "fine", "b": "also fine"}
+        assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+
 class TestCrdtFold:
     def test_convergence_under_any_order(self):
         """The defining CRDT property: every permutation of the op log
