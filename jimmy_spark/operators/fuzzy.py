@@ -116,7 +116,17 @@ def fuzzy_lev_pairs(
     prefix entirely JVM-side, with the provable length prefilter
     ``|len_a - len_b| <= max_dist`` applied on two ints before the
     string-pair comparison (levenshtein cannot beat the length gap).
+
+    Coarse block keys (a handful of languages) would leave the self-join
+    with a handful of shuffle partitions — most of the cluster idle — so
+    the join is SALTED: the a-side carries ``id % n_salt`` and the b-side
+    replicates across all salts, spreading the identical pair volume over
+    ``blocks x n_salt`` keys. The salt is internal; the result set is
+    unchanged (and the oracle needs no mirror). Pair VOLUME within a block
+    is still quadratic — at corpus scale the same verify runs behind a
+    minhash/band blocker (dedup.py) exactly like the difflib twin.
     """
+    n_salt = 16
     snip = F.substring(F.trim(F.col(text_col)), 1, prefix_len)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -124,8 +134,19 @@ def fuzzy_lev_pairs(
         snip.alias("s"),
         F.length(snip).alias("ln"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    # the probe side must be REPARTITIONED on the salt: a small input
+    # arrives in one or two file splits, and a broadcast join would run
+    # the whole quadratic scoring inside those splits no matter how many
+    # join keys exist — the exchange is what spreads the compute
+    a = (
+        base.withColumn("salt", F.pmod(F.col("id"), F.lit(n_salt)))
+        .repartition(n_salt * 4, "salt", F.col("id"))
+        .alias("a")
+    )
+    b = base.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("b")
+    cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.salt") == F.col("b.salt"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cond = cond & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
