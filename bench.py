@@ -218,7 +218,8 @@ def _generic_bench() -> dict[str, float]:
                  # training-data ladder at sf0.1 (minhash emits 7.5M
                  # verified pairs from 5k word-salad docs at tau 30)
                  "simhash", "minhash_dedup", "markup_rewrite", "lang_id",
-                 "simhash_pairs", "vocab_topk", "seq_pack", "pii_scrub"):
+                 "simhash_pairs", "vocab_topk", "seq_pack", "pii_scrub",
+                 "fuzzy_lev", "asof_join", "range_join", "corpus_prep"):
         t = time.monotonic()
         QUERIES[name](spark, SF_DIR).count()
         out[name] = round(time.monotonic() - t, 3)
