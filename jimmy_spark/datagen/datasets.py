@@ -87,6 +87,7 @@ def ensure_exports(name: str) -> Path:
     on the SOURCE dataset's marker like ensure_archives."""
     from jimmy_spark.datagen.exports import (
         write_crdt_notes,
+        write_eml_notes,
         write_encrypted_notes,
         write_jsonl_notes,
         write_sqlite_notes,
@@ -96,7 +97,7 @@ def ensure_exports(name: str) -> Path:
     d = ensure_dataset(name)
     exp = d / "exports"
     marker = exp / "_MARKER.json"
-    recipe = {"v": 3, "src": name,
+    recipe = {"v": 4, "src": name,
               "src_recipe": json.loads((d / "_MARKER.json").read_text())}
     if marker.exists():
         try:
@@ -111,6 +112,7 @@ def ensure_exports(name: str) -> Path:
     write_xml_notes(src, str(exp / "xml"))
     write_encrypted_notes(src, str(exp / "enc.parquet"))
     write_crdt_notes(src, str(exp / "crdt.parquet"))
+    write_eml_notes(src, str(exp / "eml"))
     marker.write_text(json.dumps(recipe))
     return exp
 

@@ -200,3 +200,86 @@ def write_xml_notes(images_parquet: str, out_dir: str, shards: int = 4) -> None:
                     "</item>\n"
                 )
             f.write("</channel>\n")
+
+
+def write_eml_notes(images_parquet: str, out_dir: str, shards: int = 4) -> None:
+    """RFC-5322/MIME .eml fixtures (the reference's stdlib-email scan,
+    /root/reference/src/jimmy/md_lib/eml.py:15-115). The MIME tree is
+    hand-assembled here — boundaries, base64 and quoted-printable transfer
+    encodings written byte by byte — so the executor-side parser
+    (sources/eml.py) is NOT round-tripping its own serializer.
+
+    Per row (branch selectors are md5(image_id) hex digits, so the DuckDB
+    oracle recomputes them):
+    - digit0 >= '5': multipart/alternative(text/plain [quoted-printable,
+      the caption] + text/html [base64, decoy]) — best-body selection must
+      pick PLAIN;
+    - digit0 <  '5': alternative has ONLY text/html — the scan must fall
+      back to html and convert it to markdown;
+    - digit1 < '4': two attachments, else one — application/octet-stream,
+      base64, filename + Content-ID, payload derived from the caption so
+      md5 fidelity is SQL-checkable.
+    """
+    import base64
+    import hashlib
+    import quopri
+    from email.utils import formatdate
+
+    d = Path(out_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    pdf = _rows(images_parquet)
+    for si in range(shards):
+        part = pdf.iloc[si::shards]
+        for r in part.itertuples():
+            rid = r.image_id
+            h = hashlib.md5(rid.encode()).hexdigest()
+            ts = int(h[:7], 16) % 1_000_000_000
+            mb, ab = f"MB-{rid}", f"AB-{rid}"
+            html = f"<p><b>doc {rid}</b> ready</p>"
+            b64 = lambda b: base64.encodebytes(b).decode()
+            lines = [
+                f"From: u-{rid}@ex.example",
+                "To: inbox@ex.example",
+                f"Subject: note {rid}",
+                f"Date: {formatdate(ts, usegmt=True)}",
+                f"Message-ID: <{rid}@ex.example>",
+                "MIME-Version: 1.0",
+                f'Content-Type: multipart/mixed; boundary="{mb}"',
+                "",
+                f"--{mb}",
+                f'Content-Type: multipart/alternative; boundary="{ab}"',
+                "",
+            ]
+            if h[0] >= "5":
+                qp = quopri.encodestring(r.caption.encode("utf-8")).decode()
+                lines += [
+                    f"--{ab}",
+                    'Content-Type: text/plain; charset="utf-8"',
+                    "Content-Transfer-Encoding: quoted-printable",
+                    "",
+                    # no blank line after the body: the newline before the
+                    # next boundary is the delimiter's, not the content's
+                    qp,
+                ]
+            lines += [
+                f"--{ab}",
+                'Content-Type: text/html; charset="utf-8"',
+                "Content-Transfer-Encoding: base64",
+                "",
+                b64(html.encode("utf-8")),
+                f"--{ab}--",
+            ]
+            n_atts = 2 if h[1] < "4" else 1
+            for k in range(n_atts):
+                blob = (r.caption + f"/att{k}").encode("utf-8")
+                lines += [
+                    f"--{mb}",
+                    "Content-Type: application/octet-stream",
+                    f'Content-Disposition: attachment; filename="a{k}.bin"',
+                    f"Content-ID: <cid-{rid}-{k}>",
+                    "Content-Transfer-Encoding: base64",
+                    "",
+                    b64(blob),
+                ]
+            lines += [f"--{mb}--", ""]
+            (d / f"msg-{rid}.eml").write_bytes("\n".join(lines).encode("utf-8"))

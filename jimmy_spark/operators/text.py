@@ -140,3 +140,64 @@ FROM (SELECT doc_id, {hits(en)} AS hits_en, {hits(de)} AS hits_de,
             f"('0x' || substring(md5(text), 1, 15))::BIGINT AS fp60 FROM {table}"
         ),
     }
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Every per-doc text-analysis kernel in ONE wide projection — token
+    counts, quality sub-metrics, lang-id and fingerprint share a single
+    scan + whole-stage-codegen span (no reason to read the corpus four
+    times at 100 TB when all the kernels are narrow column expressions)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(tokens_col(t))
+    punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    upper = n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    en = _stopword_hits(t, STOPWORDS["en"])
+    de = _stopword_hits(t, STOPWORDS["de"])
+    fr = _stopword_hits(t, STOPWORDS["fr"])
+    score = (
+        F.floor(F.lit(1000) * en / F.greatest(n_tokens, F.lit(1)))
+        - F.floor(F.lit(50) * punct / F.greatest(n_chars, F.lit(1)))
+    ).cast("long")
+    lang_pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    h = F.md5(t)
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_exact"),
+        F.size(F.filter(tokens_col(t), lambda w: F.length(w) >= 4)).alias(
+            "n_long_tokens"
+        ),
+        punct.alias("n_punct"),
+        upper.alias("n_upper"),
+        en.alias("n_stop_en"),
+        score.alias("score_milli"),
+        en.alias("hits_en"),
+        de.alias("hits_de"),
+        fr.alias("hits_fr"),
+        lang_pred.alias("lang_pred"),
+        h.alias("md5"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )
+
+
+def duckdb_text_stats_sql(table: str = "documents") -> str:
+    """Oracle for ``text_stats``: the four per-kernel oracles joined on the
+    id with explicit column lists (n_tokens/n_chars_exact appear in two
+    sub-oracles; hits_en == n_stop_en by construction)."""
+    q = duckdb_text_sql(table)
+    return f"""
+SELECT a.doc_id, a.n_tokens, a.n_chars_exact, a.n_long_tokens,
+       b.n_punct, b.n_upper, b.n_stop_en, b.score_milli,
+       c.hits_en, c.hits_de, c.hits_fr, c.lang_pred,
+       d.md5, d.fp60
+FROM ({q["token_count"]}) a
+JOIN ({q["quality_score"]}) b USING (doc_id)
+JOIN ({q["lang_id"]}) c USING (doc_id)
+JOIN ({q["fingerprint"]}) d USING (doc_id)
+"""
