@@ -212,3 +212,25 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert "lang" in seg and "en" in seg
     # the pruned read returns exactly the en partition
     assert df.count() == docs.filter("lang = 'en'").count()
+
+
+def test_seq_pack_windows_are_sharded(spark):
+    """The packing prefix-sum must never run in a single partition per
+    language (the round-3 scale-killer): every Window node's partition
+    spec has to include the shard column, and the per-shard base join
+    must be a broadcast."""
+    from jimmy_spark.queries import q_corpus_prep, q_seq_pack
+
+    for q in (q_seq_pack, q_corpus_prep):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        windows = [
+            ln for ln in plan.splitlines() if ln.lstrip().startswith(("Window ", "+- Window", ":- Window"))
+            or "Window [" in ln
+        ]
+        # the running-sum window(s); dedup winners (corpus_prep) partition
+        # by md5(text), which is naturally high-cardinality
+        pack_windows = [ln for ln in windows if "n_toks" in ln]
+        assert pack_windows, plan
+        for ln in pack_windows:
+            assert "shard" in ln, ln
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

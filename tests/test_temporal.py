@@ -74,3 +74,57 @@ def test_asof_one_shuffle_plan(spark):
     )
     plan = temporal.asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_skewed_interval_fanout_bound(spark):
+    """Skew fixture (round-3 verdict #8): one user holds a YEARS-long
+    interval among ordinary hours-long ones. The bin explode is the only
+    fan-out in the plan, it is exactly ceil(interval_len / bin) rows per
+    interval — a measured knob, not an unbounded per-key cross product —
+    and the join result is identical at every bin width (losslessness
+    under skew)."""
+    import datetime as dt
+
+    base = dt.datetime(2022, 1, 1)
+    # 50 normal users: a few events inside a 2h interval each
+    ev_rows, iv_rows = [], []
+    for u in range(50):
+        t0 = base + dt.timedelta(hours=u)
+        iv_rows.append((u, 1, t0, t0 + dt.timedelta(hours=2)))
+        for k in range(3):
+            ev_rows.append((u, t0 + dt.timedelta(minutes=20 * k), u * 10 + k))
+    # the skewed user: one 3-YEAR interval, events sprinkled across it
+    skew_start = base
+    skew_end = base + dt.timedelta(days=3 * 365)
+    iv_rows.append((999, 1, skew_start, skew_end))
+    for k in range(40):
+        ev_rows.append((999, skew_start + dt.timedelta(days=27 * k), 99000 + k))
+    ev = spark.createDataFrame(ev_rows, "user_id long, ts timestamp, event_id long")
+    iv = spark.createDataFrame(
+        iv_rows, "user_id long, interval_id long, i_start timestamp, i_end timestamp"
+    )
+
+    def fanout(bin_seconds: int) -> int:
+        s = F.col("i_start").cast("timestamp_ltz").cast("long")
+        e = F.col("i_end").cast("timestamp_ltz").cast("long")
+        return (
+            iv.select(
+                (F.floor((e - 1) / bin_seconds) - F.floor(s / bin_seconds) + 1)
+                .alias("n_bins")
+            ).agg(F.sum("n_bins")).first()[0]
+        )
+
+    results = {}
+    for bin_seconds in (3600, 86_400, 30 * 86_400):
+        got = sorted(
+            (r.event_id, r.interval_id)
+            for r in temporal.range_join(ev, iv, bin_seconds=bin_seconds).collect()
+        )
+        results[bin_seconds] = got
+        # fan-out bound: the 3-year interval costs ceil(len/bin) exploded
+        # rows — ~26k at 1h bins, ~1.1k at 1d, 38 at 30d
+        skew_bins = -(-int((skew_end - skew_start).total_seconds()) // bin_seconds)
+        assert fanout(bin_seconds) <= skew_bins + 50 * 3
+    # identical matches at every knob setting
+    assert results[3600] == results[86_400] == results[30 * 86_400]
+    assert len(results[3600]) == 50 * 3 + 40
