@@ -765,8 +765,279 @@ def _pass_iframes(s: str) -> str:
     return _H_IFRAME_EMPTY.sub("", _H_IFRAME.sub(conv, s))
 
 
+# ---------------------------------------------------------------------------
+# App-specific HTML passes (the reference runs per-app filter lists before
+# the generic ones: html_filter.py:101 link_internal_headings, :197
+# merge_single_element_lists, :231-383 nimbus, :386 notion, :490-562
+# synology, :749-787 upnote). Re-expressed as ordered regex/string passes
+# over the same documented behaviors — no soup, no pandoc.
+
+# nimbus highlights: class="nn-marker" spans (old editor) and
+# data-highlight/-block-background/-comment-color/-palette-bg-rgb
+# attributes (new editor) wrap their content in <mark>; transparent/white
+# backgrounds are not highlights (html_filter.py:231-246)
+_H_NIMBUS_MARK_SPAN = re.compile(
+    r'<span\s+class="nn-marker"[^>]*>(.*?)</span>', re.S
+)
+_H_NIMBUS_MARK_ATTR = re.compile(
+    r"<(span|div|td)\s+[^>]*data-(?:highlight|block-background|comment-color"
+    r'|palette-bg-rgb)="([^"]*)"[^>]*>(.*?)</\1>',
+    re.S,
+)
+
+
+def _pass_nimbus_marks(s: str) -> str:
+    s = _H_NIMBUS_MARK_SPAN.sub(r"<mark>\1</mark>", s)
+
+    def conv(m: re.Match) -> str:
+        if m.group(2) in ("transparent", "white"):
+            return m.group(0)
+        return f"<mark>{m.group(3)}</mark>"
+
+    return _H_NIMBUS_MARK_ATTR.sub(conv, s)
+
+
+# nimbus note links: "mention" spans become nimbusnote:// links
+# (html_filter.py:248-266); the name attribute wins over the span text
+_H_NIMBUS_MENTION = re.compile(
+    r'<span\s+class="mention-link"([^>]*)>(.*?)</span>', re.S
+)
+_H_MENTION_NAME = re.compile(r'data-mention-name="([^"]*)"')
+
+
+def _pass_nimbus_note_links(s: str) -> str:
+    def conv(m: re.Match) -> str:
+        name_m = _H_MENTION_NAME.search(m.group(1))
+        name = name_m.group(1) if name_m and name_m.group(1) else m.group(2)
+        if not name:
+            return ""
+        from urllib.parse import quote
+
+        return f'<a href="nimbusnote://{quote(name)}">{m.group(2)}</a>'
+
+    return _H_NIMBUS_MENTION.sub(conv, s)
+
+
+# nimbus lists: every list arrives as a flat <ul> whose items carry the
+# type (outline-list-item / list-item-number / -bullet / -checkbox) and
+# the nesting (indent-X / level-X) in their class attr
+# (html_filter.py:268-345) -> emit the nested md list directly
+_H_NIMBUS_UL = re.compile(r"<ul[^>]*>(.*?)</ul>", re.S)
+_H_NIMBUS_LI = re.compile(r"<li\b([^>]*)>(.*?)</li>", re.S)
+_H_CLASS_ATTR = re.compile(r'class="([^"]*)"')
+
+
+def _pass_nimbus_lists(s: str) -> str:
+    def conv(m: re.Match) -> str:
+        body = m.group(1)
+        if "outline-list-item" not in body and "list-item-" not in body:
+            return m.group(0)
+        lines = []
+        for attrs, text in _H_NIMBUS_LI.findall(body):
+            cls_m = _H_CLASS_ATTR.search(attrs)
+            classes = cls_m.group(1).split() if cls_m else []
+            level = 0
+            for c in classes:
+                if c.startswith(("indent-", "level-")):
+                    level = int(c.split("-", 1)[1])
+            if "list-item-number" in classes:
+                marker = "1."
+            elif "list-item-checkbox" in classes:
+                checked = 'data-checked="true"' in attrs or "nn-checked" in classes
+                marker = "- [x]" if checked else "- [ ]"
+            else:  # outline-list-item / list-item-bullet / unknown
+                marker = "-"
+            lines.append("    " * level + f"{marker} {text.strip()}")
+        return "\n" + "\n".join(lines) + "\n"
+
+    return _H_NIMBUS_UL.sub(conv, s)
+
+
+# nimbus tables ship a spreadsheet chrome: a tfoot, a first row of column
+# letters (A, B, ...) and two leading columns (row numbers / empty) that
+# must all be stripped — with the reference's sanity checks, so an "old
+# editor" table passes through untouched (html_filter.py:347-376)
+_H_TFOOT = re.compile(r"<tfoot[^>]*>.*?</tfoot>", re.S)
+_H_ROW_FULL = re.compile(r"<tr[^>]*>.*?</tr>", re.S)
+_H_TD_FULL = re.compile(r"<td[^>]*>.*?</td>", re.S)
+
+
+def _pass_nimbus_tables(s: str) -> str:
+    def conv(m: re.Match) -> str:
+        inner = _H_TFOOT.sub("", m.group(1))
+        rows = _H_ROW_FULL.findall(inner)
+        if not rows:
+            return f"<table>{inner}</table>"
+        for ri, row in enumerate(rows):
+            for ci, cell in enumerate(_H_TD_FULL.findall(row)):
+                text = _H_TAG.sub("", cell).strip()
+                if ri == 0 and text and not text.isalpha():
+                    return m.group(0)  # old table (first row): skip
+                if ci in (0, 1) and text and not text.isdigit():
+                    return m.group(0)  # old table (first columns): skip
+        kept = []
+        for row in rows[1:]:
+            cells = _H_TD_FULL.findall(row)
+            kept.append("<tr>" + "".join(cells[2:]) + "</tr>")
+        return "<table>" + "".join(kept) + "</table>"
+
+    return _H_TABLE.sub(conv, s)
+
+
+# notion checklists: <ul class="to-do-list"> items carry their state in a
+# checkbox div (class "checkbox-on"/"checkbox-off", html_filter.py:386-397)
+# -> rewritten to the div-checklist form the generic pass converts
+_H_NOTION_UL = re.compile(
+    r'<ul\s+[^>]*class="[^"]*to-do-list[^"]*"[^>]*>(.*?)</ul>', re.S
+)
+_H_NOTION_LI = re.compile(
+    r'<li[^>]*>\s*<div\s+class="checkbox(?:\s+checkbox-(on|off))?"[^>]*>'
+    r"\s*</div>(.*?)</li>",
+    re.S,
+)
+
+
+def _pass_notion_todo_lists(s: str) -> str:
+    def conv(m: re.Match) -> str:
+        items = [
+            '<div class="{}">{}</div>'.format(
+                "checked" if state == "on" else "unchecked", text.strip()
+            )
+            for state, text in _H_NOTION_LI.findall(m.group(1))
+        ]
+        return '<div class="checklist">' + "".join(items) + "</div>"
+
+    return _H_NOTION_UL.sub(conv, s)
+
+
+# upnote: shine-highlight spans are highlights (html_filter.py:766-770);
+# checklist state lives in li[data-checked] with the text wrapped in
+# div/pre/span that must be unwrapped (:772-787, reference doctest:
+# '<ul><li data-checked="false"><div>Budget?</div></li></ul>' ->
+# checklist li with an unchecked input)
+_H_UPNOTE_HL = re.compile(
+    r'<(\w+)\s+class="shine-highlight[^"]*"[^>]*>(.*?)</\1>', re.S
+)
+_H_UPNOTE_UL = re.compile(r"<ul[^>]*>(.*?)</ul>", re.S)
+_H_UPNOTE_LI = re.compile(r'<li\s+[^>]*data-checked="(true|false)"[^>]*>(.*?)</li>', re.S)
+_H_UNWRAP_DPS = re.compile(r"</?(?:div|pre|span)[^>]*>")
+
+
+def _pass_upnote_checklists(s: str) -> str:
+    s = _H_UPNOTE_HL.sub(r"<mark>\2</mark>", s)
+
+    def conv(m: re.Match) -> str:
+        items = _H_UPNOTE_LI.findall(m.group(1))
+        if not items:
+            return m.group(0)
+        divs = [
+            '<div class="{}">{}</div>'.format(
+                "checked" if state == "true" else "unchecked",
+                _H_UNWRAP_DPS.sub("", text).strip(),
+            )
+            for state, text in items
+        ]
+        return '<div class="checklist">' + "".join(divs) + "</div>"
+
+    return _H_UPNOTE_UL.sub(conv, s)
+
+
+# synology note station: checklists are flat divs — the level is the
+# "padding-left" style (multiples of 30px), the state the input's
+# -checked class (html_filter.py:490-551) -> nested md task list; image
+# srcs hide in the "ref" attribute behind a transparent-gif placeholder
+# (:554-562)
+_H_SYNO_ITEM = re.compile(
+    r'<div\s+style="[^"]*padding-left:\s*(\d+)px[^"]*"[^>]*>\s*'
+    r'<input\s+class="syno-notestation-editor-checkbox(-checked)?"[^>]*/?>'
+    r"(.*?)</div>",
+    re.S,
+)
+_H_SYNO_IMG = re.compile(r"<img\b[^>]*syno-notestation-image-object[^>]*>")
+_H_REF_ATTR = re.compile(r'ref="([^"]*)"')
+_H_SRC_ATTR = re.compile(r'src="([^"]*)"')
+
+
+def _pass_synology(s: str) -> str:
+    def item(m: re.Match) -> str:
+        level = int(m.group(1)) // 30
+        box = "- [x]" if m.group(2) else "- [ ]"
+        return "\n" + "    " * level + f"{box} {m.group(3).strip()}"
+
+    s = _H_SYNO_ITEM.sub(item, s)
+
+    def img(m: re.Match) -> str:
+        src = _H_SRC_ATTR.search(m.group(0))
+        ref = _H_REF_ATTR.search(m.group(0))
+        if (
+            ref is not None
+            and src is not None
+            and src.group(1) == "webman/3rdparty/NoteStation/images/transparent.gif"
+        ):
+            return f'<img src="{ref.group(1)}">'
+        return m.group(0)
+
+    return _H_SYNO_IMG.sub(img, s)
+
+
+# single-item lists merge into the preceding list of the same kind
+# (notion/odt exports split lists item by item, html_filter.py:197-210);
+# fixpoint loop so an item-per-list chain collapses to one list
+_H_SINGLE_LIST = re.compile(
+    r"</(ul|ol)>\s*<\1[^>]*>\s*(<li\b(?:(?!</?li\b).)*?</li>)\s*</\1>", re.S
+)
+
+
+def _pass_merge_single_lists(s: str) -> str:
+    prev = None
+    while prev != s:
+        prev = s
+        s = _H_SINGLE_LIST.sub(r"\2</\1>", s)
+    return s
+
+
+# internal links point at element ids; only heading targets survive in
+# markdown, rewritten to the pandoc-style header id (html_filter.py:101-120
+# + md_lib/text.py to_markdown_header_id); heading attrs are then stripped
+# so the generic heading pass picks them up
+_H_HEAD_WITH_ID = re.compile(
+    r'<h([1-6])\b[^>]*\bid="([^"]*)"[^>]*>(.*?)</h\1>', re.S
+)
+_H_HEAD_ATTRS = re.compile(r"<h([1-6])\b[^>]*>")
+
+
+def _md_header_id(text: str) -> str:
+    t = _H_TAG.sub("", text)
+    t = re.sub(r"[^a-z0-9 _-]", "", t.lower()).strip()
+    return re.sub(r"[ _]+", "-", t)
+
+
+def _pass_link_internal_headings(s: str) -> str:
+    targets = {
+        hid: _md_header_id(text)
+        for _, hid, text in _H_HEAD_WITH_ID.findall(s)
+    }
+
+    def conv(m: re.Match) -> str:
+        return f'href="#{targets[m.group(1)]}"' if m.group(1) in targets else m.group(0)
+
+    s = re.sub(r'href="#([^"]*)"', conv, s)
+    return _H_HEAD_ATTRS.sub(r"<h\1>", s)
+
+
 HTML_RULES: list[tuple[str, Callable[[str], str]]] = [
     ("comments", lambda s: _H_COMMENT.sub("", s)),
+    # app-specific passes run first, like the reference's per-app filter
+    # lists (md_lib/convert.py assembles app filters ahead of the generics)
+    ("nimbus_marks", _pass_nimbus_marks),
+    ("nimbus_note_links", _pass_nimbus_note_links),
+    ("nimbus_lists", _pass_nimbus_lists),
+    ("nimbus_tables", _pass_nimbus_tables),
+    ("notion_todo_lists", _pass_notion_todo_lists),
+    ("upnote_checklists", _pass_upnote_checklists),
+    ("synology", _pass_synology),
+    ("merge_single_lists", _pass_merge_single_lists),
+    ("link_internal_headings", _pass_link_internal_headings),
     ("checklists", _pass_checklists),
     ("merge_formatting", _pass_merge_formatting),
     ("empty_markup", lambda s: _H_EMPTY.sub(r"\2", s)),

@@ -1435,6 +1435,31 @@ def markup_sources(doc_id, lang, source, snippet):
         F.lit('</b></h4><a href="https://d/'), doc_id, F.lit('">go</a> '
               '<a href="https://d/'), doc_id, F.lit('">go</a><pre><code>'),
         snippet, F.lit("</code></pre>"),
+        # app-specific pass fragments (nimbus/notion/upnote/synology +
+        # internal-heading links + single-item list merge)
+        F.lit('<h2 id="sec'), doc_id, F.lit('">Part '), lang,
+        F.lit('</h2><a href="#sec'), doc_id, F.lit('">top</a>'
+              '<ul class="to-do-list"><li>'
+              '<div class="checkbox checkbox-on"></div>plan '), doc_id,
+        F.lit('</li><li><div class="checkbox checkbox-off"></div>ship</li>'
+              '</ul><ul><li data-checked="true"><div>pay '), source,
+        F.lit("</div></li></ul><ul><li>one"), doc_id,
+        F.lit("</li></ul><ul><li>two</li></ul>"
+              "<table><tr><td></td><td></td><td>A</td></tr>"
+              "<tr><td>1</td><td></td><td>cell "), doc_id,
+        F.lit('</td></tr></table><span class="nn-marker">hot '), lang,
+        F.lit('</span> <span class="mention-link" data-mention-type="note" '
+              'data-mention-name="Doc '), doc_id, F.lit('">Doc '), doc_id,
+        F.lit('</span><ul><li class="list-item-bullet indent-0">root '),
+        doc_id,
+        F.lit('</li><li class="list-item-checkbox indent-1" '
+              'data-checked="true">leaf</li></ul>'
+              '<div style="padding-left: 30px;">'
+              '<input class="syno-notestation-editor-checkbox-checked"/>syn '),
+        doc_id,
+        F.lit('</div><img class="syno-notestation-image-object" '
+              'src="webman/3rdparty/NoteStation/images/transparent.gif" '
+              'ref="r'), doc_id, F.lit('.png">'),
     )
     enml = F.concat(
         F.lit("<en-note><h2>"), lang, F.lit("</h2><div>doc "), doc_id,

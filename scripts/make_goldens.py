@@ -164,6 +164,26 @@ def golden_markup_rewrite() -> pd.DataFrame:
             f"<h4><b>{r.source}</b></h4>"
             f'<a href="https://d/{did}">go</a> <a href="https://d/{did}">go</a>'
             f"<pre><code>{snip}</code></pre>"
+            f'<h2 id="sec{did}">Part {r.lang}</h2><a href="#sec{did}">top</a>'
+            f'<ul class="to-do-list"><li>'
+            f'<div class="checkbox checkbox-on"></div>plan {did}</li>'
+            f'<li><div class="checkbox checkbox-off"></div>ship</li></ul>'
+            f'<ul><li data-checked="true"><div>pay {r.source}</div></li></ul>'
+            f"<ul><li>one{did}</li></ul><ul><li>two</li></ul>"
+            f"<table><tr><td></td><td></td><td>A</td></tr>"
+            f"<tr><td>1</td><td></td><td>cell {did}</td></tr></table>"
+            f'<span class="nn-marker">hot {r.lang}</span> '
+            f'<span class="mention-link" data-mention-type="note" '
+            f'data-mention-name="Doc {did}">Doc {did}</span>'
+            f'<ul><li class="list-item-bullet indent-0">root {did}</li>'
+            f'<li class="list-item-checkbox indent-1" data-checked="true">'
+            f"leaf</li></ul>"
+            f'<div style="padding-left: 30px;">'
+            f'<input class="syno-notestation-editor-checkbox-checked"/>'
+            f"syn {did}</div>"
+            f'<img class="syno-notestation-image-object" '
+            f'src="webman/3rdparty/NoteStation/images/transparent.gif" '
+            f'ref="r{did}.png">'
         ))
         enx.append(enml_to_md(
             f"<en-note><h2>{r.lang}</h2><div>doc {did} by <b>{r.source}</b>"

@@ -412,3 +412,78 @@ def test_roam_bbcode_udfs_match_local(spark):
     }
     for i, (src, expected) in enumerate(BB_CASES):
         assert got[i] == expected == markup.bbcode_to_md(src)
+
+
+# ---------------------------------------------------------------------------
+# App-specific HTML passes (round-4): behaviors anchored on the reference's
+# documented filters (html_filter.py:101 link_internal_headings, :197
+# merge_single_element_lists, :231-383 nimbus, :386-397 notion, :490-562
+# synology, :749-787 upnote — the upnote case is the reference's verbatim
+# doctest input).
+
+
+@pytest.mark.parametrize(
+    ("html", "md"),
+    [
+        # upnote checklist — reference doctest input (html_filter.py:774-777)
+        ('<ul><li data-checked="false"><div>Budget?</div></li></ul>',
+         "- [ ] Budget?"),
+        ('<ul><li data-checked="true"><span>Done it</span></li></ul>',
+         "- [x] Done it"),
+        # notion to-do list (html_filter.py:386-397)
+        ('<ul class="to-do-list">'
+         '<li><div class="checkbox checkbox-on"></div>Plan</li>'
+         '<li><div class="checkbox checkbox-off"></div>Ship</li></ul>',
+         "- [x] Plan\n- [ ] Ship"),
+        # nimbus spreadsheet chrome stripped: tfoot, letter row, first two
+        # columns (html_filter.py:347-376)
+        ("<table><tr><td></td><td></td><td>A</td><td>B</td></tr>"
+         "<tr><td>1</td><td></td><td>x</td><td>y</td></tr>"
+         "<tr><td>2</td><td></td><td>u</td><td>v</td></tr>"
+         "<tfoot><tr><td>sum</td></tr></tfoot></table>",
+         "| x | y |\n| --- | --- |\n| u | v |"),
+        # old-editor table: sanity check fails -> untouched streamlining
+        ("<table><tr><td>id</td><td>src</td></tr></table>",
+         "| id | src |\n| --- | --- |"),
+        # nimbus flat list: type + indent in the class attr
+        # (html_filter.py:268-345)
+        ('<ul><li class="list-item-bullet indent-0">a</li>'
+         '<li class="list-item-number indent-1">b</li>'
+         '<li class="list-item-checkbox indent-1" data-checked="true">c</li>'
+         "</ul>",
+         "- a\n    1. b\n    - [x] c"),
+        # nimbus highlight + note mention (html_filter.py:231-266)
+        ('<span class="nn-marker">hot</span> '
+         '<span class="mention-link" data-mention-type="note" '
+         'data-mention-name="My Note">My Note</span>',
+         "==hot== [My Note](nimbusnote://My%20Note)"),
+        ('<div data-highlight="transparent">no</div>', "no"),
+        # single-item lists merge into the previous same-kind list
+        # (html_filter.py:197-210)
+        ("<ul><li>a</li></ul><ul><li>b</li></ul><ul><li>c</li></ul>",
+         "- a\n- b\n- c"),
+        # internal link ids rewritten to markdown header ids
+        # (html_filter.py:101-120)
+        ('<h2 id="x1">My Heading</h2><a href="#x1">jump</a>',
+         "## My Heading\n[jump](#my-heading)"),
+        # non-heading target: href untouched, heading attrs stripped anyway
+        ('<h2 id="h">T</h2><a href="#nope">jump</a>',
+         "## T\n[jump](#nope)"),
+        # synology checklist divs: padding-left -> level, -checked class ->
+        # state (html_filter.py:490-551)
+        ('<div style="padding-left: 0px;">'
+         '<input class="syno-notestation-editor-checkbox-checked"/>top</div>'
+         '<div style="padding-left: 30px;">'
+         '<input class="syno-notestation-editor-checkbox"/>sub</div>',
+         "- [x] top\n    - [ ] sub"),
+        # synology image ref -> src (html_filter.py:554-562)
+        ('<img class="syno-notestation-image-object" '
+         'src="webman/3rdparty/NoteStation/images/transparent.gif" '
+         'ref="real.png">',
+         "![](real.png)"),
+    ],
+)
+def test_app_specific_html_passes(html, md):
+    from jimmy_spark.functions.markup import html_to_md
+
+    assert html_to_md(html) == md
