@@ -237,6 +237,51 @@ def _generic_bench() -> dict[str, float]:
     return out
 
 
+def _dedup_job_bench() -> dict[str, float]:
+    """End-to-end deployable dedup ladder (jobs/dedup_job.py: checkpointed
+    per-doc prep -> minhash LSH pairs + exact verify -> large/small-star
+    connected components -> cluster table) through its REAL deployment
+    path — spark-submit --py-files — timed as one composed job at sf0.1,
+    so the ladder's total cost is tracked, not just its per-stage registry
+    queries. Timed from submit to exit: includes JVM startup (~6s), the
+    price a real cluster submission also pays."""
+    import shutil as _sh
+    import tempfile
+
+    if _sh.which("spark-submit") is None:
+        return {}
+    from scripts.make_pyfiles_zip import build
+
+    tmp = tempfile.mkdtemp(prefix="bench_dedup_")
+    try:
+        zip_path = build(Path(tmp) / "jimmy_spark.zip")
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{CPUS}]",
+            # spark-submit defaults to 1g driver memory — at local[32] the
+            # 32 concurrent hash-agg tasks OOM under it; match the
+            # engine's session default (jimmy_spark/session.py)
+            "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "--conf", "spark.ui.enabled=false",
+            "--conf", f"spark.sql.shuffle.partitions={CPUS}",
+            "--py-files", str(zip_path),
+            str(REPO / "jobs" / "dedup_job.py"),
+            "--docs", f"{SF_DIR}/documents.parquet",
+            "--out", f"{tmp}/out",
+            "--checkpoint", f"{tmp}/cp",
+            "--run-id", "bench",
+            "--tau", "30",
+        ]
+        t = time.monotonic()
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        dt = round(time.monotonic() - t, 3)
+        if p.returncode != 0:
+            raise RuntimeError(f"dedup_job failed:\n{p.stderr[-2000:]}")
+        return {"dedup_job": dt}
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 def _worker(cores: int, lean: bool = False) -> None:
     print(json.dumps(_pipeline_bench(cores, lean)))
 
@@ -449,6 +494,7 @@ def main() -> None:
 
     probe = _host_cpu_probe()
     generic = _generic_bench()
+    generic.update(_dedup_job_bench())
     if r_lo is not None:
         history = _append_history(
             {
