@@ -237,14 +237,16 @@ def minhash_lsh_pairs(
     return j.select("doc_a", "doc_b", "common", "union_cnt")
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit simhash from token md5s, vectorized across the whole Arrow
-    batch: md5 runs once per UNIQUE token in the batch (np.unique inverse
-    mapping — corpora share vocabulary, so this collapses the hash work),
-    bit extraction is one (tokens x 64) matrix, and the per-doc majority
-    vote is a segment sum (np.add.reduceat). No per-row Python loop.
-    Semantics identical to the bit-level DuckDB oracle (md5[:8] big-endian,
-    majority vote, signed-int64 wrap)."""
+def simhash_col(text_col: str = "text"):
+    """64-bit simhash as a COLUMN expression (composable into a wider
+    projection without a self-join — one scan, one Arrow crossing),
+    vectorized across the whole batch: md5 runs once per UNIQUE token in
+    the batch (np.unique inverse mapping — corpora share vocabulary, so
+    this collapses the hash work), bit extraction is one (tokens x 64)
+    matrix, and the per-doc majority vote is a segment sum
+    (np.add.reduceat). No per-row Python loop. Semantics identical to the
+    bit-level DuckDB oracle (md5[:8] big-endian, majority vote,
+    signed-int64 wrap)."""
 
     @F.pandas_udf("long")
     def sh(tokens: pd.Series) -> pd.Series:
@@ -282,7 +284,12 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         out[nz] = vals.view(np.int64)
         return pd.Series(out)
 
-    return df.select(F.col(id_col), sh(_tokens(text_col)).alias("simhash"))
+    return sh(_tokens(text_col)).alias("simhash")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) frame view of ``simhash_col``."""
+    return df.select(F.col(id_col), simhash_col(text_col))
 
 
 def simhash_pairs(

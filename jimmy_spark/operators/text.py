@@ -142,7 +142,12 @@ FROM (SELECT doc_id, {hits(en)} AS hits_en, {hits(de)} AS hits_de,
     }
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra: list[Column] | None = None,
+) -> DataFrame:
     """Every per-doc text-analysis kernel in ONE wide projection — token
     counts, quality sub-metrics, lang-id and fingerprint share a single
     scan + whole-stage-codegen span (no reason to read the corpus four
@@ -183,6 +188,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_pred.alias("lang_pred"),
         h.alias("md5"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp60"),
+        *(extra or []),
     )
 
 

@@ -778,11 +778,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark, sf_dir):
     """All per-doc text-analysis kernels (token counting, quality scoring,
-    lang-id, md5 fingerprint — operators/text.py) as ONE wide projection,
-    plus the NumPy-vectorized 64-bit simhash signature joined on the id:
-    the whole analysis layer behind a single driver row."""
+    lang-id, md5 fingerprint — operators/text.py) plus the NumPy-
+    vectorized 64-bit simhash signature, as ONE wide projection — one
+    scan, one Arrow crossing, zero shuffle (no self-join): the whole
+    analysis layer behind a single driver row."""
     docs = _docs(spark, sf_dir)
-    return text.text_stats(docs).join(dedup.simhash64(docs), "doc_id")
+    return text.text_stats(docs, extra=[dedup.simhash_col("text")])
 
 
 def q_ngram_dedup(spark, sf_dir):
