@@ -1,0 +1,281 @@
+"""The reference's end-to-end conversion lifecycle, distributed.
+
+jimmy's primary surface is `jimmy cli <inputs> --format X [filters...]`
+(SURVEY §3.1): scan -> intermediate format -> filters -> two-pass write
+(pass 1 determines unique output paths and builds the note-id map,
+main.py:148-150; pass 2 writes notes with links rewritten through that
+map, writer.py:214-266) -> parsed/filtered/written stats with a loss
+warning (main.py:162-175) and exit code 1 on input errors
+(jimmy_cli.py:194-198).
+
+Spark-native shape — every stage is a DataFrame -> DataFrame function,
+composed into ONE logical plan until the write:
+
+- scan:   each supported container (eml / jsonl / sqlite / xml / archive)
+          normalizes to the NOTE intermediate schema — the engine's
+          `imf.Note` analogue — with per-record error isolation;
+- filter: glob-style include/exclude predicates (filters.py:8-41);
+- paths:  `row_number` over (title) — get_unique_name semantics
+          (day_one.py:93-111) — then safe_filename, giving every note a
+          deterministic collision-free relative path;
+- links:  `note://<id>` references resolve through the id->path map with
+          a broken-link fallback, entirely JVM-side: extract refs
+          (regexp_extract_all + explode), left-join the map, fold the
+          replacements back over the body with `F.aggregate` — the
+          writer's two-pass join, no Python in the loop;
+- write:  an Arrow-batched `mapInPandas` writes one .md file per note
+          from the EXECUTORS (a real deployment points this at shared
+          storage) and yields a manifest row per file — the written
+          manifest is itself a DataFrame, so the parsed/filtered/written
+          stats triple is one aggregation, and reruns are byte-stable
+          (content is a pure function of the input).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jimmy_spark.functions import strings
+
+NOTE_SCHEMA = (
+    "note_id string, title string, body string, author string, "
+    "ts long, ok boolean, error string"
+)
+
+
+# --------------------------------------------------------------------------
+# scan: container -> NOTE intermediate schema
+
+
+def notes_from_eml(spark: SparkSession, eml_dir: str) -> DataFrame:
+    from jimmy_spark.sources import eml
+
+    raw = eml.read_eml(spark, eml_dir)
+    return raw.select(
+        F.col("msg_id").alias("note_id"),
+        F.coalesce(F.col("subject"), F.col("msg_id")).alias("title"),
+        F.coalesce(F.col("body"), F.lit("")).alias("body"),
+        "author",
+        F.col("date_ts").alias("ts"),
+        "ok",
+        "error",
+    )
+
+
+def notes_from_jsonl(spark: SparkSession, jsonl_dir: str) -> DataFrame:
+    notes = spark.read.schema(
+        "content string, id string, lastModified long, tags array<string>"
+    ).json(jsonl_dir)
+    return notes.select(
+        F.col("id").alias("note_id"),
+        F.substring("content", 1, 80).alias("title"),
+        F.col("content").alias("body"),
+        F.lit(None).cast("string").alias("author"),
+        F.col("lastModified").alias("ts"),
+        F.lit(True).alias("ok"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+def notes_from_sqlite(spark: SparkSession, db_path: str) -> DataFrame:
+    from jimmy_spark.sources import sqlite as sq
+
+    raw = sq.read_sqlite(
+        spark,
+        db_path,
+        "notes",
+        ["id", "guid", "mid", "mtime", "tags", "flds"],
+        "id long, guid string, mid long, mtime long, tags string, flds string",
+    )
+    return raw.select(
+        F.col("guid").alias("note_id"),
+        F.substring("flds", 1, 80).alias("title"),
+        F.col("flds").alias("body"),
+        F.lit(None).cast("string").alias("author"),
+        F.col("mtime").alias("ts"),
+        F.lit(True).alias("ok"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+SOURCES = {
+    "eml": notes_from_eml,
+    "jsonl": notes_from_jsonl,
+    "sqlite": notes_from_sqlite,
+}
+
+
+# --------------------------------------------------------------------------
+# filters (filters.py:8-41 select_notes)
+
+
+def select_notes(
+    notes: DataFrame,
+    include_like: str | None = None,
+    exclude_like: str | None = None,
+) -> DataFrame:
+    out = notes
+    if include_like:
+        out = out.filter(F.col("title").like(include_like))
+    if exclude_like:
+        out = out.filter(~F.col("title").like(exclude_like))
+    return out
+
+
+# --------------------------------------------------------------------------
+# pass 1: unique output paths (PathDeterminer, writer.py:37-109)
+
+
+def determine_paths(notes: DataFrame) -> DataFrame:
+    """Deterministic, collision-free relative paths: safe filename from
+    the title, duplicate titles suffixed by (title, note_id) rank — the
+    get_unique_name discipline. One shuffle on the title (the key is
+    near-unique, so no skew concern)."""
+    safe = strings.safe_filename(strings.split_title(F.col("title")))
+    w = Window.partitionBy(safe).orderBy("note_id")
+    rn = F.row_number().over(w)
+    rel = F.when(rn == 1, F.concat(safe, F.lit(".md"))).otherwise(
+        F.concat(safe, F.lit("-"), F.lpad((rn - 1).cast("string"), 4, "0"),
+                 F.lit(".md"))
+    )
+    return notes.withColumn("out_path", rel)
+
+
+# --------------------------------------------------------------------------
+# pass 2 prep: link resolution through the id->path map (writer.py:214-266)
+
+_LINK_RE = r"note://([A-Za-z0-9_\-]+)"
+
+
+def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
+    """Rewrite ``note://<id>`` references to the target's relative path
+    (broken links fall back to the literal ``broken-link``, the
+    reference's coalesce discipline). All JVM: refs explode out, the
+    id->path map joins in (Catalyst/AQE broadcasts when small), and
+    ``F.aggregate`` folds the replacements back over the body."""
+    # inner explode: linkless notes contribute no ref rows (an outer
+    # explode would fold a NULL target and null the whole body)
+    refs = notes_with_paths.select(
+        F.col("note_id").alias("src_id"),
+        F.explode(
+            F.array_distinct(F.regexp_extract_all("body", F.lit(_LINK_RE), 1))
+        ).alias("target_id"),
+    )
+    id_map = notes_with_paths.select(
+        F.col("note_id").alias("target_id"), F.col("out_path").alias("target_path")
+    )
+    resolved = (
+        refs.join(id_map, "target_id", "left")
+        .groupBy("src_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("target_id").alias("t"),
+                    F.coalesce(F.col("target_path"), F.lit("broken-link")).alias("p"),
+                )
+            ).alias("repls")
+        )
+    )
+    joined = notes_with_paths.join(
+        resolved, notes_with_paths.note_id == resolved.src_id, "left"
+    ).drop("src_id")
+    body2 = F.aggregate(
+        F.coalesce(F.col("repls"), F.array()),
+        F.col("body"),
+        lambda acc, r: F.replace(acc, F.concat(F.lit("note://"), r["t"]), r["p"]),
+    )
+    return joined.withColumn("body", body2).drop("repls")
+
+
+# --------------------------------------------------------------------------
+# write: executor-side .md tree + manifest (FilesystemWriter analogue)
+
+MANIFEST_SCHEMA = "out_path string, n_bytes long, written boolean, error string"
+
+
+def render_note(frontmatter: bool = True):
+    """Rendered document column (NoteFormatter/frontmatter discipline,
+    intermediate_format.py:214-287)."""
+    body = F.coalesce(F.col("body"), F.lit(""))
+    if not frontmatter:
+        return body
+    return F.concat(
+        F.lit("---\ntitle: "), F.coalesce(F.col("title"), F.lit("")),
+        F.lit("\nauthor: "), F.coalesce(F.col("author"), F.lit("")),
+        F.lit("\ncreated: "), F.coalesce(F.col("ts").cast("string"), F.lit("")),
+        F.lit("\n---\n"), body,
+    )
+
+
+def write_notes(
+    notes: DataFrame, out_dir: str, frontmatter: bool = True
+) -> DataFrame:
+    """Write one markdown file per note from the executors; returns the
+    written MANIFEST as a DataFrame (path, bytes, written, error) — the
+    stats triple and loss check aggregate over it. Content is a pure
+    function of the input, so reruns are byte-identical (idempotent)."""
+    doc = render_note(frontmatter)
+    payload = notes.select("out_path", doc.alias("doc"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for rel, docstr in zip(pdf["out_path"], pdf["doc"]):
+                try:
+                    data = (docstr or "").encode("utf-8")
+                    with open(os.path.join(out_dir, rel), "wb") as f:
+                        f.write(data)
+                    rows.append((rel, len(data), True, None))
+                except Exception as e:  # noqa: BLE001 — per-note isolation
+                    rows.append((rel, 0, False, str(e)))
+            yield pd.DataFrame(
+                rows, columns=["out_path", "n_bytes", "written", "error"]
+            )
+
+    return payload.mapInPandas(gen, MANIFEST_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# the composed lifecycle
+
+
+def run_conversion(
+    spark: SparkSession,
+    fmt: str,
+    input_path: str,
+    out_dir: str,
+    include_like: str | None = None,
+    exclude_like: str | None = None,
+    frontmatter: bool = True,
+) -> dict:
+    """scan -> filter -> paths -> links -> write -> stats (main.py:112-188
+    run_conversion, distributed). Returns the stats dict; ``n_errors`` > 0
+    is the CLI's exit-1 condition."""
+    notes = SOURCES[fmt](spark, input_path)
+    n_parsed = notes.count()
+    n_errors = notes.filter(~F.col("ok")).count()
+    good = notes.filter(F.col("ok"))
+    kept = select_notes(good, include_like, exclude_like)
+    n_filtered = kept.count()
+    manifest = write_notes(resolve_links(determine_paths(kept)), out_dir, frontmatter)
+    agg = manifest.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("written").cast("long")).alias("n_written"),
+        F.sum("n_bytes").alias("bytes_written"),
+    ).first()
+    stats = {
+        "parsed": n_parsed,
+        "errors": n_errors,
+        "filtered": n_filtered,
+        "written": int(agg["n_written"] or 0),
+        "bytes_written": int(agg["bytes_written"] or 0),
+    }
+    # the reference's parsed-vs-written loss warning (main.py:162-175)
+    stats["lossless"] = stats["written"] == stats["filtered"]
+    return stats

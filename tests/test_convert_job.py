@@ -1,0 +1,125 @@
+"""End-to-end conversion lifecycle (plans/convert.py + jobs/convert_job.py)
+— the reference CLI's scan -> filter -> two-pass write path, verified the
+way the reference verifies it: the output tree is BYTE-EQUAL across runs
+(test/test_convert.py:70-113 assert_dir_trees_equal), links resolve
+through the id->path map with the broken-link fallback, filters and the
+stats triple behave like main.py:112-188."""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from jimmy_spark.plans import convert
+
+
+def _tree_digest(d: Path) -> dict[str, str]:
+    return {
+        str(p.relative_to(d)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in sorted(d.rglob("*"))
+        if p.is_file()
+    }
+
+
+@pytest.fixture(scope="module")
+def eml_dir():
+    from jimmy_spark.datagen import ensure_exports
+
+    return f"{ensure_exports('t2')}/eml"
+
+
+def test_eml_conversion_byte_stable(spark, eml_dir, tmp_path):
+    out1, out2 = tmp_path / "run1", tmp_path / "run2"
+    s1 = convert.run_conversion(spark, "eml", eml_dir, str(out1))
+    s2 = convert.run_conversion(spark, "eml", eml_dir, str(out2))
+    assert s1 == s2
+    assert s1["errors"] == 0
+    assert s1["written"] == s1["filtered"] == s1["parsed"]
+    assert s1["lossless"]
+    d1, d2 = _tree_digest(out1), _tree_digest(out2)
+    assert d1 and d1 == d2  # byte-equal trees, the reference's e2e gate
+    # frontmatter render: title/author/created lines present
+    sample = next(iter(sorted(d1)))
+    text = (out1 / sample).read_text()
+    assert text.startswith("---\ntitle: ")
+    assert "\nauthor: u-" in text and "\n---\n" in text
+
+
+def test_filters_and_stats(spark, eml_dir, tmp_path):
+    s = convert.run_conversion(
+        spark, "eml", eml_dir, str(tmp_path / "o"),
+        include_like="note img_0000000000%",
+    )
+    assert 0 < s["filtered"] < s["parsed"]
+    assert s["written"] == s["filtered"]
+
+
+def test_unique_paths_suffix_collisions(spark):
+    notes = spark.createDataFrame(
+        [("a", "Same Title", "x"), ("b", "Same Title", "y"), ("c", "Other", "z")],
+        "note_id string, title string, body string",
+    )
+    got = {
+        r.note_id: r.out_path
+        for r in convert.determine_paths(notes).collect()
+    }
+    assert got["a"].endswith(".md") and got["b"].endswith("-0001.md")
+    assert got["a"] != got["b"] != got["c"]
+
+
+def test_link_resolution_and_broken_fallback(spark):
+    notes = spark.createDataFrame(
+        [
+            ("n1", "One", "see note://n2 and note://ghost"),
+            ("n2", "Two", "plain"),
+        ],
+        "note_id string, title string, body string",
+    )
+    out = convert.resolve_links(convert.determine_paths(notes))
+    bodies = {r.note_id: r.body for r in out.collect()}
+    assert "Two.md" in bodies["n1"]          # resolved through the id map
+    assert "broken-link" in bodies["n1"]     # missing target coalesces
+    assert "note://" not in bodies["n1"]
+    assert bodies["n2"] == "plain"
+
+
+def test_write_error_isolation(spark, tmp_path):
+    """A note whose path cannot be written yields a manifest error row —
+    the task (and the other notes) survive."""
+    notes = spark.createDataFrame(
+        [("n1", "ok-note", "x"), ("n2", "bad", "y")],
+        "note_id string, title string, body string",
+    ).withColumn(
+        "out_path",
+        F.when(F.col("note_id") == "n2", F.lit("no-such-dir/f.md"))
+        .otherwise(F.lit("fine.md")),
+    ).withColumn("author", F.lit(None).cast("string")) \
+     .withColumn("ts", F.lit(None).cast("long"))
+    manifest = convert.write_notes(notes, str(tmp_path / "w")).collect()
+    by_path = {r.out_path: r for r in manifest}
+    assert by_path["fine.md"].written
+    assert not by_path["no-such-dir/f.md"].written
+    assert by_path["no-such-dir/f.md"].error
+
+
+def test_convert_job_cli_exit_codes(eml_dir, tmp_path, monkeypatch):
+    """The job's argv surface + exit-code contract (jimmy_cli.py:194-198),
+    in-process (the spark-submit deployment path is exercised for jobs in
+    test_spark_submit.py)."""
+    import sys
+
+    import jobs.convert_job as job
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert_job.py", "--format", "eml", "--input", eml_dir,
+         "--output", str(tmp_path / "cli_out"), "--no-frontmatter"],
+    )
+    assert job.main() == 0
+    files = list((tmp_path / "cli_out").glob("*.md"))
+    assert files
+    # --no-frontmatter: body only
+    assert not files[0].read_text().startswith("---")
