@@ -100,8 +100,8 @@ def _parse_eml(raw: bytes) -> dict:
         "msg_id": mid.strip("<>").split("@")[0],
         "ok": True,
         "error": None,
-        "subject": str(msg["Subject"]),
-        "author": str(msg["From"]),
+        "subject": None if msg["Subject"] is None else str(msg["Subject"]),
+        "author": None if msg["From"] is None else str(msg["From"]),
         "date_ts": date_ts,
         "body": "\n".join(b for _, b in bodies),
         "best_mime": bodies[0][0] if bodies else None,
