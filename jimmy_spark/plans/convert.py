@@ -279,3 +279,73 @@ def run_conversion(
     # the reference's parsed-vs-written loss warning (main.py:162-175)
     stats["lossless"] = stats["written"] == stats["filtered"]
     return stats
+
+
+# --------------------------------------------------------------------------
+# incremental conversion (§2.9): new export files convert as they arrive
+
+
+def key_paths(notes: DataFrame) -> DataFrame:
+    """KEY-DERIVED output paths: ``<note_id>.md``. Rank-based unique
+    naming (determine_paths) needs a global window — a batch luxury; an
+    incremental pipeline must name outputs as a pure function of the
+    record key so any micro-batch, restart or replica produces the same
+    path without coordination. Links then resolve by pure expression too
+    (no id->path join): ``note://X`` -> ``X.md``."""
+    return notes.withColumn(
+        "out_path",
+        F.concat(strings.safe_filename(F.col("note_id")), F.lit(".md")),
+    ).withColumn(
+        "body",
+        F.regexp_replace(
+            "body", _LINK_RE, r"$1.md"
+        ),
+    )
+
+
+def run_conversion_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    frontmatter: bool = True,
+    query_name: str = "convert_stream",
+):
+    """Streaming twin of ``run_conversion`` for the eml source: a text
+    wholetext file stream watches ``input_dir`` (each new .eml lands as
+    one row), micro-batches run scan -> key-derived paths -> write
+    through foreachBatch, and the file-source checkpoint gives
+    exactly-once-per-input-file across restarts (the engine's incremental
+    ingest story, SURVEY §2.9, plus checkpoint.py for bucket-level
+    resume inside huge batches). Returns the started StreamingQuery —
+    callers drive it with processAllAvailable()/stop()."""
+    from jimmy_spark.sources.eml import parse_eml_frame
+
+    stream = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.eml")
+        .load(input_dir)
+        .select(
+            F.lit("stream").alias("path"),
+            F.encode(F.col("value"), "UTF-8").alias("content"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        notes = parse_eml_frame(batch_df)
+        good = notes.select(
+            F.col("msg_id").alias("note_id"),
+            F.coalesce(F.col("subject"), F.col("msg_id")).alias("title"),
+            F.coalesce(F.col("body"), F.lit("")).alias("body"),
+            "author",
+            F.col("date_ts").alias("ts"),
+        ).filter(F.col("note_id").isNotNull())
+        write_notes(key_paths(good), out_dir, frontmatter).count()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

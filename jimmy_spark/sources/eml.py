@@ -119,6 +119,12 @@ def read_eml(spark: SparkSession, eml_dir: str) -> DataFrame:
         .load(eml_dir)
         .select("path", "content")
     )
+    return parse_eml_frame(files)
+
+
+def parse_eml_frame(files: DataFrame) -> DataFrame:
+    """Parse a (path, content:binary) frame — batch (binaryFile) and
+    streaming (text wholetext, encoded) scans share this stage."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.split()[0] for f in EML_SCHEMA.split(", ")]

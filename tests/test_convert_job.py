@@ -123,3 +123,39 @@ def test_convert_job_cli_exit_codes(eml_dir, tmp_path, monkeypatch):
     assert files
     # --no-frontmatter: body only
     assert not files[0].read_text().startswith("---")
+
+
+def test_streaming_conversion_incremental(spark, eml_dir, tmp_path):
+    """Incremental conversion (§2.9): files arriving across micro-batches
+    convert exactly once with key-derived (coordination-free) naming, and
+    the final tree is byte-identical to converting everything at once."""
+    import shutil
+
+    src = sorted(Path(eml_dir).glob("*.eml"))[:24]
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for p in src[:10]:
+        shutil.copy(p, inbox / p.name)
+
+    out_s = tmp_path / "stream_out"
+    q = convert.run_conversion_stream(
+        spark, str(inbox), str(out_s), str(tmp_path / "cp")
+    )
+    try:
+        q.processAllAvailable()
+        n_first = len(list(out_s.glob("*.md")))
+        assert n_first == 10
+        for p in src[10:]:
+            shutil.copy(p, inbox / p.name)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(list(out_s.glob("*.md"))) == 24
+
+    # batch twin over the same 24 inputs with the same key-derived naming
+    out_b = tmp_path / "batch_out"
+    notes = convert.notes_from_eml(spark, str(inbox)).filter("ok").drop(
+        "ok", "error"
+    )
+    convert.write_notes(convert.key_paths(notes), str(out_b)).count()
+    assert _tree_digest(out_s) == _tree_digest(out_b)  # stream == batch, bytes
