@@ -103,3 +103,46 @@ def test_spark_submit_dedup_job(spark, tmp_path):
         for r in dedup.connected_components(docs, pairs).collect()
     )
     assert got == want
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_convert_job(tmp_path):
+    """The conversion lifecycle through the real deployment path:
+    spark-submit --py-files, stats line + exit code, rerun byte-stable."""
+    import hashlib
+
+    sys.path.insert(0, str(REPO))
+    from scripts.make_pyfiles_zip import build
+
+    from jimmy_spark.datagen import ensure_exports
+
+    zip_path = build(tmp_path / "jimmy_spark.zip")
+    eml_dir = f"{ensure_exports('t2')}/eml"
+
+    def run(out: str):
+        cmd = [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(REPO / "jobs" / "convert_job.py"),
+            "--format", "eml",
+            "--input", eml_dir,
+            "--output", str(tmp_path / out),
+            "--include-like", "note img_0000000000%",
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    s1, s2 = run("o1"), run("o2")
+    assert s1 == s2
+    assert s1["errors"] == 0 and s1["lossless"] and 0 < s1["written"] < 2000
+
+    def digest(d):
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted((tmp_path / d).glob("*.md"))
+        }
+
+    assert digest("o1") == digest("o2")
