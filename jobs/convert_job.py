@@ -38,6 +38,9 @@ def main() -> int:
 
     from jimmy_spark.plans import convert
 
+    # getOrCreate may hand us a caller's session (in-process invocation);
+    # only stop what this job itself created
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("jimmy-spark-convert-job").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -51,7 +54,8 @@ def main() -> int:
         frontmatter=not args.no_frontmatter,
     )
     print(json.dumps(stats, sort_keys=True))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 1 if stats["errors"] else 0
 
 
