@@ -1,0 +1,101 @@
+"""Scale-safe ordered ranking — the two-stage answers to Spark's
+single-reducer window problem.
+
+A window like ``row_number() OVER (PARTITION BY lang ORDER BY doc_id)``
+sorts each partition's ENTIRE group in one reducer task: with a handful
+of languages over 100 TB, the dominant group is effectively the whole
+table — the same scale-killer class as the round-3 packing window. The
+fix is the same shape as two-stage aggregation:
+
+- ``ordered_rank``: bucket the order key by an ORDER-PRESERVING integer
+  division, rank locally within (group, bucket), and add each bucket's
+  base — the count of all earlier buckets in the group — computed by a
+  window over the TINY per-bucket counts frame and broadcast back. The
+  result is byte-identical to the naive global window (the oracle does
+  not change), but no task ever sorts more than one bucket.
+
+- ``top_k_per_group``: rank within (group, shard) first and keep only k
+  survivors per shard, then run the global window over the <= k*shards
+  finalists per group. Identical output to the naive formulation; the
+  full-group sort never happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ordered_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    out_col: str = "rn",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Exact ``row_number() OVER (PARTITION BY part_cols ORDER BY
+    order_col)`` without a whole-group sort. ``order_col`` must be an
+    integer column (the bucket is ``order_col div bucket_width``, which
+    preserves order); ties are impossible because row_number over a
+    unique key is requested — callers with non-unique keys should add a
+    tiebreaker to the key first."""
+    bkt = F.expr(f"{order_col} div {bucket_width}")
+    keys = [*part_cols, "_bkt"]
+    local_w = (
+        Window.partitionBy(*keys).orderBy(order_col)
+    )
+    with_local = df.withColumn("_bkt", bkt).withColumn(
+        "_local_rn", F.row_number().over(local_w)
+    )
+    counts = (
+        df.withColumn("_bkt", bkt)
+        .groupBy(*part_cols, "_bkt")
+        .agg(F.count("*").alias("_n"))
+    )
+    base_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.select(
+        *keys, F.coalesce(F.sum("_n").over(base_w), F.lit(0)).alias("_base")
+    )
+    return (
+        with_local.join(F.broadcast(bases), keys)
+        .withColumn(out_col, (F.col("_base") + F.col("_local_rn")).cast("long"))
+        .drop("_bkt", "_local_rn", "_base")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    k: int,
+    out_col: str = "rk",
+    n_shards: int = 32,
+    shard_key: str | None = None,
+) -> DataFrame:
+    """Exact top-k-per-group window without sorting whole groups: local
+    top-k within (group, shard), then the global rank over the <=
+    k*n_shards survivors per group. ``order_cols`` are Column objects
+    (e.g. ``[F.desc("value"), F.col("id")]``); ``shard_key`` names a
+    column to spread on (default: spark_partition_id is NOT used —
+    determinism requires a data-derived key, so pass one; falls back to
+    the first part col hash of all columns is unsafe)."""
+    if shard_key is None:
+        raise ValueError("pass a deterministic shard_key column name")
+    shard = F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards))
+    local_w = Window.partitionBy(*part_cols, "_shard").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_shard", shard)
+        .withColumn("_lrk", F.row_number().over(local_w))
+        .filter(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    final_w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn(out_col, F.row_number().over(final_w))
+        .filter(F.col(out_col) <= k)
+        .drop("_shard")
+    )

@@ -525,11 +525,17 @@ def q_linkres(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_unique_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_unique_name analogue (day_one.py:93-111): suffix duplicate keys
-    with a deterministic ordinal."""
+    with a deterministic ordinal. The rank is the TWO-STAGE ordered rank
+    (operators/ranks.py): (lang, source) has a handful of groups, so the
+    naive window sorts ~the whole corpus in one reducer at 100 TB — the
+    bucketed formulation is byte-identical but never sorts more than one
+    order-key bucket per task."""
+    from jimmy_spark.operators import ranks
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = Window.partitionBy("lang", "source").orderBy("doc_id")
-    rn = F.row_number().over(w)
-    return docs.select(
+    ranked = ranks.ordered_rank(docs, ["lang", "source"], "doc_id", "rn")
+    rn = F.col("rn")
+    return ranked.select(
         "doc_id",
         F.when(rn == 1, F.concat(F.col("lang"), F.lit("/"), F.col("source")))
         .otherwise(
@@ -660,13 +666,21 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window top-k (engine kNN's secondary-sort shape over plain data)."""
+    """Window top-k (engine kNN's secondary-sort shape over plain data),
+    two-stage (operators/ranks.py): local top-5 within (type, shard),
+    global rank over the <= 5*shards finalists — event_type cardinality
+    is small, so the naive window sorts near-whole-table groups in single
+    reducers at 100 TB; this formulation is result-identical without the
+    full-group sort."""
+    from jimmy_spark.operators import ranks
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
-    return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("event_type", F.col("rk").cast("long").alias("rk"), "event_id")
+    out = ranks.top_k_per_group(
+        ev, ["event_type"], [F.desc("value"), F.col("event_id")], k=5,
+        shard_key="event_id",
+    )
+    return out.select(
+        "event_type", F.col("rk").cast("long").alias("rk"), "event_id"
     )
 
 

@@ -234,3 +234,64 @@ def test_seq_pack_windows_are_sharded(spark):
         for ln in pack_windows:
             assert "shard" in ln, ln
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ordered_rank_and_topk_avoid_whole_group_sorts(spark):
+    """unique_names / topk_per_group (low-cardinality grouping keys) must
+    never sort a whole group in one reducer: every full-data Window's
+    partition spec carries the bucket/shard column; only the tiny
+    per-bucket counts frame (under an Aggregate) windows on the group
+    alone, and the finalists window runs over <= k*shards rows."""
+    from jimmy_spark.queries import q_topk_per_group, q_unique_names
+
+    plan = _plan(q_unique_names(spark, "/root/testdata/sf0.001"))
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert any("_bkt" in ln for ln in win_lines), plan
+    # the only window WITHOUT the bucket key is the per-bucket counts
+    # base — it must sit over an aggregated (count) frame
+    for ln in win_lines:
+        if "_bkt" not in ln.split("windowspecdefinition")[-1]:
+            assert "_n" in ln or "_base" in ln, ln
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    plan2 = _plan(q_topk_per_group(spark, "/root/testdata/sf0.001"))
+    win2 = [ln for ln in plan2.splitlines() if "Window [" in ln]
+    assert any("_shard" in ln for ln in win2), plan2
+
+
+def test_two_stage_ranks_equal_naive_windows(spark):
+    """The two-stage formulations are byte-identical to the naive global
+    windows they replace (differential, not oracle-only)."""
+    from pyspark.sql import Window as W
+
+    from jimmy_spark.operators import ranks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: r.rn
+        for r in ranks.ordered_rank(
+            docs, ["lang", "source"], "doc_id", "rn", bucket_width=64
+        ).collect()
+    }
+    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    exp = {
+        r.doc_id: r.rn
+        for r in docs.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == exp
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got2 = sorted(
+        (r.event_type, r.rk, r.event_id)
+        for r in ranks.top_k_per_group(
+            ev, ["event_type"], [F.desc("value"), F.col("event_id")], k=5,
+            shard_key="event_id", n_shards=7,
+        ).collect()
+    )
+    w2 = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    exp2 = sorted(
+        (r.event_type, r.rk, r.event_id)
+        for r in ev.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 5).collect()
+    )
+    assert got2 == exp2
