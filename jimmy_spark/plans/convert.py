@@ -103,10 +103,48 @@ def notes_from_sqlite(spark: SparkSession, db_path: str) -> DataFrame:
     )
 
 
+def notes_from_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
+    items = (
+        spark.read.format("xml")
+        .option("rowTag", "item")
+        .schema("fmt string, height long, post_id string, title string, width long")
+        .load(xml_dir)
+    )
+    return items.select(
+        F.col("post_id").alias("note_id"),
+        F.substring("title", 1, 80).alias("title"),
+        F.col("title").alias("body"),
+        F.lit(None).cast("string").alias("author"),
+        F.lit(None).cast("long").alias("ts"),
+        F.lit(True).alias("ok"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+def notes_from_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
+    """zip/tgz export archives (the reference's prepare_input families):
+    the executor-side extractor yields image+caption records; captions
+    become the note bodies."""
+    from jimmy_spark.sources import archives
+
+    rows = archives.read_image_archives(spark, archive_dir)
+    return rows.select(
+        F.col("image_id").alias("note_id"),
+        F.substring("caption", 1, 80).alias("title"),
+        F.col("caption").alias("body"),
+        F.lit(None).cast("string").alias("author"),
+        F.col("phash").alias("ts"),
+        F.lit(True).alias("ok"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
 SOURCES = {
     "eml": notes_from_eml,
     "jsonl": notes_from_jsonl,
     "sqlite": notes_from_sqlite,
+    "xml": notes_from_xml,
+    "archive": notes_from_archive,
 }
 
 

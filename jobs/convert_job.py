@@ -26,7 +26,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--format", required=True, choices=("eml", "jsonl", "sqlite"))
+    ap.add_argument(
+        "--format", required=True,
+        choices=("eml", "jsonl", "sqlite", "xml", "archive"),
+    )
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--include-like", default=None)

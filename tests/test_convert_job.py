@@ -159,3 +159,22 @@ def test_streaming_conversion_incremental(spark, eml_dir, tmp_path):
     )
     convert.write_notes(convert.key_paths(notes), str(out_b)).count()
     assert _tree_digest(out_s) == _tree_digest(out_b)  # stream == batch, bytes
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "sqlite", "xml", "archive"])
+def test_all_source_formats_convert(spark, tmp_path, fmt):
+    """Every registered source format runs the full lifecycle losslessly
+    (scan shape differences end at the NOTE schema)."""
+    from jimmy_spark.datagen import ensure_archives, ensure_exports
+
+    exp = str(ensure_exports("t2"))
+    inputs = {
+        "jsonl": f"{exp}/jsonl",
+        "sqlite": f"{exp}/notes.sqlite",
+        "xml": f"{exp}/xml",
+        "archive": str(ensure_archives("t2")),
+    }
+    s = convert.run_conversion(spark, fmt, inputs[fmt], str(tmp_path / fmt))
+    assert s["errors"] == 0 and s["lossless"]
+    assert s["written"] == s["parsed"] == 2000
+    assert len(list((tmp_path / fmt).glob("*.md"))) == 2000
