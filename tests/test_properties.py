@@ -158,3 +158,91 @@ class TestMarkupProperties:
         )))
         assume("=" not in s and "\x00" not in s)
         assert markup.wiki_to_md(s) == s
+
+
+class TestTwoStageArithmetic:
+    """Pure-Python mirrors of the two-stage formulations (operators/
+    ranks.py, queries._two_stage_pack): the bucket/shard decomposition
+    must reproduce the naive global computation on ANY input."""
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+            min_size=1, max_size=200, unique=True,
+        ),
+        st.integers(1, 64),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_bucketed_rank_equals_global_rank(self, rows, width):
+        # rows: (group, order_key) unique pairs
+        naive = {}
+        for g in {g for g, _ in rows}:
+            for i, (_, k) in enumerate(
+                sorted(((gg, kk) for gg, kk in rows if gg == g),
+                       key=lambda t: t[1])
+            ):
+                naive[(g, k)] = i + 1
+        # two-stage: bucket = k // width (order-preserving), local rank
+        # within (g, bucket) + base = count of earlier buckets
+        two = {}
+        for g in {g for g, _ in rows}:
+            ks = sorted(k for gg, k in rows if gg == g)
+            from collections import defaultdict
+
+            buckets = defaultdict(list)
+            for k in ks:
+                buckets[k // width].append(k)
+            base = 0
+            for b in sorted(buckets):
+                for i, k in enumerate(sorted(buckets[b])):
+                    two[(g, k)] = base + i + 1
+                base += len(buckets[b])
+        assert two == naive
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 7), st.integers(1, 5000)),
+            min_size=1, max_size=120,
+        ),
+        st.integers(1, 4096),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_sharded_packing_seq_ids_disjoint_and_dense(self, docs, budget):
+        """Per-shard packing with ceil-based bases: global seq ids within
+        a group are exactly 0..total_seqs-1 with no overlap between
+        shards, and every doc's (seq_id, offset) is consistent with its
+        shard-local prefix sum."""
+        from collections import defaultdict
+
+        shards = defaultdict(list)  # shard -> [n_toks]
+        for sh, n in docs:
+            shards[sh].append(n)
+        bases, seen = {}, 0
+        for sh in sorted(shards):
+            bases[sh] = seen
+            total = sum(shards[sh])
+            seen += -(-total // budget)  # ceil
+        all_seq = []
+        for sh in sorted(shards):
+            start = 0
+            for n in shards[sh]:
+                seq = bases[sh] + start // budget
+                off = start % budget
+                assert 0 <= off < budget
+                all_seq.append(seq)
+                start += n
+            # shard's max seq stays below the next shard's base
+            if shards[sh]:
+                assert max(
+                    bases[sh] + s // budget
+                    for s in _prefix_starts(shards[sh])
+                ) < bases[sh] + -(-sum(shards[sh]) // budget)
+        assert max(all_seq) < seen
+
+
+def _prefix_starts(ns):
+    s, out = 0, []
+    for n in ns:
+        out.append(s)
+        s += n
+    return out
