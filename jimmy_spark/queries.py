@@ -1533,12 +1533,14 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregation, BOTH execution modes behind
-    one driver row: the batch plan and the REAL Structured Streaming query
-    (readStream file source -> watermark -> windowed agg -> memory sink,
-    drained synchronously) joined on the window key, so the hash gate
-    proves batch == stream == SQL in a single result (a diverging stream
-    count would null/omit a row and hash-fail)."""
+    """Watermarked tumbling-window aggregation, BOTH execution modes plus
+    the hypertable-style cascade rollup behind one driver row: the batch
+    plan and the REAL Structured Streaming query (readStream file source
+    -> watermark -> windowed agg -> memory sink, drained synchronously)
+    join on the window key — so the hash gate proves batch == stream ==
+    SQL — and each row carries its hour-level continuous-aggregate
+    columns, computed FROM the 5-minute partials (streaming/windows.py
+    hourly_rollup), never from raw events."""
     from jimmy_spark.streaming import windows
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1549,7 +1551,14 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_start", "w_end", "event_type",
         F.col("n").alias("n_stream"), F.col("total").alias("total_stream"),
     )
-    return batch.join(stream, ["w_start", "w_end", "event_type"])
+    joined = batch.join(stream, ["w_start", "w_end", "event_type"])
+    hourly = windows.hourly_rollup(batch)
+    epoch_h = F.floor(F.col("w_start").cast("timestamp_ltz").cast("long") / 3600)
+    return (
+        joined.withColumn("_h", epoch_h)
+        .join(hourly, ["_h", "event_type"])
+        .drop("_h")
+    )
 
 
 def _oracle_kernels() -> dict[str, str]:
@@ -1574,13 +1583,22 @@ def _oracle_kernels() -> dict[str, str]:
         # Spark side (no baked path)
         "session_windows": windows.duckdb_sessionize_sql("events"),
         # batch and stream compute the same result by construction, so the
-        # oracle states the stream columns as duplicates of the batch ones
-        "windowed_counts": (
-            "SELECT w_start, w_end, event_type, n, total, "
-            "n AS n_stream, total AS total_stream FROM ("
-            + windows.duckdb_windows_sql("events")
-            + ")"
-        ),
+        # oracle states the stream columns as duplicates of the batch ones;
+        # the hourly continuous-aggregate columns mirror the cascade's
+        # semantic exactly (rounded sum of the rounded 5-min partials)
+        "windowed_counts": f"""
+WITH fine AS ({windows.duckdb_windows_sql("events")}),
+h AS (
+  SELECT floor(epoch(w_start))::BIGINT // 3600 AS hh, event_type,
+         sum(n)::BIGINT AS n_hour, round(sum(total), 6) AS total_hour
+  FROM fine GROUP BY hh, event_type
+)
+SELECT f.w_start, f.w_end, f.event_type, f.n, f.total,
+       f.n AS n_stream, f.total AS total_stream, h.n_hour, h.total_hour
+FROM fine f JOIN h
+  ON floor(epoch(f.w_start))::BIGINT // 3600 = h.hh
+ AND f.event_type = h.event_type
+""",
         "date_kernels": (
             "SELECT event_id, floor(epoch(ts))::BIGINT AS epoch_s, "
             "strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso, "

@@ -85,6 +85,28 @@ def windowed_counts_stream(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def hourly_rollup(fine: DataFrame, coarse_minutes: int = 60) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade (the task brief's
+    'hypertable rollup'): the coarse level aggregates FROM the fine
+    level's partials — counts merge exactly (sum of sums), monetary
+    totals are defined as the rounded sum of the rounded fine partials
+    (the cascade's own semantic, mirrored verbatim in the oracle). At
+    100 TB this is the whole point of a continuous aggregate: the hourly
+    table reads |fine| rows, never the raw events."""
+    secs = coarse_minutes * 60
+    epoch_h = F.floor(
+        F.col("w_start").cast("timestamp_ltz").cast("long") / secs
+    )
+    return (
+        fine.withColumn("_h", epoch_h)
+        .groupBy("_h", "event_type")
+        .agg(
+            F.sum("n").alias("n_hour"),
+            F.round(F.sum("total"), 6).alias("total_hour"),
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch): lag + cumulative session ids —
     the classic Window formulation (guide §OLAP patterns)."""
