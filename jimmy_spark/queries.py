@@ -480,14 +480,24 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """jimmy get_import_stats analogue (common.py:433-451): one-row counts."""
+    """jimmy get_import_stats analogue (common.py:433-451): one-row counts,
+    plus the KMV distinct-count sketch of the corpus vocabulary
+    (operators/sketch.py — a mergeable per-partition-top-k sketch whose
+    estimator is a deterministic function of the data, so it sits behind
+    the exact hash gate; accuracy pinned vs the true count in pytest)."""
+    from jimmy_spark.operators import sketch
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.agg(
+    base = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
     )
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("v")
+    )
+    return base.crossJoin(sketch.kmv_distinct(toks, "v"))
 
 
 def q_select_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,13 +695,21 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_generic() -> dict[str, str]:
+    from jimmy_spark.operators import sketch as _sketch
+
     return {
         # sum()::BIGINT — DuckDB sum(int) is HUGEINT -> pandas float64,
         # which would hash-mismatch Spark's int64 despite equal values
         "stats_agg": (
+            "SELECT b.*, s.* FROM ("
             "SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
             "count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources "
-            "FROM documents"
+            "FROM documents) b CROSS JOIN ("
+            + _sketch.duckdb_kmv_sql(
+                "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) "
+                "AS v FROM documents"
+            )
+            + ") s"
         ),
         "select_filters": (
             "SELECT doc_id, lang, source, unnest(list_filter(list_distinct("

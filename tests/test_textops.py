@@ -435,3 +435,41 @@ class TestIVF:
         assert {(r.query_id, r.rank, r.vec_id) for r in full} == {
             (r.query_id, r.rank, r.vec_id) for r in exact
         }
+
+
+class TestKMVSketch:
+    def test_estimate_accuracy_and_exact_small(self, spark):
+        """KMV bound: relative error ~ 1/sqrt(k-2) (~6% at k=256; assert a
+        generous 20%); under k distincts the sketch IS the exact count."""
+        from pyspark.sql import functions as F
+
+        from jimmy_spark.operators import sketch
+
+        # 10k distinct synthetic values
+        vals = spark.range(10_000).select(
+            F.concat(F.lit("tok"), F.col("id")).alias("v")
+        )
+        est = sketch.kmv_distinct(vals, "v").first()["kmv_est"]
+        assert abs(est - 10_000) / 10_000 < 0.20, est
+
+        small = spark.range(37).select(
+            F.concat(F.lit("s"), F.col("id")).alias("v")
+        )
+        assert sketch.kmv_distinct(small, "v").first()["kmv_est"] == 37
+
+    def test_mergeability(self, spark):
+        """The k smallest of a union == merge of per-part k smallest —
+        sketching halves separately and merging equals sketching all."""
+        from pyspark.sql import functions as F
+
+        from jimmy_spark.operators import sketch
+
+        all_v = spark.range(5_000).select(
+            F.concat(F.lit("m"), F.col("id")).alias("v")
+        )
+        h1 = all_v.filter(F.col("v") < "m25")   # lexicographic split
+        h2 = all_v.filter(F.col("v") >= "m25")
+        merged = h1.unionByName(h2)
+        a = sketch.kmv_distinct(all_v, "v").first()
+        b = sketch.kmv_distinct(merged, "v").first()
+        assert a["kth_hash"] == b["kth_hash"] and a["kmv_est"] == b["kmv_est"]
