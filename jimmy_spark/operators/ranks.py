@@ -32,13 +32,26 @@ def ordered_rank(
     order_col: str,
     out_col: str = "rn",
     bucket_width: int = 4096,
+    super_width: int = 4096,
 ) -> DataFrame:
     """Exact ``row_number() OVER (PARTITION BY part_cols ORDER BY
     order_col)`` without a whole-group sort. ``order_col`` must be an
     integer column (the bucket is ``order_col div bucket_width``, which
     preserves order); ties are impossible because row_number over a
     unique key is requested — callers with non-unique keys should add a
-    tiebreaker to the key first."""
+    tiebreaker to the key first.
+
+    Two-LEVEL prefix sum: the per-bucket counts frame is O(n /
+    bucket_width) rows — at 10^12 input rows that is ~2.4e8 rows, itself
+    past both the broadcast limit and any single reducer's comfort. So
+    buckets are grouped into supers of ``super_width`` buckets: the
+    within-super prefix windows over at most ``super_width`` rows per
+    task, and only the per-super TOTALS frame — O(n / (bucket_width *
+    super_width)), ~6e4 rows at 10^12 — is windowed per-group and
+    broadcast. The big bases->data join is left to AQE (broadcast when
+    the bases frame turns out small, shuffle join otherwise); the counts
+    themselves aggregate off the already-ranked frame on the SAME keys as
+    the rank window, so Catalyst reuses the exchange — one scan of df."""
     bkt = F.expr(f"{order_col} div {bucket_width}")
     keys = [*part_cols, "_bkt"]
     local_w = (
@@ -47,21 +60,40 @@ def ordered_rank(
     with_local = df.withColumn("_bkt", bkt).withColumn(
         "_local_rn", F.row_number().over(local_w)
     )
-    counts = (
-        df.withColumn("_bkt", bkt)
-        .groupBy(*part_cols, "_bkt")
-        .agg(F.count("*").alias("_n"))
-    )
-    base_w = (
-        Window.partitionBy(*part_cols)
+    # per-bucket count == the bucket's max local rank: reusing the ranked
+    # frame (same partitioning keys) instead of re-aggregating df avoids a
+    # second scan and a second exchange of the full data
+    counts = with_local.groupBy(*keys).agg(F.max("_local_rn").alias("_n"))
+    sup = F.expr(f"_bkt div {super_width}")
+    in_super_w = (
+        Window.partitionBy(*part_cols, "_sup")
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    bases = counts.select(
-        *keys, F.coalesce(F.sum("_n").over(base_w), F.lit(0)).alias("_base")
+    counts2 = counts.withColumn("_sup", sup).withColumn(
+        "_in_sup", F.coalesce(F.sum("_n").over(in_super_w), F.lit(0))
+    )
+    sup_totals = counts2.groupBy(*part_cols, "_sup").agg(
+        F.sum("_n").alias("_sn")
+    )
+    sup_base_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_sup")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sup_bases = sup_totals.select(
+        *part_cols,
+        "_sup",
+        F.coalesce(F.sum("_sn").over(sup_base_w), F.lit(0)).alias("_sbase"),
+    )
+    bases = (
+        counts2.join(F.broadcast(sup_bases), [*part_cols, "_sup"])
+        .select(
+            *keys, (F.col("_sbase") + F.col("_in_sup")).alias("_base")
+        )
     )
     return (
-        with_local.join(F.broadcast(bases), keys)
+        with_local.join(bases, keys)
         .withColumn(out_col, (F.col("_base") + F.col("_local_rn")).cast("long"))
         .drop("_bkt", "_local_rn", "_base")
     )

@@ -41,6 +41,11 @@ def kmv_distinct(values: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
     expression in DuckDB reproduces it exactly."""
     kth = (
         values.select(_hash60(F.col(col)).alias("hv"))
+        # NULL values hash to NULL; they must not consume a limit slot.
+        # Without this filter the engines disagree on WHICH k rows the
+        # limit keeps: Spark's orderBy is NULLS FIRST, DuckDB's ORDER BY
+        # defaults to NULLS LAST. Filtered identically in both twins.
+        .where(F.col("hv").isNotNull())
         .distinct()
         .orderBy("hv")
         .limit(k)
@@ -66,6 +71,7 @@ def duckdb_kmv_sql(value_sql: str, k: int = KMV_K) -> str:
 WITH hv AS (
   SELECT DISTINCT ('0x' || substring(md5(v), 1, 15))::BIGINT AS hv
   FROM ({value_sql})
+  WHERE v IS NOT NULL
 ),
 kk AS (SELECT hv FROM hv ORDER BY hv LIMIT {k}),
 s AS (SELECT max(hv) AS kth_hash, count(*) AS n_kept FROM kk)

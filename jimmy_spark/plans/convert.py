@@ -222,8 +222,21 @@ def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
     joined = notes_with_paths.join(
         resolved, notes_with_paths.note_id == resolved.src_id, "left"
     ).drop("src_id")
-    body2 = F.aggregate(
+    # longest target id first: collect_list order is nondeterministic, and
+    # when one id is a prefix of another (n1 vs n10) replacing the shorter
+    # first would corrupt the longer link (note://n10 -> '<n1-path>0').
+    # Sorting (length desc, id desc) makes the fold both prefix-safe and
+    # byte-stable across reruns.
+    ordered = F.array_sort(
         F.coalesce(F.col("repls"), F.array()),
+        lambda l, r: F.when(F.length(l["t"]) > F.length(r["t"]), F.lit(-1))
+        .when(F.length(l["t"]) < F.length(r["t"]), F.lit(1))
+        .when(l["t"] > r["t"], F.lit(-1))
+        .when(l["t"] < r["t"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    body2 = F.aggregate(
+        ordered,
         F.col("body"),
         lambda acc, r: F.replace(acc, F.concat(F.lit("note://"), r["t"]), r["p"]),
     )
@@ -341,6 +354,25 @@ def key_paths(notes: DataFrame) -> DataFrame:
     )
 
 
+def stream_good_notes(notes: DataFrame) -> DataFrame:
+    """The stream sink's NOTE projection, ok-gated. Parse-failure rows
+    carry a NON-null msg_id (the input path literal), so the drop gate is
+    the ``ok`` flag — batch-path parity with ``run_conversion``'s error
+    handling — not msg_id nullness; an isNotNull-only gate would write one
+    bogus (and colliding) .md per malformed input."""
+    return (
+        notes.filter(F.col("ok"))
+        .select(
+            F.col("msg_id").alias("note_id"),
+            F.coalesce(F.col("subject"), F.col("msg_id")).alias("title"),
+            F.coalesce(F.col("body"), F.lit("")).alias("body"),
+            "author",
+            F.col("date_ts").alias("ts"),
+        )
+        .filter(F.col("note_id").isNotNull())
+    )
+
+
 def run_conversion_stream(
     spark: SparkSession,
     input_dir: str,
@@ -371,14 +403,7 @@ def run_conversion_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        notes = parse_eml_frame(batch_df)
-        good = notes.select(
-            F.col("msg_id").alias("note_id"),
-            F.coalesce(F.col("subject"), F.col("msg_id")).alias("title"),
-            F.coalesce(F.col("body"), F.lit("")).alias("body"),
-            "author",
-            F.col("date_ts").alias("ts"),
-        ).filter(F.col("note_id").isNotNull())
+        good = stream_good_notes(parse_eml_frame(batch_df))
         write_notes(key_paths(good), out_dir, frontmatter).count()
 
     return (

@@ -86,6 +86,30 @@ def test_link_resolution_and_broken_fallback(spark):
     assert bodies["n2"] == "plain"
 
 
+def test_link_resolution_prefix_ids_not_corrupted(spark):
+    """When one note id is a prefix of another (n1 vs n10), the longer
+    link must never be mangled by the shorter replacement — the fold
+    applies replacements longest-id-first, deterministically."""
+    notes = spark.createDataFrame(
+        [
+            ("n1", "Alpha", "plain"),
+            ("n10", "Beta", "plain"),
+            ("n100", "Gamma", "plain"),
+            ("src", "Src", "a note://n1 b note://n10 c note://n100"),
+        ],
+        "note_id string, title string, body string",
+    )
+    out = convert.resolve_links(convert.determine_paths(notes))
+    body = {r.note_id: r.body for r in out.collect()}["src"]
+    assert body == "a Alpha.md b Beta.md c Gamma.md"
+    # byte-stable across reruns (collect_list order must not leak through)
+    body2 = {
+        r.note_id: r.body
+        for r in convert.resolve_links(convert.determine_paths(notes)).collect()
+    }["src"]
+    assert body == body2
+
+
 def test_write_error_isolation(spark, tmp_path):
     """A note whose path cannot be written yields a manifest error row —
     the task (and the other notes) survive."""
@@ -159,6 +183,26 @@ def test_streaming_conversion_incremental(spark, eml_dir, tmp_path):
     )
     convert.write_notes(convert.key_paths(notes), str(out_b)).count()
     assert _tree_digest(out_s) == _tree_digest(out_b)  # stream == batch, bytes
+
+
+def test_stream_sink_drops_parse_failures(spark):
+    """The streaming sink's projection must gate on the ok flag: a
+    parse-failure row carries a NON-null msg_id (the path literal), so an
+    isNotNull-only gate would write a bogus, colliding .md per malformed
+    input (regression: r4 sink filtered msg_id.isNotNull() only)."""
+    from jimmy_spark.sources.eml import EML_SCHEMA
+
+    rows = spark.createDataFrame(
+        [
+            ("m1", True, None, "Subj", "a@b", 5, "body", "text/plain",
+             0, None, None),
+            ("stream", False, "boom", None, None, None, None, None,
+             0, None, None),
+        ],
+        EML_SCHEMA,
+    )
+    good = convert.stream_good_notes(rows).collect()
+    assert [r.note_id for r in good] == ["m1"]
 
 
 @pytest.mark.parametrize("fmt", ["jsonl", "sqlite", "xml", "archive"])

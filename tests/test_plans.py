@@ -247,11 +247,17 @@ def test_ordered_rank_and_topk_avoid_whole_group_sorts(spark):
     plan = _plan(q_unique_names(spark, "/root/testdata/sf0.001"))
     win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert any("_bkt" in ln for ln in win_lines), plan
-    # the only window WITHOUT the bucket key is the per-bucket counts
-    # base — it must sit over an aggregated (count) frame
+    # the only windows WITHOUT the bucket key are the two-level prefix
+    # sums over aggregated frames: the within-super prefix (sums the
+    # per-bucket counts _n, partitioned by group+_sup) and the per-super
+    # base (sums the super totals _sn over the TINY per-super frame)
     for ln in win_lines:
-        if "_bkt" not in ln.split("windowspecdefinition")[-1]:
-            assert "_n" in ln or "_base" in ln, ln
+        spec = ln.split("windowspecdefinition")[-1]
+        if "_bkt" not in spec:
+            assert "_n" in ln or "_sn" in ln or "_base" in ln, ln
+            if "_sup" not in spec:
+                # group-only window: must be the per-super totals sum
+                assert "_sn" in ln, ln
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
     plan2 = _plan(q_topk_per_group(spark, "/root/testdata/sf0.001"))
@@ -279,6 +285,17 @@ def test_two_stage_ranks_equal_naive_windows(spark):
         for r in docs.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == exp
+
+    # multi-super path: super_width small enough that every group spans
+    # several supers, exercising both prefix levels
+    got_ml = {
+        r.doc_id: r.rn
+        for r in ranks.ordered_rank(
+            docs, ["lang", "source"], "doc_id", "rn",
+            bucket_width=16, super_width=3,
+        ).collect()
+    }
+    assert got_ml == exp
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     got2 = sorted(

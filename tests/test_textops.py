@@ -473,3 +473,29 @@ class TestKMVSketch:
         a = sketch.kmv_distinct(all_v, "v").first()
         b = sketch.kmv_distinct(merged, "v").first()
         assert a["kth_hash"] == b["kth_hash"] and a["kmv_est"] == b["kmv_est"]
+
+    def test_nulls_ignored_and_oracle_parity(self, spark):
+        """NULL inputs must not consume a limit slot (Spark orderBy is
+        NULLS FIRST, DuckDB's is NULLS LAST — unfiltered they disagree on
+        which k hashes survive): sketch(vals + NULLs) == sketch(vals),
+        and the DuckDB oracle twin reproduces the same row exactly."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from jimmy_spark.operators import sketch
+
+        vals = spark.range(500).select(
+            F.concat(F.lit("n"), F.col("id")).alias("v")
+        )
+        with_nulls = vals.unionByName(
+            spark.range(40).select(F.lit(None).cast("string").alias("v"))
+        )
+        a = sketch.kmv_distinct(vals, "v").first()
+        b = sketch.kmv_distinct(with_nulls, "v").first()
+        assert (a["kth_hash"], a["kmv_est"]) == (b["kth_hash"], b["kmv_est"])
+
+        pdf = with_nulls.toPandas()  # noqa: F841 — registered below
+        got = duckdb.sql(
+            sketch.duckdb_kmv_sql("SELECT v FROM pdf")
+        ).fetchone()
+        assert got == (a["kth_hash"], a["kmv_est"])
