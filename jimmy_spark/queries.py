@@ -1757,10 +1757,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "av_features": q_av_features,
 }
 
-# Queries with no SQL oracle (driver records rows-only) and why:
-#   fuzzy_pairs    — difflib ratio is not SQL-expressible; cross-checked
-#                    against a pure-Python oracle in tests
-ROWS_ONLY = ("fuzzy_pairs",)
+# Queries with no SQL oracle (driver records rows-only): none — every
+# non-SQL-expressible query is hash-checked against a committed golden
+# parquet (see _oracle_golden below); difflib fuzzy_pairs joined them in
+# round 5 (goldens/fuzzy_pairs.parquet, minted by the same pure-Python
+# oracle the pytest sweep uses).
+ROWS_ONLY = ()
 
 # Deterministic queries whose semantics are not SQL-expressible (Hilbert
 # LUT, image decode, LSH/IVF ANN) are hash-checked against committed
@@ -1800,6 +1802,13 @@ FROM '{GOLDEN_DIR}/video_frames.parquet'
             f"SELECT *, 'lsh' AS method FROM '{GOLDEN_DIR}/ann_lsh.parquet' "
             f"UNION ALL "
             f"SELECT *, 'ivf' AS method FROM '{GOLDEN_DIR}/ann_ivf.parquet'"
+        ),
+        # difflib ratio is not SQL-expressible; the golden is minted by the
+        # pure-Python oracle (scripts/make_goldens.py golden_fuzzy_pairs,
+        # same blocking + scorer as the pytest all-pairs sweep)
+        "fuzzy_pairs": (
+            f"SELECT doc_a, doc_b, ratio_milli "
+            f"FROM '{GOLDEN_DIR}/fuzzy_pairs.parquet'"
         ),
     }
 

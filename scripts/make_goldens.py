@@ -284,6 +284,39 @@ def golden_ann_ivf() -> pd.DataFrame:
     return _rank_topk(rows, k)
 
 
+def golden_fuzzy_pairs() -> pd.DataFrame:
+    """Difflib fuzzy-join pairs at the driver's gate sf, computed by the
+    pure-Python oracle (same blocking keys + scorer as the pytest oracle,
+    tests/test_textops.py TestFuzzy; reference semantics: get_best_match,
+    /root/reference/src/jimmy/common.py:373-400). q_fuzzy_pairs runs
+    fuzzy.fuzzy_pairs(threshold=0.5): block on lang, overlapping 16-token
+    buckets (pairs meet iff |bucket_a - bucket_b| <= 1), difflib ratio
+    milli >= 500, (doc_a < doc_b)."""
+    import re
+    from difflib import SequenceMatcher
+
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    docs["bucket"] = [
+        len(re.split(r"\s+", t.strip())) // 16 for t in docs["text"]
+    ]
+    rows = []
+    for _, g in docs.groupby("lang"):
+        recs = sorted(g.itertuples(), key=lambda r: r.doc_id)
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                if abs(a.bucket - b.bucket) > 1:
+                    continue
+                r = int(SequenceMatcher(None, a.text, b.text).ratio() * 1000)
+                if r >= 500:
+                    rows.append((a.doc_id, b.doc_id, r))
+    return pd.DataFrame(
+        rows, columns=["doc_a", "doc_b", "ratio_milli"]
+    ).astype({"doc_a": np.int64, "doc_b": np.int64, "ratio_milli": np.int64})
+
+
 GOLDENS = {
     "s2_cells": golden_s2_cells,
     "decode_stats": golden_decode_stats,
@@ -293,6 +326,7 @@ GOLDENS = {
     "video_frames": golden_video_frames,
     "ann_lsh": golden_ann_lsh,
     "ann_ivf": golden_ann_ivf,
+    "fuzzy_pairs": golden_fuzzy_pairs,
 }
 
 

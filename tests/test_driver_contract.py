@@ -87,8 +87,5 @@ def test_query_matches_oracle(spark, con, contract, name):
     pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=True)
 
 
-@pytest.mark.parametrize("name", ["fuzzy_pairs"])
-def test_rows_only_queries_run(spark, contract, name):
-    queries, _ = contract
-    df = queries[name](spark, SF_DIR)
-    assert df.count() > 0
+# (no rows-only queries remain: fuzzy_pairs gained a golden-parquet
+# oracle in round 5 and now runs through test_query_matches_oracle)
