@@ -195,14 +195,24 @@ def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
     (broken links fall back to the literal ``broken-link``, the
     reference's coalesce discipline). All JVM: refs explode out, the
     id->path map joins in (Catalyst/AQE broadcasts when small), and
-    ``F.aggregate`` folds the replacements back over the body."""
+    ``F.aggregate`` folds the replacements back over the body.
+
+    Ref extraction is CODE-AWARE (functions/mdlinks.py): a ``note://x``
+    inside a fenced block or inline code span is not a link — the
+    reference's AST-based get_markdown_links (links.py:234-310) never
+    yields it, so its rewrite loop never touches it. A note whose only
+    refs sit in code gets no replacement row and its body passes through
+    byte-identical. (Like the reference's ``str.replace``-per-found-link
+    discipline, a ref that appears BOTH outside and inside code is
+    rewritten in both places once extracted — bug-compatible by design.)
+    """
+    from jimmy_spark.functions import mdlinks
+
     # inner explode: linkless notes contribute no ref rows (an outer
     # explode would fold a NULL target and null the whole body)
     refs = notes_with_paths.select(
         F.col("note_id").alias("src_id"),
-        F.explode(
-            F.array_distinct(F.regexp_extract_all("body", F.lit(_LINK_RE), 1))
-        ).alias("target_id"),
+        F.explode(mdlinks.note_refs_col(F.col("body"))).alias("target_id"),
     )
     id_map = notes_with_paths.select(
         F.col("note_id").alias("target_id"), F.col("out_path").alias("target_path")

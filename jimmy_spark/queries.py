@@ -520,17 +520,69 @@ def q_select_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_linkres(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """note-link resolution analogue (writer.py:214-266): left join with
-    broken-link fallback via coalesce."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
-        .select(
-            "o_orderkey",
-            F.coalesce(F.col("c_name"), F.lit("broken-link")).alias("resolved"),
-        )
+    """note-link resolution (writer.py:214-266) with CODE-AWARE ref
+    extraction (get_markdown_links, links.py:234-310): each doc gets a
+    deterministic markdown body carrying one real ``note://`` ref plus a
+    fenced-block ref and an inline-code ref that must NOT be extracted;
+    refs resolve through the id->path map by left join with the
+    broken-link coalesce fallback (the top doc_id references a
+    nonexistent note). The oracle rebuilds the same bodies and runs the
+    DuckDB twin of the code-masking regexes — extraction, masking, join
+    and fallback are all inside the hash gate."""
+    from jimmy_spark.functions import mdlinks
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.lit("see note://d"), (did + 1).cast("string"),
+        F.lit(" plus ```\ncode note://d"), (did + 2).cast("string"),
+        F.lit("\n``` and `note://d"), (did + 3).cast("string"),
+        F.lit("` done"),
     )
+    refs = docs.select(
+        "doc_id",
+        F.explode(mdlinks.note_refs_col(body)).alias("target_id"),
+    )
+    id_map = docs.select(
+        F.concat(F.lit("d"), did.cast("string")).alias("target_id"),
+        F.concat(F.lit("note-"), did.cast("string"), F.lit(".md")).alias(
+            "target_path"
+        ),
+    )
+    return refs.join(id_map, "target_id", "left").select(
+        "doc_id",
+        "target_id",
+        F.coalesce(F.col("target_path"), F.lit("broken-link")).alias("resolved"),
+    )
+
+
+def _linkres_oracle_sql() -> str:
+    """DuckDB twin of q_linkres: identical body synthesis, the
+    mask_code_sql code-blanking regexes, list extraction + dedup, and the
+    same left join + coalesce."""
+    from jimmy_spark.functions import mdlinks
+
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         'see note://d' || (doc_id + 1) || ' plus ```' || chr(10) ||
+         'code note://d' || (doc_id + 2) || chr(10) ||
+         '``` and `note://d' || (doc_id + 3) || '` done' AS body
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         unnest(list_distinct({mdlinks.note_refs_sql('body')})) AS target_id
+  FROM b
+),
+m AS (
+  SELECT 'd' || doc_id AS target_id, 'note-' || doc_id || '.md' AS target_path
+  FROM documents
+)
+SELECT r.doc_id, r.target_id,
+       coalesce(m.target_path, 'broken-link') AS resolved
+FROM r LEFT JOIN m USING (target_id)
+"""
 
 
 def q_unique_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,10 +770,7 @@ def _oracle_generic() -> dict[str, str]:
             "WHERE lang IN ('en','de') AND text NOT LIKE '%xylophone%' "
             "AND text LIKE '%the%'"
         ),
-        "linkres": (
-            "SELECT o_orderkey, coalesce(c_name, 'broken-link') AS resolved "
-            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
-        ),
+        "linkres": _linkres_oracle_sql(),
         "unique_names": (
             "SELECT doc_id, CASE WHEN rn = 1 THEN lang || '/' || source "
             "ELSE lang || '/' || source || '-' || lpad((rn - 1)::VARCHAR, 4, '0') END "

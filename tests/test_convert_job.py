@@ -86,6 +86,29 @@ def test_link_resolution_and_broken_fallback(spark):
     assert bodies["n2"] == "plain"
 
 
+def test_link_resolution_ignores_code_regions(spark):
+    """Reference parity (get_markdown_links, links.py:244-250): a
+    note:// ref inside a fenced block or inline code is NOT a link — the
+    rewrite must leave such bodies byte-identical, while still resolving
+    refs outside code in the same note."""
+    notes = spark.createDataFrame(
+        [
+            ("n1", "Target", "plain"),
+            ("n2", "FencedOnly", "```\nsee note://n1\n```"),
+            ("n3", "InlineOnly", "use `note://n1` here"),
+            ("n4", "Mixed", "real note://n1 and ```\nnote://n1\n```"),
+        ],
+        "note_id string, title string, body string",
+    )
+    out = convert.resolve_links(convert.determine_paths(notes))
+    bodies = {r.note_id: r.body for r in out.collect()}
+    assert bodies["n2"] == "```\nsee note://n1\n```"      # untouched
+    assert bodies["n3"] == "use `note://n1` here"          # untouched
+    # extracted outside code -> rewritten everywhere it appears (the
+    # reference's str.replace-per-found-link discipline)
+    assert bodies["n4"] == "real Target.md and ```\nTarget.md\n```"
+
+
 def test_link_resolution_prefix_ids_not_corrupted(spark):
     """When one note id is a prefix of another (n1 vs n10), the longer
     link must never be mangled by the shorter replacement — the fold

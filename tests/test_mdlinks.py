@@ -1,0 +1,180 @@
+"""Markdown-link parser parity — every case is a VERBATIM input from the
+reference's get_markdown_links doctests
+(/root/reference/src/jimmy/md_lib/links.py:244-310), asserted against the
+reference's documented output. Excluded: the two TODO'd doctests the
+reference itself skips, and nested-HTML link text (needs pandoc in the
+reference; not a markdown-link grammar case)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jimmy_spark.functions.mdlinks import MarkdownLink as L
+from jimmy_spark.functions.mdlinks import get_markdown_links, mask_code
+
+
+STANDARD_CASES = [
+    # code is never a link (links.py:247-250)
+    ("```\n[link](:/custom)\n```", []),
+    ("`[link](:/custom)`", []),
+    ("[link](url://with spaces)", [L(text="link", url="url://with spaces")]),
+    ("[link](url#fragment)", [L(text="link", url="url", fragment="fragment")]),
+    ("[link](<./with spaces.md>)", [L(text="link", url="./with spaces.md")]),
+    ("![](image.png)", [L(url="image.png", is_image=True)]),
+    ("![abc](image (1).png)", [L(text="abc", url="image (1).png", is_image=True)]),
+    (
+        "[mul](tiple) [links](...)",
+        [L(text="mul", url="tiple"), L(text="links", url="...")],
+    ),
+    (
+        "![desc \\[reference\\]](Image.png){#fig:leanCycle}",
+        [L(text="desc \\[reference\\]", url="Image.png", is_image=True)],
+    ),
+    (
+        '[link](internal "Example Title")',
+        [L(text="link", url="internal", title="Example Title")],
+    ),
+    ("[link](#internal)", [L(text="link", fragment="internal")]),
+    ("[link](:/custom)", [L(text="link", url=":/custom")]),
+    (
+        "[weblink](https://duckduckgo.com)",
+        [L(text="weblink", url="https://duckduckgo.com")],
+    ),
+    ("[red\\_500x500.png]()", [L(text="red\\_500x500.png")]),
+    ("[\\<weblink\\>]()", [L(text="\\<weblink\\>")]),
+    ("[foo `bar` baz](:/custom)", [L(text="foo `bar` baz", url=":/custom")]),
+    (
+        "[foo **`nested` bar** *baz* pow](:/custom)",
+        [L(text="foo **`nested` bar** *baz* pow", url=":/custom")],
+    ),
+]
+
+WIKILINK_CASES = [
+    ("```\n[[link]]\n```", []),
+    ("`[[link]]`", []),
+    ("[[[link]]]", []),
+    ("![[link]]", [L(url="link", is_wikilink=True, is_embedded=True)]),
+    ("[[image.png]]", [L(url="image.png", is_wikilink=True)]),
+    (
+        "[[url#fragment|tit le]]",
+        [L(text="tit le", url="url", fragment="fragment", is_wikilink=True)],
+    ),
+    (
+        "[[multiple]] [[links]]",
+        [L(url="multiple", is_wikilink=True), L(url="links", is_wikilink=True)],
+    ),
+    (
+        "[[internal|Example Title]]",
+        [L(text="Example Title", url="internal", is_wikilink=True)],
+    ),
+    ("[[#internal]]", [L(fragment="internal", is_wikilink=True)]),
+]
+
+
+@pytest.mark.parametrize("text,expected", STANDARD_CASES + WIKILINK_CASES)
+def test_reference_doctest_anchor(text, expected):
+    assert get_markdown_links(text) == expected
+
+
+def test_images_listed_before_links():
+    """The reference returns md_images + md_links (links.py:299-310)."""
+    got = get_markdown_links("[a](b) ![i](j.png) [c](d)")
+    assert [x.url for x in got] == ["j.png", "b", "d"]
+    assert [x.is_image for x in got] == [True, False, False]
+
+
+def test_mask_code_preserves_offsets():
+    s = "x `aa` y ```\nzz\n``` w"
+    m = mask_code(s)
+    assert len(m) == len(s)
+    assert "aa" not in m and "zz" not in m
+    assert m[0] == "x" and m[-1] == "w"
+
+
+def test_fence_containing_backtick_not_phantom_span():
+    """A fence masked first can't leave a stray backtick that pairs with
+    real text to create a phantom inline span."""
+    s = "```\na ` b\n``` [link](u) `x`"
+    got = get_markdown_links(s)
+    assert got == [L(text="link", url="u")]
+
+
+def test_multiline_body_mixed():
+    body = (
+        "intro [one](n://1)\n"
+        "```python\n[two](n://2)\nnote://fenced\n```\n"
+        "mid `[three](n://3)` end ![img](i.png)\n"
+        "[[wiki#sec|W]]"
+    )
+    got = get_markdown_links(body)
+    assert [x.url for x in got] == ["i.png", "n://1", "wiki"]
+    assert got[2].fragment == "sec" and got[2].text == "W"
+
+
+def test_links_col_distributed_matches_scanner(spark):
+    """The Arrow-batched links_col UDF returns the same structs as the
+    local scanner, per row."""
+    from pyspark.sql import functions as F
+
+    from jimmy_spark.functions import mdlinks
+
+    bodies = [
+        "see [a](b#f) and ![i](j.png \"T\") plus [[w|W]]",
+        "```\n[x](y)\n``` nothing",
+        "",
+    ]
+    df = spark.createDataFrame([(b,) for b in bodies], "body string")
+    got = [
+        [tuple(lk) for lk in r.links]
+        for r in df.select(mdlinks.links_col(F.col("body")).alias("links"))
+        .collect()
+    ]
+    import dataclasses
+
+    exp = [
+        [dataclasses.astuple(lk) for lk in get_markdown_links(b)]
+        for b in bodies
+    ]
+    assert got == exp and got[0]
+
+
+def test_spark_and_sql_masking_twins_agree(spark):
+    """mask_code_col (JVM) and mask_code_sql (DuckDB) blank the same
+    regions as the Python scanner's stage 1 on representative bodies."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from jimmy_spark.functions import mdlinks
+
+    bodies = [
+        "plain note://a1 text",
+        "fenced ```\nnote://b2\n``` after note://c3",
+        "inline `note://d4` and note://e5",
+        "``` unclosed fence note://f6",
+        "multi ```x``` mid ```y\nnote://g7``` tail",
+    ]
+    df = spark.createDataFrame([(b,) for b in bodies], "body string")
+    got = [
+        r.refs
+        for r in df.select(
+            mdlinks.note_refs_col(F.col("body")).alias("refs")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"body": bodies}))
+    exp = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {mdlinks.note_refs_sql('body')} FROM t"
+        ).fetchall()
+    ]
+    # python twin via mask_code + regex
+    import re
+
+    py = [
+        list(dict.fromkeys(re.findall(mdlinks.NOTE_REF_RE, mask_code(b))))
+        for b in bodies
+    ]
+    assert got == py
+    # duckdb twin keeps duplicates; compare deduped
+    assert [list(dict.fromkeys(e)) for e in exp] == py
