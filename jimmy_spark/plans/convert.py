@@ -139,8 +139,28 @@ def notes_from_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
     )
 
 
+def notes_from_markdown(spark: SparkSession, md_dir: str) -> DataFrame:
+    """Markdown-folder source (DefaultConverter family, converter.py:275):
+    YAML frontmatter parsed on READ — title falls back to the filename
+    stem, created becomes the note timestamp; tags/custom metadata ride
+    in the richer sources.markdown frame for callers that need them."""
+    from jimmy_spark.sources import markdown as md
+
+    raw = md.read_markdown(spark, md_dir)
+    return raw.select(
+        F.col("name").alias("note_id"),
+        "title",
+        F.coalesce(F.col("body"), F.lit("")).alias("body"),
+        "author",
+        F.col("created").alias("ts"),
+        "ok",
+        "error",
+    )
+
+
 SOURCES = {
     "eml": notes_from_eml,
+    "markdown": notes_from_markdown,
     "jsonl": notes_from_jsonl,
     "sqlite": notes_from_sqlite,
     "xml": notes_from_xml,

@@ -1296,8 +1296,14 @@ FROM acc
 def q_caption_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """safe_path / tag-normalize / link kernels over captions (SURVEY §2.7)
     plus the frontmatter/template serialization those kernels feed
-    (intermediate_format.py:214-287 + NoteFormatter): one row per image,
-    kernels and the rendered document side by side."""
+    (intermediate_format.py:214-287 + NoteFormatter) AND the input-side
+    frontmatter parse (converter.py:275-294, functions/frontmatter.py):
+    each rendered document round-trips through the regexp parse kernels —
+    fm_title / fm_tag0 / fm_phash / fm_body recover exactly what the
+    serializer wrote, with the DuckDB oracle re-deriving them through the
+    twin regexes. One row per image, kernels, the rendered document, and
+    its parse side by side."""
+    from jimmy_spark.functions import frontmatter as fm
     from jimmy_spark.functions import strings
 
     imgs = _images(spark).select("image_id", "caption", "phash")
@@ -1317,6 +1323,11 @@ def q_caption_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
             strings.first_inline_tag(F.col("caption")), F.col("image_id")
         ).alias("md_link"),
         doc.alias("doc"),
+        fm.fm_value(doc, "title").alias("fm_title"),
+        # F.get (not element_at): NULL on empty tag lists under ANSI
+        F.get(fm.fm_tags(doc), 0).alias("fm_tag0"),
+        fm.fm_value(doc, "phash").cast("long").alias("fm_phash"),
+        fm.fm_body(doc).alias("fm_body"),
     )
 
 
@@ -1628,6 +1639,34 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _caption_kernels_sql(title: str, tag: str) -> str:
+    """Oracle twin of q_caption_kernels: inner SELECT renders the
+    document, outer re-parses it through the DuckDB frontmatter twins —
+    the round-trip runs independently in both engines."""
+    from jimmy_spark.functions import frontmatter as fm
+    from jimmy_spark.functions import strings
+
+    return f"""
+WITH k AS (
+  SELECT image_id,
+         {strings.duckdb_safe_filename(title)} AS safe_name,
+         {strings.duckdb_normalize_tag(tag)} AS tag_norm,
+         {strings.duckdb_make_link(tag, 'image_id')} AS md_link,
+         '---' || chr(10) || 'title: ' || {strings.duckdb_safe_filename(title)}
+           || chr(10) || 'tags: [' || {strings.duckdb_normalize_tag(tag)}
+           || ']' || chr(10) || 'phash: ' || phash::VARCHAR || chr(10) ||
+           '---' || chr(10) || caption AS doc
+  FROM '{_t2()}/images.parquet'
+)
+SELECT image_id, safe_name, tag_norm, md_link, doc,
+       {fm.duckdb_fm_value('doc', 'title')} AS fm_title,
+       list_extract({fm.duckdb_fm_tags('doc')}, 1) AS fm_tag0,
+       {fm.duckdb_fm_value('doc', 'phash')}::BIGINT AS fm_phash,
+       {fm.duckdb_fm_body('doc')} AS fm_body
+FROM k
+"""
+
+
 def _oracle_kernels() -> dict[str, str]:
     from jimmy_spark.functions import strings
     from jimmy_spark.streaming import windows
@@ -1635,16 +1674,7 @@ def _oracle_kernels() -> dict[str, str]:
     title = strings.duckdb_split_title("caption")
     tag = strings.duckdb_first_inline_tag("caption")
     return {
-        "caption_kernels": (
-            f"SELECT image_id, {strings.duckdb_safe_filename(title)} AS safe_name, "
-            f"{strings.duckdb_normalize_tag(tag)} AS tag_norm, "
-            f"{strings.duckdb_make_link(tag, 'image_id')} AS md_link, "
-            f"'---' || chr(10) || 'title: ' || "
-            f"{strings.duckdb_safe_filename(title)}"
-            f" || chr(10) || 'tags: [' || {strings.duckdb_normalize_tag(tag)}"
-            f" || ']' || chr(10) || 'phash: ' || phash::VARCHAR || chr(10) || "
-            f"'---' || chr(10) || caption AS doc FROM '{_t2()}/images.parquet'"
-        ),
+        "caption_kernels": _caption_kernels_sql(title, tag),
         # the driver pre-registers every testdata table as a view at the sf
         # it evaluates, so the oracle always reads the same data as the
         # Spark side (no baked path)

@@ -1,0 +1,148 @@
+"""Input-side frontmatter parsing (functions/frontmatter.py,
+sources/markdown.py) — the reference's frontmatter.parse-on-read
+discipline (converter.py:275-294, obsidian.py:59-74) plus the
+serialize -> parse -> identity round trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from jimmy_spark.functions.frontmatter import (
+    get_inline_tags,
+    parse_frontmatter,
+)
+
+
+class TestMiniYaml:
+    def test_no_frontmatter_identity(self):
+        assert parse_frontmatter("plain body\n---\nnot frontmatter") == (
+            {},
+            "plain body\n---\nnot frontmatter",
+        )
+
+    def test_scalars_and_types(self):
+        meta, body = parse_frontmatter(
+            "---\ntitle: My Note\nauthor: 'A. B.'\ncreated: 1700000000\n"
+            "pinned: true\nlatitude: 52.5\n---\nbody here"
+        )
+        assert meta == {
+            "title": "My Note",
+            "author": "A. B.",
+            "created": 1700000000,
+            "pinned": True,
+            "latitude": 52.5,
+        }
+        assert body == "body here"
+
+    def test_inline_and_block_lists(self):
+        meta, _ = parse_frontmatter(
+            "---\ntags: [a, b, c]\naliases:\n- one\n- two\n---\nx"
+        )
+        assert meta == {"tags": ["a", "b", "c"], "aliases": ["one", "two"]}
+
+    def test_dashes_inside_body_stay_in_body(self):
+        meta, body = parse_frontmatter("---\nk: v\n---\nabove\n---\nbelow")
+        assert meta == {"k": "v"} and body == "above\n---\nbelow"
+
+    def test_frontmatter_closed_at_eof(self):
+        meta, body = parse_frontmatter("---\nk: v\n---")
+        assert meta == {"k": "v"} and body == ""
+
+    # reference doctest anchors (md_lib/tags.py:4-27)
+    @pytest.mark.parametrize(
+        "text,markers,expected",
+        [
+            ("# header", ["#"], []),
+            ("### h3", ["#"], []),
+            ("#tag", ["#"], ["tag"]),
+            ("#tag abc", ["#"], ["tag"]),
+            ("#tag @abc", ["#", "@"], ["abc", "tag"]),
+        ],
+    )
+    def test_inline_tags_reference_anchors(self, text, markers, expected):
+        assert sorted(get_inline_tags(text, markers)) == expected
+
+
+class TestMarkdownSource:
+    def test_folder_scan_typed_and_custom_metadata(self, spark, tmp_path):
+        (tmp_path / "a.md").write_text(
+            "---\ntitle: Alpha\nauthor: me\ncreated: 1700000000\n"
+            "tags: [x, y]\nmood: good\n---\nhello #zeta world"
+        )
+        (tmp_path / "b.md").write_text("no frontmatter at all")
+        from jimmy_spark.sources.markdown import read_markdown
+
+        rows = {
+            r.name: r for r in read_markdown(spark, str(tmp_path)).collect()
+        }
+        a = rows["a"]
+        assert a.ok and a.title == "Alpha" and a.author == "me"
+        assert a.created == 1700000000
+        assert a.body == "hello #zeta world"
+        # frontmatter tags + inline tags, merged + sorted
+        assert a.tags == ["x", "y", "zeta"]
+        assert dict(a.meta) == {"mood": "good"}
+        b = rows["b"]
+        assert b.ok and b.title == "b" and b.body == "no frontmatter at all"
+        assert b.tags == [] and dict(b.meta) == {}
+
+    def test_iso_created_parses_to_epoch(self, spark, tmp_path):
+        (tmp_path / "c.md").write_text(
+            "---\ncreated: 2023-11-14T22:13:20Z\n---\nx"
+        )
+        from jimmy_spark.sources.markdown import read_markdown
+
+        r = read_markdown(spark, str(tmp_path)).first()
+        assert r.created == 1700000000
+
+    def test_lifecycle_roundtrip_write_then_read(self, spark, tmp_path):
+        """run_conversion writes frontmatter; the markdown source must
+        recover title/author/created and the body byte-for-byte — the
+        serialize -> parse -> identity gate."""
+        from jimmy_spark.plans import convert
+
+        notes = spark.createDataFrame(
+            [
+                ("n1", "First Note", "body one\nline two", "au", 111),
+                ("n2", "Second", "body two", None, None),
+            ],
+            "note_id string, title string, body string, author string, ts long",
+        )
+        out = tmp_path / "md"
+        convert.write_notes(
+            convert.determine_paths(notes), str(out)
+        ).count()
+
+        back = {
+            r.title: r
+            for r in convert.notes_from_markdown(spark, str(out)).collect()
+        }
+        assert back["First Note"].author == "au"
+        assert back["First Note"].ts == 111
+        assert back["First Note"].body == "body one\nline two"
+        # empty author/ts serialize as '' -> parse back as absent-ish
+        assert back["Second"].body == "body two"
+
+    def test_full_lifecycle_from_markdown_source(self, spark, tmp_path):
+        """markdown is a first-class SOURCES entry: folder -> lifecycle ->
+        folder, lossless."""
+        from jimmy_spark.plans import convert
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(6):
+            (src / f"note{i}.md").write_text(
+                f"---\ntitle: Note {i}\ntags: [t{i}]\n---\nsee note://note{(i + 1) % 6}"
+            )
+        stats = convert.run_conversion(
+            spark, "markdown", str(src), str(tmp_path / "out")
+        )
+        assert stats["errors"] == 0 and stats["lossless"]
+        assert stats["written"] == 6
+        texts = {
+            p.name: p.read_text()
+            for p in (tmp_path / "out").glob("*.md")
+        }
+        assert len(texts) == 6
+        # links resolved through the id->path map
+        assert any("Note_1.md" in t or "Note 1" in t for t in texts.values())
