@@ -337,13 +337,28 @@ def run_conversion(
 ) -> dict:
     """scan -> filter -> paths -> links -> write -> stats (main.py:112-188
     run_conversion, distributed). Returns the stats dict; ``n_errors`` > 0
-    is the CLI's exit-1 condition."""
+    is the CLI's exit-1 condition.
+
+    The parsed/errors/filtered triple rides the WRITE action as
+    ``observe()`` metrics (CollectMetrics nodes at the scan and
+    post-filter points of the same plan) — one scan of the source and one
+    write, not three counting pre-scans plus a write; at 10^9 notes the
+    old shape tripled scan cost for bookkeeping the plan already does."""
+    from pyspark.sql import Observation
+
     notes = SOURCES[fmt](spark, input_path)
-    n_parsed = notes.count()
-    n_errors = notes.filter(~F.col("ok")).count()
-    good = notes.filter(F.col("ok"))
+    scan_obs = Observation("scan_stats")
+    observed = notes.observe(
+        scan_obs,
+        F.count(F.lit(1)).alias("parsed"),
+        F.coalesce(
+            F.sum((~F.col("ok")).cast("long")), F.lit(0)
+        ).alias("errors"),
+    )
+    good = observed.filter(F.col("ok"))
     kept = select_notes(good, include_like, exclude_like)
-    n_filtered = kept.count()
+    kept_obs = Observation("kept_stats")
+    kept = kept.observe(kept_obs, F.count(F.lit(1)).alias("filtered"))
     manifest = write_notes(resolve_links(determine_paths(kept)), out_dir, frontmatter)
     agg = manifest.agg(
         F.count("*").alias("n"),
@@ -351,9 +366,9 @@ def run_conversion(
         F.sum("n_bytes").alias("bytes_written"),
     ).first()
     stats = {
-        "parsed": n_parsed,
-        "errors": n_errors,
-        "filtered": n_filtered,
+        "parsed": int(scan_obs.get["parsed"]),
+        "errors": int(scan_obs.get["errors"]),
+        "filtered": int(kept_obs.get["filtered"]),
         "written": int(agg["n_written"] or 0),
         "bytes_written": int(agg["bytes_written"] or 0),
     }
