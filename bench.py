@@ -148,11 +148,18 @@ def _pipeline_bench(cores: int, lean: bool = False) -> dict:
     n_knn = 0
     stages["knn"] = 0.0
     if not lean and cores >= 12:  # kNN latency reported at 4N only
-        t = time.monotonic()
+        # best-of-3 like the fused map / rollup: the single-rep r4 number
+        # sampled 17.1-27.0s across sessions — the widest spread in the
+        # bench — which was measurement noise, not engine behavior
         queries_pdf = pd.read_parquet(f"{d}/knn_queries.parquet")
         pts = cells.with_georef(images.select("image_id", "phash"))
-        n_knn = knn.knn_join(pts, queries_pdf).count()
-        stages["knn"] = time.monotonic() - t
+        k_reps = []
+        for _ in range(3):
+            t = time.monotonic()
+            n_knn = knn.knn_join(pts, queries_pdf).count()
+            k_reps.append(time.monotonic() - t)
+        stages["knn"] = min(k_reps)
+        stages["knn_reps"] = [round(r, 3) for r in k_reps]
 
     spark.stop()
     return {
@@ -225,7 +232,11 @@ def _generic_bench() -> dict[str, float]:
                  # verified pairs from 5k word-salad docs at tau 30)
                  "text_stats", "minhash_dedup", "markup_rewrite",
                  "simhash_pairs", "vocab_topk", "seq_pack", "string_kernels",
-                 "fuzzy_lev", "asof_join", "range_join", "corpus_prep"):
+                 "fuzzy_lev", "asof_join", "range_join", "corpus_prep",
+                 # streaming lane: batch windows + REAL readStream twin +
+                 # hourly continuous-aggregate cascade, one result (r4
+                 # stretch item — the cascade's merge cost is now tracked)
+                 "windowed_counts"):
         best = None
         for _ in range(reps.get(name, 1)):
             t = time.monotonic()
@@ -278,6 +289,65 @@ def _dedup_job_bench() -> dict[str, float]:
         if p.returncode != 0:
             raise RuntimeError(f"dedup_job failed:\n{p.stderr[-2000:]}")
         return {"dedup_job": dt}
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
+def _convert_job_bench() -> dict[str, float]:
+    """End-to-end CLI conversion lifecycle (jobs/convert_job.py: scan ->
+    filter -> unique paths -> code-aware link resolution -> executor-side
+    write + observe() stats) through spark-submit --py-files, over a JSONL
+    corpus materialized from the sf's documents table (content/id/
+    lastModified/tags — the jsonl SOURCES schema). Corpus generation is
+    excluded from the timing; JVM startup is included, as for dedup_job."""
+    import shutil as _sh
+    import tempfile
+
+    import pandas as pd
+
+    if _sh.which("spark-submit") is None:
+        return {}
+    from scripts.make_pyfiles_zip import build
+
+    tmp = tempfile.mkdtemp(prefix="bench_convert_")
+    try:
+        docs = pd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        src = Path(tmp) / "jsonl"
+        src.mkdir()
+        recs = pd.DataFrame(
+            {
+                "content": docs["text"],
+                "id": "doc-" + docs["doc_id"].astype(str),
+                "lastModified": docs["doc_id"].astype("int64"),
+                "tags": [[] for _ in range(len(docs))],
+            }
+        )
+        n_shards = 8
+        for i in range(n_shards):
+            recs.iloc[i::n_shards].to_json(
+                src / f"part-{i}.jsonl", orient="records", lines=True
+            )
+        zip_path = build(Path(tmp) / "jimmy_spark.zip")
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{CPUS}]",
+            "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "--conf", "spark.ui.enabled=false",
+            "--conf", f"spark.sql.shuffle.partitions={CPUS}",
+            "--py-files", str(zip_path),
+            str(REPO / "jobs" / "convert_job.py"),
+            "--format", "jsonl",
+            "--input", str(src),
+            "--output", f"{tmp}/out",
+        ]
+        t = time.monotonic()
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        dt = round(time.monotonic() - t, 3)
+        if p.returncode != 0:
+            raise RuntimeError(f"convert_job failed:\n{p.stderr[-2000:]}")
+        return {"convert_job": dt}
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
 
@@ -424,7 +494,10 @@ def _write_report(
         "in BENCH/history.jsonl (sessions_n / sessions_4n), so the "
         "best-of is fully auditable.",
         "",
-        "Generic operator queries at sf0.1 (`local[$SPARK_GRAFT_CPUS]`):",
+        "Generic operator queries at sf0.1 (`local[$SPARK_GRAFT_CPUS]`); "
+        "`dedup_job` and `convert_job` are COMPOSED deployable jobs timed "
+        "end-to-end through real spark-submit --py-files (JVM startup "
+        "included), not single registry queries:",
         "",
         "| query | sec |",
         "| --- | --- |",
@@ -495,6 +568,7 @@ def main() -> None:
     probe = _host_cpu_probe()
     generic = _generic_bench()
     generic.update(_dedup_job_bench())
+    generic.update(_convert_job_bench())
     if r_lo is not None:
         history = _append_history(
             {
