@@ -265,6 +265,77 @@ def test_ordered_rank_and_topk_avoid_whole_group_sorts(spark):
     assert any("_shard" in ln for ln in win2), plan2
 
 
+def test_two_stage_ranks_under_extreme_skew(spark):
+    """Skew fixture (round-4 verdict stretch #7): ONE group holds 90% of
+    all rows — the regime where the naive window funnels ~the whole table
+    through a single reducer task. Asserts (a) the two-stage output still
+    equals the naive window exactly, and (b) the sort-unit distribution:
+    the largest (group, bucket) / (group, shard) cell — the most any one
+    task sorts in the two-stage plans — is bounded by the bucket/shard
+    knob, while the naive partition spec puts 90% of rows in one cell."""
+    n = 20_000
+    hot = int(n * 0.9)
+    df = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit("hot")
+               ).otherwise(F.concat(F.lit("g"), (F.col("id") % 64).cast("string"))
+               ).alias("grp"),
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 1000).alias("value"),
+    )
+
+    bucket_width = 512
+    from jimmy_spark.operators import ranks
+
+    got = {
+        r.k: r.rn
+        for r in ranks.ordered_rank(
+            df, ["grp"], "k", "rn", bucket_width=bucket_width, super_width=4
+        ).collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("grp").orderBy("k")
+    exp = {
+        r.k: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == exp
+
+    # sort-unit bound: naive = one 18k-row cell; two-stage <= bucket_width
+    naive_max = (
+        df.groupBy("grp").count().agg(F.max("count")).first()[0]
+    )
+    staged_max = (
+        df.withColumn("_bkt", F.expr(f"k div {bucket_width}"))
+        .groupBy("grp", "_bkt").count().agg(F.max("count")).first()[0]
+    )
+    assert naive_max == hot
+    assert staged_max <= bucket_width
+
+    # top_k_per_group under the same skew: equality + shard-cell bound
+    k_top = 7
+    got_tk = sorted(
+        (r.grp, r.rk, r.k)
+        for r in ranks.top_k_per_group(
+            df, ["grp"], [F.desc("value"), F.col("k")], k=k_top,
+            shard_key="k", n_shards=16,
+        ).collect()
+    )
+    w2 = W.partitionBy("grp").orderBy(F.desc("value"), "k")
+    exp_tk = sorted(
+        (r.grp, r.rk, r.k)
+        for r in df.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k_top).collect()
+    )
+    assert got_tk == exp_tk
+    shard_max = (
+        df.withColumn("_shard", F.pmod(F.xxhash64("k"), F.lit(16)))
+        .groupBy("grp", "_shard").count().agg(F.max("count")).first()[0]
+    )
+    # the hot group's 18k rows spread across 16 shards (~1.1k each): no
+    # shard cell carries more than ~2x the even share
+    assert shard_max <= 2 * hot / 16
+
+
 def test_two_stage_ranks_equal_naive_windows(spark):
     """The two-stage formulations are byte-identical to the naive global
     windows they replace (differential, not oracle-only)."""
