@@ -49,9 +49,20 @@ def ordered_rank(
     task, and only the per-super TOTALS frame — O(n / (bucket_width *
     super_width)), ~6e4 rows at 10^12 — is windowed per-group and
     broadcast. The big bases->data join is left to AQE (broadcast when
-    the bases frame turns out small, shuffle join otherwise); the counts
-    themselves aggregate off the already-ranked frame on the SAME keys as
-    the rank window, so Catalyst reuses the exchange — one scan of df."""
+    the bases frame turns out small, shuffle join otherwise).
+
+    The counts branch aggregates straight off ``df`` rather than off the
+    ranked frame: partial (map-side) aggregation means its exchange
+    carries ONE row per (group, bucket) — ~n/4096 rows — and column
+    pruning reduces its scan to the key/order columns, where deriving
+    counts from the window output would re-shuffle every full-width row
+    a second time (verified against the executed plan; the pruned
+    second scan is the cheaper trade at wide-row scale). Catalyst plans
+    the counts subtree twice (once under the within-super prefix, once
+    under the per-super totals — trees, not DAGs); both instances are
+    the pruned scan + map-side-combined tiny aggregate, an accepted
+    constant factor on the cheap branch rather than a cache/checkpoint
+    dependency inside the operator."""
     bkt = F.expr(f"{order_col} div {bucket_width}")
     keys = [*part_cols, "_bkt"]
     local_w = (
@@ -60,10 +71,11 @@ def ordered_rank(
     with_local = df.withColumn("_bkt", bkt).withColumn(
         "_local_rn", F.row_number().over(local_w)
     )
-    # per-bucket count == the bucket's max local rank: reusing the ranked
-    # frame (same partitioning keys) instead of re-aggregating df avoids a
-    # second scan and a second exchange of the full data
-    counts = with_local.groupBy(*keys).agg(F.max("_local_rn").alias("_n"))
+    counts = (
+        df.withColumn("_bkt", bkt)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+    )
     sup = F.expr(f"_bkt div {super_width}")
     in_super_w = (
         Window.partitionBy(*part_cols, "_sup")
