@@ -387,16 +387,39 @@ def key_paths(notes: DataFrame) -> DataFrame:
     incremental pipeline must name outputs as a pure function of the
     record key so any micro-batch, restart or replica produces the same
     path without coordination. Links then resolve by pure expression too
-    (no id->path join): ``note://X`` -> ``X.md``."""
+    (no id->path join): ``note://X`` -> ``safe_filename(X).md`` — the
+    same filename kernel the path column uses, so links always hit the
+    file that was actually written (reserved names, length cap).
+
+    Same code-aware discipline as the batch ``resolve_links``: refs are
+    extracted from the code-masked body (a ref living only inside a
+    fence or inline code is never rewritten), extracted refs fold
+    longest-first over the original body (prefix-id safety), and — like
+    the batch path — an extracted ref is replaced everywhere it appears.
+    """
+    from jimmy_spark.functions import mdlinks
+
+    ordered = F.array_sort(
+        mdlinks.note_refs_col(F.col("body")),
+        lambda l, r: F.when(F.length(l) > F.length(r), F.lit(-1))
+        .when(F.length(l) < F.length(r), F.lit(1))
+        .when(l > r, F.lit(-1))
+        .when(l < r, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    body2 = F.aggregate(
+        ordered,
+        F.col("body"),
+        lambda acc, t: F.replace(
+            acc,
+            F.concat(F.lit("note://"), t),
+            F.concat(strings.safe_filename(t), F.lit(".md")),
+        ),
+    )
     return notes.withColumn(
         "out_path",
         F.concat(strings.safe_filename(F.col("note_id")), F.lit(".md")),
-    ).withColumn(
-        "body",
-        F.regexp_replace(
-            "body", _LINK_RE, r"$1.md"
-        ),
-    )
+    ).withColumn("body", body2)
 
 
 def stream_good_notes(notes: DataFrame) -> DataFrame:

@@ -208,6 +208,28 @@ def test_streaming_conversion_incremental(spark, eml_dir, tmp_path):
     assert _tree_digest(out_s) == _tree_digest(out_b)  # stream == batch, bytes
 
 
+def test_key_paths_code_aware_and_safe_names(spark):
+    """The incremental lane shares the batch path's link discipline:
+    code-region refs are never extracted, extracted refs rewrite
+    everywhere (bug-compatible with the reference's str.replace), and the
+    rewrite targets the SAME safe_filename the writer uses — a ref to a
+    reserved-name note must point at the file actually written."""
+    notes = spark.createDataFrame(
+        [
+            ("a", "A", "go note://b and fenced ```\nnote://zzz\n```"),
+            ("b", "B", "inline `note://zzz` only"),
+            ("CON", "C", "self note://CON"),
+        ],
+        "note_id string, title string, body string",
+    )
+    rows = {r.note_id: r for r in convert.key_paths(notes).collect()}
+    assert rows["a"].body == "go b.md and fenced ```\nnote://zzz\n```"
+    assert rows["b"].body == "inline `note://zzz` only"
+    # reserved-name id: path and link rewrite agree on _CON.md
+    assert rows["CON"].out_path == "_CON.md"
+    assert rows["CON"].body == "self _CON.md"
+
+
 def test_stream_sink_drops_parse_failures(spark):
     """The streaming sink's projection must gate on the ok flag: a
     parse-failure row carries a NON-null msg_id (the path literal), so an
