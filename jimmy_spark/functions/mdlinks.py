@@ -222,6 +222,18 @@ def get_markdown_links(text: str) -> list[MarkdownLink]:
 # ref-extraction twins used by the distributed rewrite paths
 
 NOTE_REF_RE = r"note://([A-Za-z0-9_\-]+)"
+# full ref token incl. the optional '#fragment' (the reference's NoteLink
+# carries original_text + fragment; writer.py:232-266 rewrites the whole
+# token and header-id-normalizes the fragment)
+NOTE_TOKEN_RE = r"note://[A-Za-z0-9_\-]+(?:#[A-Za-z0-9_\-]+)?"
+
+
+def note_ref_tokens_col(body: Column) -> Column:
+    """Array of FULL ``note://id[#fragment]`` tokens outside code
+    regions — the unit the link rewrite replaces."""
+    return F.array_distinct(
+        F.regexp_extract_all(mask_code_col(body), F.lit(NOTE_TOKEN_RE), 0)
+    )
 
 
 def note_refs_col(body: Column) -> Column:

@@ -64,6 +64,19 @@ def first_inline_tag(c: Column) -> Column:
     return F.regexp_extract(c, "#([A-Za-z0-9_]+)", 1)
 
 
+def header_id(c: Column) -> Column:
+    """Markdown header-ID normalization (to_markdown_header_id,
+    md_lib/text.py:55-95, ASCII-regex variant): lowercase, drop chars
+    outside [a-z0-9 _-], trim, whitespace/underscore runs -> '-'. Used
+    by the writer's link rewrite to turn a link fragment into the header
+    id the heading actually rendered to (writer.py:232-242)."""
+    return F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9 _-]", "")),
+        "[ _]+",
+        "-",
+    )
+
+
 # --- DuckDB twins (same patterns; 'g' flag for global replace) ------------
 
 
@@ -96,3 +109,10 @@ def duckdb_split_title(col: str, max_len: int = 80) -> str:
 
 def duckdb_first_inline_tag(col: str) -> str:
     return f"regexp_extract({col}, '#([A-Za-z0-9_]+)', 1)"
+
+
+def duckdb_header_id(col: str) -> str:
+    return (
+        f"regexp_replace(trim(regexp_replace(lower({col}), "
+        f"'[^a-z0-9 _-]', '', 'g')), '[ _]+', '-', 'g')"
+    )

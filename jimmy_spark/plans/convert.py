@@ -225,38 +225,56 @@ def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
     byte-identical. (Like the reference's ``str.replace``-per-found-link
     discipline, a ref that appears BOTH outside and inside code is
     rewritten in both places once extracted — bug-compatible by design.)
+
+    FRAGMENTS: ``note://id#Some_Heading`` rewrites to
+    ``<path>#<header_id(fragment)>`` — the writer normalizes the link
+    fragment to the markdown header id the target heading rendered to
+    (writer.py:232-266 via to_markdown_header_id); a broken target drops
+    the fragment with the whole link, like the reference's fallback.
     """
-    from jimmy_spark.functions import mdlinks
+    from jimmy_spark.functions import mdlinks, strings
 
     # inner explode: linkless notes contribute no ref rows (an outer
     # explode would fold a NULL target and null the whole body)
     refs = notes_with_paths.select(
         F.col("note_id").alias("src_id"),
-        F.explode(mdlinks.note_refs_col(F.col("body"))).alias("target_id"),
+        F.explode(
+            mdlinks.note_ref_tokens_col(F.col("body"))
+        ).alias("tok"),
+    ).select(
+        "src_id",
+        "tok",
+        F.regexp_extract("tok", mdlinks.NOTE_REF_RE, 1).alias("target_id"),
+        F.regexp_extract("tok", r"#([A-Za-z0-9_\-]+)$", 1).alias("frag"),
     )
     id_map = notes_with_paths.select(
         F.col("note_id").alias("target_id"), F.col("out_path").alias("target_path")
+    )
+    repl = F.when(F.col("target_path").isNull(), F.lit("broken-link")).otherwise(
+        F.concat(
+            F.col("target_path"),
+            F.when(
+                F.col("frag") == "", F.lit("")
+            ).otherwise(F.concat(F.lit("#"), strings.header_id(F.col("frag")))),
+        )
     )
     resolved = (
         refs.join(id_map, "target_id", "left")
         .groupBy("src_id")
         .agg(
             F.collect_list(
-                F.struct(
-                    F.col("target_id").alias("t"),
-                    F.coalesce(F.col("target_path"), F.lit("broken-link")).alias("p"),
-                )
+                F.struct(F.col("tok").alias("t"), repl.alias("p"))
             ).alias("repls")
         )
     )
     joined = notes_with_paths.join(
         resolved, notes_with_paths.note_id == resolved.src_id, "left"
     ).drop("src_id")
-    # longest target id first: collect_list order is nondeterministic, and
-    # when one id is a prefix of another (n1 vs n10) replacing the shorter
-    # first would corrupt the longer link (note://n10 -> '<n1-path>0').
-    # Sorting (length desc, id desc) makes the fold both prefix-safe and
-    # byte-stable across reruns.
+    # longest token first: collect_list order is nondeterministic, and
+    # when one token is a prefix of another (note://n1 vs note://n10, or
+    # note://n1 vs note://n1#sec) replacing the shorter first would
+    # corrupt the longer link. Sorting (length desc, token desc) makes
+    # the fold both prefix-safe and byte-stable across reruns.
     ordered = F.array_sort(
         F.coalesce(F.col("repls"), F.array()),
         lambda l, r: F.when(F.length(l["t"]) > F.length(r["t"]), F.lit(-1))
@@ -268,7 +286,7 @@ def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
     body2 = F.aggregate(
         ordered,
         F.col("body"),
-        lambda acc, r: F.replace(acc, F.concat(F.lit("note://"), r["t"]), r["p"]),
+        lambda acc, r: F.replace(acc, r["t"], r["p"]),
     )
     return joined.withColumn("body", body2).drop("repls")
 

@@ -1368,15 +1368,13 @@ def q_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
       (md_lib/links.py:67-76), output-path join (writer.py:37-109);
     - PII/URL scrubbing with typed sentinels + per-doc match counts over
       PLANTED pii, patterns in the Java-regex/RE2 common subset."""
+    from jimmy_spark.functions import strings
+
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     # -- header id / pascal predicate / void links
     snip = F.substring(F.col("text"), 1, 36)
-    header_id = F.regexp_replace(
-        F.trim(F.regexp_replace(F.lower(snip), "[^a-z0-9 _-]", "")),
-        "[ _]+",
-        "-",
-    )
+    header_id = strings.header_id(snip)
     first_tok = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
     is_pascal = first_tok.rlike("^([A-Z][a-z0-9]+)+$")
     linked = F.concat(

@@ -109,6 +109,26 @@ def test_link_resolution_ignores_code_regions(spark):
     assert bodies["n4"] == "real Target.md and ```\nTarget.md\n```"
 
 
+def test_link_resolution_fragments_header_normalized(spark):
+    """note://id#Fragment rewrites to <path>#<header_id(fragment)> — the
+    writer's to_markdown_header_id discipline (writer.py:232-266); broken
+    targets drop the fragment with the whole link; a fragment link and a
+    bare link to the same target coexist in one body."""
+    notes = spark.createDataFrame(
+        [
+            ("n1", "Target Note", "# Intro_Part\nplain"),
+            ("src", "Src",
+             "a note://n1#Intro_Part b note://n1 c note://ghost#Sec"),
+        ],
+        "note_id string, title string, body string",
+    )
+    out = convert.resolve_links(convert.determine_paths(notes))
+    body = {r.note_id: r.body for r in out.collect()}["src"]
+    assert body == (
+        "a Target Note.md#intro-part b Target Note.md c broken-link"
+    )
+
+
 def test_link_resolution_prefix_ids_not_corrupted(spark):
     """When one note id is a prefix of another (n1 vs n10), the longer
     link must never be mangled by the shorter replacement — the fold
