@@ -76,6 +76,75 @@ def test_reference_doctest_anchor(text, expected):
     assert get_markdown_links(text) == expected
 
 
+def _settings():
+    from hypothesis import settings
+
+    return settings(max_examples=60, deadline=None)
+
+
+def test_render_parse_roundtrip_property():
+    """Property: rendering a link from clean components (the reference's
+    make_link/make_wikilink shapes, links.py:16-34) and parsing it back
+    recovers the components, with arbitrary surrounding prose."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.-",
+        min_size=1, max_size=12,
+    )
+    prose = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz ,.\n", min_size=0, max_size=20
+    )
+
+    @given(
+        text=word, url=word, frag=st.one_of(st.none(), word),
+        title=st.one_of(st.none(), word),
+        is_image=st.booleans(), pre=prose, post=prose,
+    )
+    @_settings()
+    def check(text, url, frag, title, is_image, pre, post):
+        target = url + (f"#{frag}" if frag else "")
+        t = f' "{title}"' if title else ""
+        s = f"{pre}{'!' * is_image}[{text}]({target}{t}){post}"
+        got = get_markdown_links(s)
+        assert len(got) == 1, (s, got)
+        lk = got[0]
+        assert lk.text == text and lk.url == url
+        assert lk.fragment == (frag or "")
+        assert lk.title == (title or "")
+        assert lk.is_image == is_image
+
+    check()
+
+
+def test_wikilink_roundtrip_property():
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.-",
+        min_size=1, max_size=12,
+    )
+
+    @given(
+        url=word, frag=st.one_of(st.none(), word),
+        desc=st.one_of(st.none(), word), emb=st.booleans(),
+    )
+    @_settings()
+    def check(url, frag, desc, emb):
+        inner = url + (f"#{frag}" if frag else "") + (f"|{desc}" if desc else "")
+        s = f"x {'!' * emb}[[{inner}]] y"
+        got = get_markdown_links(s)
+        assert len(got) == 1
+        lk = got[0]
+        assert lk.is_wikilink and lk.is_embedded == emb
+        assert lk.url == url and lk.fragment == (frag or "")
+        assert lk.text == (desc or "")
+
+    check()
+
+
 def test_images_listed_before_links():
     """The reference returns md_images + md_links (links.py:299-310)."""
     got = get_markdown_links("[a](b) ![i](j.png) [c](d)")
