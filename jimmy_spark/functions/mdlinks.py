@@ -249,6 +249,68 @@ LINKS_SCHEMA = (
     "is_image boolean, is_wikilink boolean, is_embedded boolean"
 )
 
+WEB_SCHEMES = ("http", "https", "ftp", "ftps")  # common.py web_schemes
+MARKDOWN_LINK_SUFFIXES = (".md", ".mdown", ".markdown", "")  # common.py:61-62
+
+
+def render(lk: MarkdownLink) -> str:
+    """The reference's MarkdownLink.__str__ (links.py:86-92 via
+    make_link/make_wikilink:16-34) — the ORIGINAL-text reconstruction the
+    writer's str.replace keys on. Same miss modes as the reference by
+    construction (e.g. a source-bracketed URL reconstructs unbracketed)."""
+    frag = f"#{lk.fragment}" if lk.fragment else ""
+    if lk.is_wikilink:
+        text = lk.text if lk.text.strip() else ""
+        text = f"|{text}" if text else ""
+        return f"{'!' * lk.is_embedded}[[{lk.url}{frag}{text}]]"
+    title = f' "{lk.title}"' if lk.title else ""
+    return f"{'!' * lk.is_image}[{lk.text}]({lk.url}{frag}{title})"
+
+
+def _note_link_rows(body: str) -> list[tuple[str, str, str, str]]:
+    """(original_text, target_id, text, fragment) for each INTERNAL note
+    link — the obsidian-family classification (obsidian.py:15-42):
+    web/mail links are kept, a markdown-suffix-or-suffixless url is a
+    note link whose id is the unquoted stem, anything else is a resource
+    (not rewritten here)."""
+    import posixpath
+    from urllib.parse import unquote
+
+    out = []
+    for lk in get_markdown_links(body or ""):
+        if lk.is_image or lk.is_embedded:
+            continue  # resources / embeds
+        if not lk.url:
+            continue  # fragment-only internal heading link: kept
+        if any(lk.url.startswith(f"{s}://") for s in WEB_SCHEMES):
+            continue
+        if lk.url.startswith("mailto:"):
+            continue
+        base = posixpath.basename(unquote(lk.url).rstrip("/"))
+        stem, dot, ext = base.rpartition(".")
+        suffix = f".{ext}" if dot else ""
+        if suffix not in MARKDOWN_LINK_SUFFIXES:
+            continue  # resource (non-markdown file)
+        target = stem if dot else base
+        out.append((render(lk), target, lk.text, lk.fragment, lk.title))
+    return out
+
+
+NOTE_LINKS_SCHEMA = (
+    "orig string, target_id string, text string, frag string, title string"
+)
+
+
+def note_links_col(body: Column) -> Column:
+    """Arrow-batched internal-note-link extraction for the markdown
+    lifecycle: array of (orig, target_id, text, frag) structs."""
+
+    @F.pandas_udf(f"array<struct<{NOTE_LINKS_SCHEMA}>>")
+    def _extract(bodies: pd.Series) -> pd.Series:
+        return pd.Series([_note_link_rows(b) for b in bodies])
+
+    return _extract(body)
+
 
 def links_col(body: Column) -> Column:
     """Full-structure link extraction as an Arrow-batched UDF: array of

@@ -270,11 +270,16 @@ def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
     joined = notes_with_paths.join(
         resolved, notes_with_paths.note_id == resolved.src_id, "left"
     ).drop("src_id")
-    # longest token first: collect_list order is nondeterministic, and
-    # when one token is a prefix of another (note://n1 vs note://n10, or
-    # note://n1 vs note://n1#sec) replacing the shorter first would
-    # corrupt the longer link. Sorting (length desc, token desc) makes
-    # the fold both prefix-safe and byte-stable across reruns.
+    return joined.withColumn("body", _folded_body()).drop("repls")
+
+
+def _folded_body() -> "F.Column":
+    """Replacement fold over a collected ``repls`` array<struct<t,p>>:
+    longest token first — collect_list order is nondeterministic, and
+    when one token is a prefix of another (note://n1 vs note://n10, or
+    note://n1 vs note://n1#sec) replacing the shorter first would
+    corrupt the longer link. Sorting (length desc, token desc) makes the
+    fold both prefix-safe and byte-stable across reruns."""
     ordered = F.array_sort(
         F.coalesce(F.col("repls"), F.array()),
         lambda l, r: F.when(F.length(l["t"]) > F.length(r["t"]), F.lit(-1))
@@ -283,12 +288,74 @@ def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
         .when(l["t"] < r["t"], F.lit(1))
         .otherwise(F.lit(0)),
     )
-    body2 = F.aggregate(
+    return F.aggregate(
         ordered,
         F.col("body"),
         lambda acc, r: F.replace(acc, r["t"], r["p"]),
     )
-    return joined.withColumn("body", body2).drop("repls")
+
+
+def resolve_md_links(notes_with_paths: DataFrame) -> DataFrame:
+    """Obsidian-family link resolution for the markdown-folder source
+    (obsidian.py:15-42 handle_links + writer.py:214-266
+    update_note_links): INTERNAL links — standard ``[text](Other
+    Note.md)`` (possibly %-quoted) and wikilinks ``[[Other Note]]`` /
+    ``[[Note#Sec|label]]`` — resolve by the target's filename stem
+    through the id->path map; web/mail links, images/embeds and
+    non-markdown resource links are untouched. The replacement is the
+    reference's make_link rebuild: link text falls back to the resolved
+    path's stem (else the raw id), the fragment normalizes through the
+    header-id kernel, and a missing target degrades to
+    ``[text](broken-link <id>)``. Extraction is the full AST-equivalent
+    scanner (one Arrow crossing); everything after it is JVM."""
+    from jimmy_spark.functions import mdlinks, strings
+
+    refs = notes_with_paths.select(
+        F.col("note_id").alias("src_id"),
+        F.explode(mdlinks.note_links_col(F.col("body"))).alias("l"),
+    ).select(
+        "src_id",
+        F.col("l.orig").alias("orig"),
+        F.col("l.target_id").alias("target_id"),
+        F.col("l.text").alias("text"),
+        F.col("l.frag").alias("frag"),
+        F.col("l.title").alias("title"),
+    )
+    id_map = notes_with_paths.select(
+        F.col("note_id").alias("target_id"), F.col("out_path").alias("target_path")
+    )
+    joined_refs = refs.join(id_map, "target_id", "left")
+    stem = F.regexp_replace(F.col("target_path"), r"\.md$", "")
+    best_text = F.when(F.col("text") != "", F.col("text")).otherwise(
+        F.coalesce(stem, F.col("target_id"))
+    )
+    frag_part = F.when(F.col("frag") == "", F.lit("")).otherwise(
+        F.concat(F.lit("#"), strings.header_id(F.col("frag")))
+    )
+    title_part = F.when(F.col("title") == "", F.lit("")).otherwise(
+        F.concat(F.lit(' "'), F.col("title"), F.lit('"'))
+    )
+    repl = F.when(
+        F.col("target_path").isNull(),
+        F.concat(
+            F.lit("["), best_text, F.lit("](broken-link "),
+            F.col("target_id"), F.lit(")"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("["), best_text, F.lit("]("), F.col("target_path"),
+            frag_part, title_part, F.lit(")"),
+        )
+    )
+    resolved = joined_refs.groupBy("src_id").agg(
+        F.collect_list(
+            F.struct(F.col("orig").alias("t"), repl.alias("p"))
+        ).alias("repls")
+    )
+    joined = notes_with_paths.join(
+        resolved, notes_with_paths.note_id == resolved.src_id, "left"
+    ).drop("src_id")
+    return joined.withColumn("body", _folded_body()).drop("repls")
 
 
 # --------------------------------------------------------------------------
@@ -377,7 +444,11 @@ def run_conversion(
     kept = select_notes(good, include_like, exclude_like)
     kept_obs = Observation("kept_stats")
     kept = kept.observe(kept_obs, F.count(F.lit(1)).alias("filtered"))
-    manifest = write_notes(resolve_links(determine_paths(kept)), out_dir, frontmatter)
+    # the markdown-folder family resolves [[wikilinks]] / [x](y.md) by
+    # filename stem (obsidian semantics); every other source carries
+    # explicit note://<id> refs
+    resolver = resolve_md_links if fmt == "markdown" else resolve_links
+    manifest = write_notes(resolver(determine_paths(kept)), out_dir, frontmatter)
     agg = manifest.agg(
         F.count("*").alias("n"),
         F.sum(F.col("written").cast("long")).alias("n_written"),

@@ -123,6 +123,42 @@ class TestMarkdownSource:
         # empty author/ts serialize as '' -> parse back as absent-ish
         assert back["Second"].body == "body two"
 
+    def test_obsidian_style_link_resolution(self, spark, tmp_path):
+        """The markdown lifecycle resolves wikilinks and .md links by
+        filename stem (obsidian.py:15-42 + writer.py:214-266): rendered
+        standard links point at the target's written path, fragments
+        header-normalize, text falls back to the target stem, web links
+        and image embeds stay untouched, missing targets degrade to
+        [text](broken-link id)."""
+        from jimmy_spark.plans import convert
+
+        src = tmp_path / "vault"
+        src.mkdir()
+        (src / "Other Note.md").write_text("---\ntitle: Other\n---\ntarget")
+        (src / "main.md").write_text(
+            "see [[Other Note]] and [lbl](Other%20Note.md#My_Sec) "
+            "plus [web](https://x.y) ![[img.png]] [gone](Missing.md) "
+            "and fenced ```\n[[Fence Only]]\n```"
+        )
+        stats = convert.run_conversion(
+            spark, "markdown", str(src), str(tmp_path / "out")
+        )
+        assert stats["errors"] == 0 and stats["written"] == 2
+        # titles: 'Other' (frontmatter) and 'main' (stem)
+        body = (tmp_path / "out" / "main.md").read_text()
+        # wikilink -> standard link to the written path, text = stem
+        assert "[Other](Other.md)" in body
+        # quoted .md link with fragment -> header-id-normalized fragment
+        assert "[lbl](Other.md#my-sec)" in body
+        # untouched: web link, image embed, fence-only wikilink (never
+        # extracted, so never rewritten — a fence-only ref has no
+        # replacement row)
+        assert "[web](https://x.y)" in body
+        assert "![[img.png]]" in body
+        assert "```\n[[Fence Only]]\n```" in body
+        # broken target
+        assert "[gone](broken-link Missing)" in body
+
     def test_full_lifecycle_from_markdown_source(self, spark, tmp_path):
         """markdown is a first-class SOURCES entry: folder -> lifecycle ->
         folder, lossless."""
