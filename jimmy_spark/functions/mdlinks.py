@@ -301,6 +301,51 @@ NOTE_LINKS_SCHEMA = (
 )
 
 
+def _resource_link_rows(body: str) -> list[tuple[str, str, str, str, bool]]:
+    """(original_text, url, fname, text, is_image) for each RESOURCE
+    link — the complement of the note-link branch (obsidian.py:36-41):
+    a non-web, non-mail link whose url carries a non-markdown suffix
+    (``![x](img.png)``, ``![[scan.pdf]]``, ``[doc](file.pdf)``).
+    ``fname`` is the unquoted basename — the rglob match key
+    (common.py:506-522 find_file_recursively)."""
+    import posixpath
+    from urllib.parse import unquote
+
+    out = []
+    for lk in get_markdown_links(body or ""):
+        if not lk.url:
+            continue
+        if any(lk.url.startswith(f"{s}://") for s in WEB_SCHEMES):
+            continue
+        if lk.url.startswith("mailto:"):
+            continue
+        unq = unquote(lk.url)
+        base = posixpath.basename(unq.rstrip("/"))
+        stem, dot, ext = base.rpartition(".")
+        suffix = f".{ext}" if dot else ""
+        if suffix in MARKDOWN_LINK_SUFFIXES:
+            continue  # internal note link, not a resource
+        is_image = lk.is_image or lk.is_embedded
+        out.append((render(lk), unq, base, lk.text, is_image))
+    return out
+
+
+RESOURCE_LINKS_SCHEMA = (
+    "orig string, url string, fname string, text string, is_image boolean"
+)
+
+
+def resource_links_col(body: Column) -> Column:
+    """Arrow-batched resource-link extraction for the markdown lifecycle:
+    array of (orig, url, fname, text, is_image) structs."""
+
+    @F.pandas_udf(f"array<struct<{RESOURCE_LINKS_SCHEMA}>>")
+    def _extract(bodies: pd.Series) -> pd.Series:
+        return pd.Series([_resource_link_rows(b) for b in bodies])
+
+    return _extract(body)
+
+
 def note_links_col(body: Column) -> Column:
     """Arrow-batched internal-note-link extraction for the markdown
     lifecycle: array of (orig, target_id, text, frag) structs."""

@@ -295,7 +295,133 @@ def _folded_body() -> "F.Column":
     )
 
 
-def resolve_md_links(notes_with_paths: DataFrame) -> DataFrame:
+def scan_vault_resources(spark: SparkSession, md_dir: str) -> DataFrame:
+    """Paths-only recursive listing of the vault's NON-markdown files —
+    the candidate set find_file_recursively globs over
+    (common.py:506-522). Bytes are not read here (the content column is
+    pruned out of the binaryFile scan); the copy stage re-opens matched
+    files executor-side, so resource bytes never cross a shuffle."""
+    prefix = "file:" + os.path.abspath(md_dir).rstrip("/") + "/"
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(md_dir)
+        .select("path")
+        .filter(~F.col("path").endswith(".md"))
+    )
+    return files.select(
+        "path",
+        F.replace(F.col("path"), F.lit(prefix), F.lit("")).alias("relpath"),
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"),
+    )
+
+
+def resolve_md_resources(
+    notes_with_paths: DataFrame, resources_meta: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Resource lane of the markdown lifecycle (obsidian.py:36-41 +
+    writer.py:139-213): each non-markdown link matches a vault file by
+    rglob semantics — relpath equals the unquoted url or ends with
+    '/<url>', first sorted match wins — gets a collision-free output
+    name, and rewrites to the reference's make_link shape
+    (``[title](./name)`` / ``![...]``, angle-bracketed when URL-quoting
+    would alter the path; link text falls back to the filename). An
+    unmatched resource link stays untouched, like the reference's
+    find-no-match skip.
+
+    Returns (repls, copy_plan): per-note replacement structs to merge
+    into the link fold, and the distinct (src path, dest name) frame the
+    copy stage executes."""
+    from jimmy_spark.functions import mdlinks
+
+    refs = notes_with_paths.select(
+        F.col("note_id").alias("src_id"),
+        F.explode(mdlinks.resource_links_col(F.col("body"))).alias("r"),
+    ).select(
+        "src_id",
+        F.col("r.orig").alias("orig"),
+        F.col("r.url").alias("url"),
+        F.col("r.fname").alias("fname"),
+        F.col("r.text").alias("text"),
+        F.col("r.is_image").alias("is_image"),
+    )
+    cand = refs.join(resources_meta, "fname").filter(
+        (F.col("relpath") == F.col("url"))
+        | F.col("relpath").endswith(F.concat(F.lit("/"), F.col("url")))
+    )
+    best = cand.groupBy("src_id", "orig", "url", "fname", "text", "is_image").agg(
+        F.min("relpath").alias("src_rel"), F.min("path").alias("src_path")
+    )
+    # collision-free output names over the DISTINCT matched files
+    w = Window.partitionBy("fname").orderBy("src_rel")
+    stem = F.regexp_extract("fname", r"^(.*?)(\.[^.]*)?$", 1)
+    ext = F.regexp_extract("fname", r"(\.[^.]*)$", 1)
+    dests = (
+        best.select("fname", "src_rel", "src_path").distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "dest_rel",
+            F.when(F.col("_rn") == 1, F.col("fname")).otherwise(
+                F.concat(
+                    stem, F.lit("-"),
+                    F.lpad((F.col("_rn") - 1).cast("string"), 4, "0"), ext,
+                )
+            ),
+        )
+        .drop("_rn")
+    )
+    matched = best.join(dests, ["fname", "src_rel", "src_path"])
+    rel = F.concat(F.lit("./"), F.col("dest_rel"))
+    # get_quoted_relative_path (writer.py:16-34): bracket when quoting
+    # would change the URL (spaces, non-ASCII, ...)
+    quoted = F.when(
+        rel.rlike("^[A-Za-z0-9_.~/-]*$"), rel
+    ).otherwise(F.concat(F.lit("<"), rel, F.lit(">")))
+    title = F.when(F.col("text") != "", F.col("text")).otherwise(F.col("fname"))
+    repl = F.concat(
+        F.when(F.col("is_image"), F.lit("!")).otherwise(F.lit("")),
+        F.lit("["), title, F.lit("]("), quoted, F.lit(")"),
+    )
+    repls = matched.select(
+        "src_id", F.struct(F.col("orig").alias("t"), repl.alias("p")).alias("repl")
+    )
+    copy_plan = matched.select("src_path", "dest_rel").distinct()
+    return repls, copy_plan
+
+
+COPY_SCHEMA = "dest_rel string, n_bytes long, copied boolean, error string"
+
+
+def copy_resources(copy_plan: DataFrame, out_dir: str) -> DataFrame:
+    """Executor-side resource copy (write_resource, writer.py:198-213):
+    each matched file is read at its source path and written under
+    ``out_dir`` — on a cluster both sides are shared storage, so bytes
+    move executor-local, never through the driver or a shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for src, dest in zip(pdf["src_path"], pdf["dest_rel"]):
+                try:
+                    local = src.removeprefix("file:")
+                    with open(local, "rb") as f:
+                        data = f.read()
+                    with open(os.path.join(out_dir, dest), "wb") as f:
+                        f.write(data)
+                    rows.append((dest, len(data), True, None))
+                except Exception as e:  # noqa: BLE001 — per-file isolation
+                    rows.append((dest, 0, False, str(e)))
+            yield pd.DataFrame(
+                rows, columns=["dest_rel", "n_bytes", "copied", "error"]
+            )
+
+    return copy_plan.mapInPandas(gen, COPY_SCHEMA)
+
+
+def resolve_md_links(
+    notes_with_paths: DataFrame, extra_repls: DataFrame | None = None
+) -> DataFrame:
     """Obsidian-family link resolution for the markdown-folder source
     (obsidian.py:15-42 handle_links + writer.py:214-266
     update_note_links): INTERNAL links — standard ``[text](Other
@@ -347,10 +473,16 @@ def resolve_md_links(notes_with_paths: DataFrame) -> DataFrame:
             frag_part, title_part, F.lit(")"),
         )
     )
-    resolved = joined_refs.groupBy("src_id").agg(
-        F.collect_list(
-            F.struct(F.col("orig").alias("t"), repl.alias("p"))
-        ).alias("repls")
+    pairs = joined_refs.select(
+        "src_id",
+        F.struct(F.col("orig").alias("t"), repl.alias("p")).alias("repl"),
+    )
+    if extra_repls is not None:
+        # resource-lane replacements (resolve_md_resources) merge into
+        # the same longest-first fold
+        pairs = pairs.unionByName(extra_repls)
+    resolved = pairs.groupBy("src_id").agg(
+        F.collect_list("repl").alias("repls")
     )
     joined = notes_with_paths.join(
         resolved, notes_with_paths.note_id == resolved.src_id, "left"
@@ -445,10 +577,19 @@ def run_conversion(
     kept_obs = Observation("kept_stats")
     kept = kept.observe(kept_obs, F.count(F.lit(1)).alias("filtered"))
     # the markdown-folder family resolves [[wikilinks]] / [x](y.md) by
-    # filename stem (obsidian semantics); every other source carries
+    # filename stem (obsidian semantics) and carries its vault resources
+    # (attachments) into the output tree; every other source carries
     # explicit note://<id> refs
-    resolver = resolve_md_links if fmt == "markdown" else resolve_links
-    manifest = write_notes(resolver(determine_paths(kept)), out_dir, frontmatter)
+    with_paths = determine_paths(kept)
+    copy_plan = None
+    if fmt == "markdown":
+        res_repls, copy_plan = resolve_md_resources(
+            with_paths, scan_vault_resources(spark, input_path)
+        )
+        resolved = resolve_md_links(with_paths, extra_repls=res_repls)
+    else:
+        resolved = resolve_links(with_paths)
+    manifest = write_notes(resolved, out_dir, frontmatter)
     agg = manifest.agg(
         F.count("*").alias("n"),
         F.sum(F.col("written").cast("long")).alias("n_written"),
@@ -461,6 +602,11 @@ def run_conversion(
         "written": int(agg["n_written"] or 0),
         "bytes_written": int(agg["bytes_written"] or 0),
     }
+    if copy_plan is not None:
+        cagg = copy_resources(copy_plan, out_dir).agg(
+            F.sum(F.col("copied").cast("long")).alias("n_copied")
+        ).first()
+        stats["resources"] = int(cagg["n_copied"] or 0)
     # the reference's parsed-vs-written loss warning (main.py:162-175)
     stats["lossless"] = stats["written"] == stats["filtered"]
     return stats

@@ -159,6 +159,49 @@ class TestMarkdownSource:
         # broken target
         assert "[gone](broken-link Missing)" in body
 
+    def test_vault_resources_copied_and_links_rewritten(self, spark, tmp_path):
+        """Resource lane (obsidian.py:36-41 + writer.py:139-213): vault
+        attachments referenced by notes are matched rglob-style (relpath
+        suffix, first sorted match), copied into the output tree with
+        collision-free names, and their links rebuilt — image embeds as
+        ![..](./name), space-carrying names angle-bracketed, basename
+        collisions suffixed, unmatched refs untouched."""
+        from jimmy_spark.plans import convert
+
+        src = tmp_path / "vault"
+        (src / "attachments").mkdir(parents=True)
+        (src / "files").mkdir()
+        (src / "attachments" / "img.png").write_bytes(b"PNG-A")
+        (src / "files" / "img.png").write_bytes(b"PNG-B")
+        (src / "files" / "im age.png").write_bytes(b"PNG-SP")
+        (src / "files" / "report.pdf").write_bytes(b"PDF")
+        (src / "main.md").write_text(
+            "e ![[img.png]] "                      # first sorted match
+            "p ![pic](files/img.png) "             # path-qualified match
+            "s ![scan](im%20age.png) "             # quoted name w/ space
+            "d [doc](files/report.pdf) "
+            "m ![ghost](missing.png)"
+        )
+        stats = convert.run_conversion(
+            spark, "markdown", str(src), str(tmp_path / "out")
+        )
+        assert stats["errors"] == 0
+        assert stats["resources"] == 4  # img.png x2, im age.png, report.pdf
+        out = tmp_path / "out"
+        body = (out / "main.md").read_text()
+        # rglob first-sorted-match: bare img.png -> attachments/img.png
+        # (sorts before files/img.png); it keeps the plain name, the
+        # files/ one gets the collision suffix
+        assert (out / "img.png").read_bytes() == b"PNG-A"
+        assert (out / "img-0001.png").read_bytes() == b"PNG-B"
+        assert (out / "im age.png").read_bytes() == b"PNG-SP"
+        assert (out / "report.pdf").read_bytes() == b"PDF"
+        assert "![img.png](./img.png)" in body          # embed, text<-fname
+        assert "![pic](./img-0001.png)" in body
+        assert "![scan](<./im age.png>)" in body        # bracket quoting
+        assert "[doc](./report.pdf)" in body
+        assert "![ghost](missing.png)" in body          # unmatched: kept
+
     def test_full_lifecycle_from_markdown_source(self, spark, tmp_path):
         """markdown is a first-class SOURCES entry: folder -> lifecycle ->
         folder, lossless."""
