@@ -142,6 +142,105 @@ FROM (SELECT doc_id, {hits(en)} AS hits_en, {hits(de)} AS hits_de,
     }
 
 
+def gopher_cols(t: Column) -> list[Column]:
+    """Gopher/C4-style document-quality signals (public heuristics: Rae
+    et al. 2021 §A1.1, the C4 cleaning rules) as pure JVM expressions —
+    integer milli-ratios throughout so the DuckDB oracle is bit-exact:
+
+    - line shape: fraction of lines that are bullets / end in an
+      ellipsis / end in terminal punctuation; duplicate-line fraction
+      (the cheap intra-doc repetition signal);
+    - word shape: mean word length, fraction of words containing an
+      alphabetic character;
+    - ``gopher_ok``: the conjunctive keep-gate over loose thresholds.
+    """
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    one = F.greatest(n_lines, F.lit(1))
+    onet = F.greatest(n_tokens, F.lit(1))
+
+    def frac_lines(pred) -> Column:
+        return F.floor(
+            F.lit(1000) * F.size(F.filter(lines, pred)) / one
+        ).cast("long")
+
+    bullet = frac_lines(lambda line: line.rlike(r"^\s*[-*•]\s"))
+    ellipsis = frac_lines(lambda line: line.rlike(r"(\.\.\.|…)\s*$"))
+    term = frac_lines(lambda line: line.rlike('[.!?"]\\s*$'))
+    dup = (
+        F.lit(1000)
+        - F.floor(F.lit(1000) * F.size(F.array_distinct(lines)) / one)
+    ).cast("long")
+    alpha = F.floor(
+        F.lit(1000)
+        * F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+        / onet
+    ).cast("long")
+    mean_wl = F.floor(
+        F.lit(1000)
+        * F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / onet
+    ).cast("long")
+    gopher_ok = (
+        n_tokens.between(5, 100_000)
+        & mean_wl.between(2000, 12_000)
+        & (dup < 300)
+        & (alpha > 600)
+    )
+    return [
+        n_lines.alias("n_lines"),
+        bullet.alias("bullet_line_milli"),
+        ellipsis.alias("ellipsis_line_milli"),
+        term.alias("term_punct_line_milli"),
+        dup.alias("dup_line_milli"),
+        alpha.alias("alpha_word_milli"),
+        mean_wl.alias("mean_word_len_milli"),
+        gopher_ok.alias("gopher_ok"),
+    ]
+
+
+def duckdb_gopher_sql(table: str = "documents") -> str:
+    """Oracle twin of gopher_cols: same splits, same integer milli
+    arithmetic (`//` mirrors Spark's floor(x/y) on non-negative ints)."""
+    lines = "string_split(text, chr(10))"
+    toks = "string_split_regex(trim(text), '\\s+')"
+
+    def frac(pred: str) -> str:
+        return (
+            f"((1000 * len(list_filter({lines}, l -> {pred})))"
+            f" // greatest(len({lines}), 1))::BIGINT"
+        )
+
+    bullet = frac("regexp_matches(l, '^\\s*[-*•]\\s')")
+    ellipsis = frac("regexp_matches(l, '(\\.\\.\\.|…)\\s*$')")
+    term = frac('regexp_matches(l, \'[.!?"]\\s*$\')')
+    return f"""
+SELECT doc_id,
+  len({lines}) AS n_lines,
+  {bullet} AS bullet_line_milli,
+  {ellipsis} AS ellipsis_line_milli,
+  {term} AS term_punct_line_milli,
+  (1000 - ((1000 * len(list_distinct({lines})))
+           // greatest(len({lines}), 1)))::BIGINT AS dup_line_milli,
+  ((1000 * len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))))
+   // greatest(len({toks}), 1))::BIGINT AS alpha_word_milli,
+  ((1000 * list_sum(list_transform({toks}, w -> length(w)))::BIGINT)
+   // greatest(len({toks}), 1))::BIGINT AS mean_word_len_milli,
+  (len({toks}) BETWEEN 5 AND 100000
+   AND ((1000 * list_sum(list_transform({toks}, w -> length(w)))::BIGINT)
+        // greatest(len({toks}), 1)) BETWEEN 2000 AND 12000
+   AND (1000 - ((1000 * len(list_distinct({lines})))
+                // greatest(len({lines}), 1))) < 300
+   AND ((1000 * len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))))
+        // greatest(len({toks}), 1)) > 600) AS gopher_ok
+FROM {table}
+"""
+
+
 def text_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -860,11 +860,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark, sf_dir):
     """All per-doc text-analysis kernels (token counting, quality scoring,
     lang-id, md5 fingerprint — operators/text.py) plus the NumPy-
-    vectorized 64-bit simhash signature, as ONE wide projection — one
-    scan, one Arrow crossing, zero shuffle (no self-join): the whole
-    analysis layer behind a single driver row."""
+    vectorized 64-bit simhash signature AND the Gopher/C4 quality-signal
+    battery (line-shape fractions, duplicate-line ratio, word-shape
+    ratios, the conjunctive keep-gate — text.gopher_cols), as ONE wide
+    projection — one scan, one Arrow crossing, zero shuffle (no
+    self-join): the whole analysis layer behind a single driver row."""
     docs = _docs(spark, sf_dir)
-    return text.text_stats(docs, extra=[dedup.simhash_col("text")])
+    return text.text_stats(
+        docs,
+        extra=[dedup.simhash_col("text"), *text.gopher_cols(F.col("text"))],
+    )
 
 
 def q_ngram_dedup(spark, sf_dir):
@@ -1121,8 +1126,10 @@ def q_av_features(spark, sf_dir):
 def _oracle_training() -> dict[str, str]:
     out = {}
     out["text_stats"] = (
-        f"SELECT t.*, s.simhash FROM ({text.duckdb_text_stats_sql('documents')}) t "
-        f"JOIN ({_simhash_sql('documents')}) s USING (doc_id)"
+        f"SELECT t.*, s.simhash, g.* EXCLUDE (doc_id) "
+        f"FROM ({text.duckdb_text_stats_sql('documents')}) t "
+        f"JOIN ({_simhash_sql('documents')}) s USING (doc_id) "
+        f"JOIN ({text.duckdb_gopher_sql('documents')}) g USING (doc_id)"
     )
     d = dedup.duckdb_dedup_sql("documents", tau_pct=30)
     out["ngram_dedup"] = d["ngram_dedup"]

@@ -66,6 +66,40 @@ class TestText:
             ["doc_id"],
         )
 
+    def test_gopher_signals_on_crafted_docs(self, spark):
+        """Gopher/C4 quality signals behave as specified on documents
+        built to trip each rule: bullet lists, repeated lines, ellipsis
+        endings, non-alphabetic tokens, degenerate word lengths."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            # clean prose: passes the gate
+            (1, "The cat sat on the mat today.\nIt was a fine day indeed."),
+            # bullet list + duplicate lines
+            (2, "- one thing\n- one thing\n- one thing\n- two thing"),
+            # ellipsis endings + numbers only (alpha fails)
+            (3, "123 456 789...\n987 654 321..."),
+            # single repeated char words (mean word len 1)
+            (4, "a a a a a a a a"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id", *text.gopher_cols(F.col("text"))
+            ).collect()
+        }
+        assert out[1].gopher_ok
+        assert out[1].term_punct_line_milli == 1000
+        assert out[2].bullet_line_milli == 1000
+        assert out[2].dup_line_milli == 500  # 4 lines, 2 distinct
+        assert not out[2].gopher_ok  # dup gate
+        assert out[3].ellipsis_line_milli == 1000
+        assert out[3].alpha_word_milli == 0
+        assert not out[3].gopher_ok
+        assert out[4].mean_word_len_milli == 1000
+        assert not out[4].gopher_ok  # word-length gate
+
 
 class TestDedup:
     def test_ngram_jaccard(self, docs, con):
