@@ -44,26 +44,58 @@ from jimmy_spark.functions import strings
 
 NOTE_SCHEMA = (
     "note_id string, title string, body string, author string, "
-    "ts long, ok boolean, error string"
+    "ts long, ok boolean, error string, tags array<string>"
 )
+
+def _no_tags():
+    return F.lit(None).cast("array<string>")
 
 
 # --------------------------------------------------------------------------
 # scan: container -> NOTE intermediate schema
 
 
+def _eml_att_section():
+    """Unlinked-Resources markdown block over the EML frame's attachment
+    columns — shared by the batch source and the streaming sink so both
+    lanes render byte-identical bodies."""
+    items = F.zip_with(
+        F.split(F.col("att_names"), ","),
+        F.split(F.col("att_md5"), ","),
+        lambda n, m: F.concat(
+            F.lit("- ["), n, F.lit("](resource://"), m, F.lit(")")
+        ),
+    )
+    return F.when(
+        F.col("n_attachments") > 0,
+        F.concat(
+            F.lit("\n\n## Unlinked Resources\n\n"), F.array_join(items, "\n")
+        ),
+    ).otherwise(F.lit(""))
+
+
 def notes_from_eml(spark: SparkSession, eml_dir: str) -> DataFrame:
+    """EML scan + the writer's Unlinked-Resources discipline
+    (append_resource_links, writer.py:175-196): attachments arrive as
+    resources with no body link, so each becomes a ``- [name](...)``
+    bullet under a ``## Unlinked Resources`` heading. Attachment BYTES
+    never leave the executor (sources/eml.py policy) — the link target
+    is the content-address ``resource://<md5>``, the key a real
+    deployment's object-store sink files the payload under."""
     from jimmy_spark.sources import eml
 
     raw = eml.read_eml(spark, eml_dir)
     return raw.select(
         F.col("msg_id").alias("note_id"),
         F.coalesce(F.col("subject"), F.col("msg_id")).alias("title"),
-        F.coalesce(F.col("body"), F.lit("")).alias("body"),
+        F.concat(
+            F.coalesce(F.col("body"), F.lit("")), _eml_att_section()
+        ).alias("body"),
         "author",
         F.col("date_ts").alias("ts"),
         "ok",
         "error",
+        _no_tags().alias("tags"),
     )
 
 
@@ -79,6 +111,7 @@ def notes_from_jsonl(spark: SparkSession, jsonl_dir: str) -> DataFrame:
         F.col("lastModified").alias("ts"),
         F.lit(True).alias("ok"),
         F.lit(None).cast("string").alias("error"),
+        "tags",
     )
 
 
@@ -100,6 +133,10 @@ def notes_from_sqlite(spark: SparkSession, db_path: str) -> DataFrame:
         F.col("mtime").alias("ts"),
         F.lit(True).alias("ok"),
         F.lit(None).cast("string").alias("error"),
+        # anki keeps tags space-separated in one column
+        F.when(
+            F.trim(F.col("tags")) == "", _no_tags()
+        ).otherwise(F.split(F.trim(F.col("tags")), r"\s+")).alias("tags"),
     )
 
 
@@ -118,6 +155,7 @@ def notes_from_xml(spark: SparkSession, xml_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("ts"),
         F.lit(True).alias("ok"),
         F.lit(None).cast("string").alias("error"),
+        _no_tags().alias("tags"),
     )
 
 
@@ -136,6 +174,7 @@ def notes_from_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
         F.col("phash").alias("ts"),
         F.lit(True).alias("ok"),
         F.lit(None).cast("string").alias("error"),
+        _no_tags().alias("tags"),
     )
 
 
@@ -155,6 +194,7 @@ def notes_from_markdown(spark: SparkSession, md_dir: str) -> DataFrame:
         F.col("created").alias("ts"),
         "ok",
         "error",
+        "tags",
     )
 
 
@@ -496,16 +536,30 @@ def resolve_md_links(
 MANIFEST_SCHEMA = "out_path string, n_bytes long, written boolean, error string"
 
 
-def render_note(frontmatter: bool = True):
+def render_note(frontmatter: bool = True, with_tags: bool = False):
     """Rendered document column (NoteFormatter/frontmatter discipline,
-    intermediate_format.py:214-287)."""
+    intermediate_format.py:214-287). ``with_tags`` adds the inline-list
+    ``tags: [a, b]`` line when the note carries tags — the exact shape
+    the input-side parser (functions/frontmatter.py fm_tags) reads back,
+    closing the serialize <-> parse loop for tags too."""
     body = F.coalesce(F.col("body"), F.lit(""))
     if not frontmatter:
         return body
+    tags_part = (
+        F.when(
+            F.col("tags").isNotNull() & (F.size("tags") > 0),
+            F.concat(
+                F.lit("\ntags: ["), F.array_join("tags", ", "), F.lit("]")
+            ),
+        ).otherwise(F.lit(""))
+        if with_tags
+        else F.lit("")
+    )
     return F.concat(
         F.lit("---\ntitle: "), F.coalesce(F.col("title"), F.lit("")),
         F.lit("\nauthor: "), F.coalesce(F.col("author"), F.lit("")),
         F.lit("\ncreated: "), F.coalesce(F.col("ts").cast("string"), F.lit("")),
+        tags_part,
         F.lit("\n---\n"), body,
     )
 
@@ -517,7 +571,7 @@ def write_notes(
     written MANIFEST as a DataFrame (path, bytes, written, error) — the
     stats triple and loss check aggregate over it. Content is a pure
     function of the input, so reruns are byte-identical (idempotent)."""
-    doc = render_note(frontmatter)
+    doc = render_note(frontmatter, with_tags="tags" in notes.columns)
     payload = notes.select("out_path", doc.alias("doc"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -668,7 +722,9 @@ def stream_good_notes(notes: DataFrame) -> DataFrame:
         .select(
             F.col("msg_id").alias("note_id"),
             F.coalesce(F.col("subject"), F.col("msg_id")).alias("title"),
-            F.coalesce(F.col("body"), F.lit("")).alias("body"),
+            F.concat(
+                F.coalesce(F.col("body"), F.lit("")), _eml_att_section()
+            ).alias("body"),
             "author",
             F.col("date_ts").alias("ts"),
         )

@@ -48,6 +48,24 @@ def test_eml_conversion_byte_stable(spark, eml_dir, tmp_path):
     assert "\nauthor: u-" in text and "\n---\n" in text
 
 
+def test_eml_attachments_become_unlinked_resources(spark, eml_dir):
+    """Attachments are resources with no body link — the writer appends
+    them under '## Unlinked Resources' (append_resource_links,
+    writer.py:175-196); targets are content-address resource://<md5>
+    (bytes never leave the executor, sources/eml.py policy)."""
+    notes = convert.notes_from_eml(spark, eml_dir)
+    withatt = notes.filter(F.col("body").contains("## Unlinked Resources"))
+    rows = withatt.limit(5).collect()
+    assert rows, "eml fixtures carry attachments"
+    import re
+
+    for r in rows:
+        links = re.findall(
+            r"- \[([^\]]+)\]\(resource://([0-9a-f]{32})\)", r.body
+        )
+        assert links, r.body[-200:]
+
+
 def test_filters_and_stats(spark, eml_dir, tmp_path):
     s = convert.run_conversion(
         spark, "eml", eml_dir, str(tmp_path / "o"),

@@ -159,6 +159,24 @@ class TestMarkdownSource:
         # broken target
         assert "[gone](broken-link Missing)" in body
 
+    def test_tags_roundtrip_through_lifecycle(self, spark, tmp_path):
+        """Tags survive convert: frontmatter tags (merged with inline
+        #tags) serialize back out as the inline-list line the parser
+        reads, so vault -> convert -> read-back is tag-lossless."""
+        from jimmy_spark.plans import convert
+
+        src = tmp_path / "v"
+        src.mkdir()
+        (src / "a.md").write_text(
+            "---\ntitle: A\ntags: [x, y]\n---\nbody #inline done"
+        )
+        out = tmp_path / "o"
+        convert.run_conversion(spark, "markdown", str(src), str(out))
+        text = (out / "A.md").read_text()
+        assert "\ntags: [inline, x, y]\n" in text
+        back = convert.notes_from_markdown(spark, str(out)).first()
+        assert back.tags == ["inline", "x", "y"]
+
     def test_vault_resources_copied_and_links_rewritten(self, spark, tmp_path):
         """Resource lane (obsidian.py:36-41 + writer.py:139-213): vault
         attachments referenced by notes are matched rglob-style (relpath
