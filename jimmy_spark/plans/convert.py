@@ -216,13 +216,31 @@ def select_notes(
     notes: DataFrame,
     include_like: str | None = None,
     exclude_like: str | None = None,
+    include_tags_like: str | None = None,
+    exclude_tags_like: str | None = None,
 ) -> DataFrame:
-    out = notes
-    if include_like:
-        out = out.filter(F.col("title").like(include_like))
+    """Note selection (filters.py:8-41): by title pattern or by tag
+    pattern, with the reference's precedence — exclude-by-title wins
+    over include-by-title over exclude-by-tag over include-by-tag (the
+    reference's elif chain applies exactly one configured branch).
+    Patterns are SQL LIKE (the reference uses fnmatch globs; '*' -> '%'
+    is the caller's one-character translation)."""
+
+    def has_tag(pat: str):
+        return F.exists(
+            F.coalesce(F.col("tags"), F.array().cast("array<string>")),
+            lambda t: t.like(pat),
+        )
+
     if exclude_like:
-        out = out.filter(~F.col("title").like(exclude_like))
-    return out
+        return notes.filter(~F.col("title").like(exclude_like))
+    if include_like:
+        return notes.filter(F.col("title").like(include_like))
+    if exclude_tags_like:
+        return notes.filter(~has_tag(exclude_tags_like))
+    if include_tags_like:
+        return notes.filter(has_tag(include_tags_like))
+    return notes
 
 
 # --------------------------------------------------------------------------
@@ -605,6 +623,8 @@ def run_conversion(
     include_like: str | None = None,
     exclude_like: str | None = None,
     frontmatter: bool = True,
+    include_tags_like: str | None = None,
+    exclude_tags_like: str | None = None,
 ) -> dict:
     """scan -> filter -> paths -> links -> write -> stats (main.py:112-188
     run_conversion, distributed). Returns the stats dict; ``n_errors`` > 0
@@ -627,7 +647,9 @@ def run_conversion(
         ).alias("errors"),
     )
     good = observed.filter(F.col("ok"))
-    kept = select_notes(good, include_like, exclude_like)
+    kept = select_notes(
+        good, include_like, exclude_like, include_tags_like, exclude_tags_like
+    )
     kept_obs = Observation("kept_stats")
     kept = kept.observe(kept_obs, F.count(F.lit(1)).alias("filtered"))
     # the markdown-folder family resolves [[wikilinks]] / [x](y.md) by

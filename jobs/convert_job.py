@@ -34,6 +34,8 @@ def main() -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--include-like", default=None)
     ap.add_argument("--exclude-like", default=None)
+    ap.add_argument("--include-tags-like", default=None)
+    ap.add_argument("--exclude-tags-like", default=None)
     ap.add_argument("--no-frontmatter", action="store_true")
     args = ap.parse_args()
 
@@ -54,6 +56,8 @@ def main() -> int:
         args.output,
         include_like=args.include_like,
         exclude_like=args.exclude_like,
+        include_tags_like=args.include_tags_like,
+        exclude_tags_like=args.exclude_tags_like,
         frontmatter=not args.no_frontmatter,
     )
     print(json.dumps(stats, sort_keys=True))

@@ -75,6 +75,29 @@ def test_filters_and_stats(spark, eml_dir, tmp_path):
     assert s["written"] == s["filtered"]
 
 
+def test_tag_filters_and_precedence(spark):
+    """select_notes tag branches (filters.py:22-37) + the reference's
+    elif precedence: exclude-by-title beats every other configured
+    filter; tag patterns match ANY of a note's tags; null-tag notes
+    never match an include-tags filter but survive an exclude-tags."""
+    notes = spark.createDataFrame(
+        [
+            ("a", "Alpha", "x", ["work", "urgent"]),
+            ("b", "Beta", "y", ["home"]),
+            ("c", "Gamma", "z", None),
+        ],
+        "note_id string, title string, body string, tags array<string>",
+    )
+    ids = lambda df: sorted(r.note_id for r in df.collect())  # noqa: E731
+    assert ids(convert.select_notes(notes, include_tags_like="work")) == ["a"]
+    assert ids(convert.select_notes(notes, include_tags_like="%o%")) == ["a", "b"]
+    assert ids(convert.select_notes(notes, exclude_tags_like="urgent")) == ["b", "c"]
+    # precedence: exclude-by-title wins; the tag filter is not applied
+    assert ids(
+        convert.select_notes(notes, exclude_like="Alpha", include_tags_like="home")
+    ) == ["b", "c"]
+
+
 def test_unique_paths_suffix_collisions(spark):
     notes = spark.createDataFrame(
         [("a", "Same Title", "x"), ("b", "Same Title", "y"), ("c", "Other", "z")],
