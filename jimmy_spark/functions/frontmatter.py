@@ -95,8 +95,12 @@ def _scalar(v: str):
         return v[1:-1]
     if v.lower() in ("true", "false"):
         return v.lower() == "true"
-    if v.lstrip("-").isdigit():
+    # int, then float, then raw string — never raise ('--5' lstrips to
+    # digits but is not an int; the contract is unparseable-stays-string)
+    try:
         return int(v)
+    except ValueError:
+        pass
     try:
         return float(v)
     except ValueError:

@@ -278,8 +278,6 @@ def _note_link_rows(body: str) -> list[tuple[str, str, str, str]]:
 
     out = []
     for lk in get_markdown_links(body or ""):
-        if lk.is_image or lk.is_embedded:
-            continue  # resources / embeds
         if not lk.url:
             continue  # fragment-only internal heading link: kept
         if any(lk.url.startswith(f"{s}://") for s in WEB_SCHEMES):
@@ -291,6 +289,10 @@ def _note_link_rows(body: str) -> list[tuple[str, str, str, str]]:
         suffix = f".{ext}" if dot else ""
         if suffix not in MARKDOWN_LINK_SUFFIXES:
             continue  # resource (non-markdown file)
+        # the reference classifies by SUFFIX alone (obsidian.py:24-35):
+        # an embedded/transcluded note (``![[Note]]``) or even an image
+        # link whose target is a markdown file is a note link and gets
+        # rewritten to a standard link through the id map
         target = stem if dot else base
         out.append((render(lk), target, lk.text, lk.fragment, lk.title))
     return out

@@ -60,8 +60,8 @@ def _eml_att_section():
     columns — shared by the batch source and the streaming sink so both
     lanes render byte-identical bodies."""
     items = F.zip_with(
-        F.split(F.col("att_names"), ","),
-        F.split(F.col("att_md5"), ","),
+        F.split(F.col("att_names"), "\x1f"),
+        F.split(F.col("att_md5"), "\x1f"),
         lambda n, m: F.concat(
             F.lit("- ["), n, F.lit("](resource://"), m, F.lit(")")
         ),
@@ -265,9 +265,6 @@ def determine_paths(notes: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # pass 2 prep: link resolution through the id->path map (writer.py:214-266)
 
-_LINK_RE = r"note://([A-Za-z0-9_\-]+)"
-
-
 def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
     """Rewrite ``note://<id>`` references to the target's relative path
     (broken links fall back to the literal ``broken-link``, the
@@ -365,7 +362,11 @@ def scan_vault_resources(spark: SparkSession, md_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .load(md_dir)
         .select("path")
-        .filter(~F.col("path").endswith(".md"))
+        .filter(
+            ~F.col("path").endswith(".md")
+            & ~F.col("path").endswith(".mdown")
+            & ~F.col("path").endswith(".markdown")
+        )
     )
     return files.select(
         "path",
@@ -659,6 +660,11 @@ def run_conversion(
     with_paths = determine_paths(kept)
     copy_plan = None
     if fmt == "markdown":
+        # the note-write and the resource-copy are two actions sharing
+        # this expensive prefix (vault scan + YAML parse + pandas-UDF
+        # link extraction); persist it so the copy action reuses the
+        # computed notes instead of re-running the whole lane
+        with_paths = with_paths.persist()
         res_repls, copy_plan = resolve_md_resources(
             with_paths, scan_vault_resources(spark, input_path)
         )
@@ -683,6 +689,7 @@ def run_conversion(
             F.sum(F.col("copied").cast("long")).alias("n_copied")
         ).first()
         stats["resources"] = int(cagg["n_copied"] or 0)
+        with_paths.unpersist()
     # the reference's parsed-vs-written loss warning (main.py:162-175)
     stats["lossless"] = stats["written"] == stats["filtered"]
     return stats

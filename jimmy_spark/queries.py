@@ -404,9 +404,9 @@ SELECT image_id AS msg_id, TRUE AS ok, NULL::VARCHAR AS error,
        CASE WHEN substring(md5(image_id), 2, 1) < '4'
             THEN 2 ELSE 1 END AS n_attachments,
        CASE WHEN substring(md5(image_id), 2, 1) < '4'
-            THEN 'a0.bin,a1.bin' ELSE 'a0.bin' END AS att_names,
+            THEN 'a0.bin' || chr(31) || 'a1.bin' ELSE 'a0.bin' END AS att_names,
        CASE WHEN substring(md5(image_id), 2, 1) < '4'
-            THEN md5(caption || '/att0') || ',' || md5(caption || '/att1')
+            THEN md5(caption || '/att0') || chr(31) || md5(caption || '/att1')
             ELSE md5(caption || '/att0') END AS att_md5
 FROM '{t2}/images.parquet'
 """,

@@ -106,8 +106,11 @@ def _parse_eml(raw: bytes) -> dict:
         "body": "\n".join(b for _, b in bodies),
         "best_mime": bodies[0][0] if bodies else None,
         "n_attachments": len(atts),
-        "att_names": ",".join(n for n, _ in atts),
-        "att_md5": ",".join(h for _, h in atts),
+        # unit-separator joined: a comma is legal in a MIME filename and
+        # would mis-pair names with md5s downstream; \x1f cannot appear
+        # in either
+        "att_names": "\x1f".join(n for n, _ in atts),
+        "att_md5": "\x1f".join(h for _, h in atts),
     }
 
 

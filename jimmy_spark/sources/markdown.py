@@ -61,7 +61,15 @@ def parse_md_record(name: str, text: str) -> dict:
     tags = sorted(
         {str(t) for t in fm_tags} | set(get_inline_tags(body, ["#"]))
     )
+    # an empty 'title:'/'author:' line parses to [] (block-list sentinel);
+    # treat it as absent — title falls back to the filename stem, author
+    # to None — instead of str()-ing a python literal into the field
+    def _absent(v):
+        return v is None or v == []
+
     title = meta.get("title")
+    if _absent(title):
+        title = None
     custom = {
         k: (", ".join(str(x) for x in v) if isinstance(v, list) else str(v))
         for k, v in meta.items()
@@ -73,7 +81,7 @@ def parse_md_record(name: str, text: str) -> dict:
         "error": None,
         # title from frontmatter, else the filename stem (obsidian.py:48)
         "title": str(title) if title is not None else name,
-        "author": None if meta.get("author") is None else str(meta["author"]),
+        "author": None if _absent(meta.get("author")) else str(meta["author"]),
         "created": _to_epoch(meta.get("created")),
         "body": body,
         "tags": tags,
@@ -81,11 +89,18 @@ def parse_md_record(name: str, text: str) -> dict:
     }
 
 
+MD_SUFFIXES = (".md", ".mdown", ".markdown")  # common.py:61 MARKDOWN_SUFFIXES
+
+
 def read_markdown(spark: SparkSession, md_dir: str) -> DataFrame:
-    """Scan a folder of .md files into typed rows (MD_SCHEMA)."""
+    """Scan a folder TREE of markdown files into typed rows (MD_SCHEMA).
+    Recursive like the reference's convert_folder walk (obsidian.py:76-85)
+    — vaults keep notes in subfolders — and accepts every reference
+    markdown suffix, not just .md."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.md")
+        .option("pathGlobFilter", "*.{md,mdown,markdown}")
+        .option("recursiveFileLookup", "true")
         .load(md_dir)
         .select("path", "content")
     )
@@ -95,7 +110,11 @@ def read_markdown(spark: SparkSession, md_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, blob in zip(pdf["path"], pdf["content"]):
-                name = path.rsplit("/", 1)[-1].removesuffix(".md")
+                name = path.rsplit("/", 1)[-1]
+                for suf in MD_SUFFIXES:
+                    if name.endswith(suf):
+                        name = name.removesuffix(suf)
+                        break
                 try:
                     rec = parse_md_record(name, bytes(blob).decode("utf-8"))
                     rec["path"] = path

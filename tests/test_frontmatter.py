@@ -86,6 +86,29 @@ class TestMarkdownSource:
         assert b.ok and b.title == "b" and b.body == "no frontmatter at all"
         assert b.tags == [] and dict(b.meta) == {}
 
+    def test_nested_folders_and_alt_suffixes_scanned(self, spark, tmp_path):
+        """Vaults keep notes in subfolders and the reference accepts
+        .mdown/.markdown too (common.py:61, convert_folder recursion)."""
+        (tmp_path / "sub" / "deep").mkdir(parents=True)
+        (tmp_path / "top.md").write_text("t")
+        (tmp_path / "sub" / "nested.md").write_text("n")
+        (tmp_path / "sub" / "deep" / "alt.markdown").write_text("a")
+        (tmp_path / "sub" / "other.mdown").write_text("o")
+        from jimmy_spark.sources.markdown import read_markdown
+
+        names = sorted(r.name for r in read_markdown(spark, str(tmp_path)).collect())
+        assert names == ["alt", "nested", "other", "top"]
+
+    def test_empty_frontmatter_values_fall_back(self, spark, tmp_path):
+        """'title:'/'author:' left blank (obsidian property templates)
+        must behave as absent — stem title, null author — not the
+        python-literal string '[]'."""
+        (tmp_path / "blank.md").write_text("---\ntitle:\nauthor:\n---\nbody")
+        from jimmy_spark.sources.markdown import read_markdown
+
+        r = read_markdown(spark, str(tmp_path)).first()
+        assert r.title == "blank" and r.author is None and r.body == "body"
+
     def test_iso_created_parses_to_epoch(self, spark, tmp_path):
         (tmp_path / "c.md").write_text(
             "---\ncreated: 2023-11-14T22:13:20Z\n---\nx"
@@ -138,6 +161,7 @@ class TestMarkdownSource:
         (src / "main.md").write_text(
             "see [[Other Note]] and [lbl](Other%20Note.md#My_Sec) "
             "plus [web](https://x.y) ![[img.png]] [gone](Missing.md) "
+            "embed ![[Other Note#Part]] "
             "and fenced ```\n[[Fence Only]]\n```"
         )
         stats = convert.run_conversion(
@@ -158,6 +182,9 @@ class TestMarkdownSource:
         assert "```\n[[Fence Only]]\n```" in body
         # broken target
         assert "[gone](broken-link Missing)" in body
+        # embedded note transclusion is a NOTE link by suffix
+        # (obsidian.py:24-35) — rewritten to a standard link
+        assert "embed [Other](Other.md#part)" in body
 
     def test_tags_roundtrip_through_lifecycle(self, spark, tmp_path):
         """Tags survive convert: frontmatter tags (merged with inline
