@@ -144,6 +144,69 @@ def minhash_signatures(
     return tok.groupBy("id").agg(*aggs)
 
 
+def minhash_band_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, sig) LSH band rows via a NARROW per-row plan — zero
+    shuffle. ``minhash_signatures`` explodes (doc, token) rows and
+    groupBys them back, which shuffles the entire tokenized corpus just
+    to compute per-doc mins; at 10^12 docs that shuffle is the largest
+    in the dedup ladder and it carries no information that doesn't
+    already live on the row. Here the whole signature+banding stage is
+    ONE expression per row, so Catalyst evaluates the md5 token hashes
+    exactly once (no projection-collapse re-inlining):
+
+    - ``transform(tokens, md5->28bit)`` — token hash array, one md5/token
+    - ``aggregate(t28s, [P]*16, least fold via zip_with)`` — all 16
+      min-hashes in a single pass over the array
+    - ``transform(sequence(0,3), slice+array_join)`` — the 4 band structs
+
+    Values are bit-identical to ``minhash_signatures`` (same integer
+    arithmetic, min over the same distinct token set; init=P dominates
+    every residue). Docs with NULL text vanish in both formulations
+    (explode(null) drops the row / aggregate(null) -> null bands ->
+    explode(null) drops the row)."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    arr_a = F.array(*[F.lit(a).cast("long") for a in MINHASH_A])
+    arr_b = F.array(*[F.lit(b).cast("long") for b in MINHASH_B])
+    t28s = F.transform(_tokens(text_col), _token28)
+    sig_arr = F.aggregate(
+        t28s,
+        F.array(*[F.lit(MINHASH_P).cast("long")] * MINHASH_K),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(MINHASH_K)),
+            lambda cur, i: F.least(
+                cur,
+                (F.element_at(arr_a, i.cast("int")) * x
+                 + F.element_at(arr_b, i.cast("int"))) % F.lit(MINHASH_P),
+            ),
+        ),
+    )
+    bands_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+        lambda bi: F.struct(
+            bi.cast("int").alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig_arr, bi.cast("int") * rows_per_band + 1, rows_per_band),
+                    lambda s: s.cast("string"),
+                ),
+                "_",
+            ).alias("sig"),
+        ),
+    )
+    # NULL text: the outer transform runs over a CONSTANT sequence(0,3),
+    # so a null sig_arr alone would still emit 4 rows (with null sigs) —
+    # gate the generator itself so explode(null) drops the row, matching
+    # the explode->groupBy formulation.
+    gated = F.when(F.col(text_col).isNotNull(), bands_arr)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(gated).alias("bs"))
+        .select("id", "bs.band", "bs.sig")
+    )
+
+
 DEFAULT_MAX_BUCKET = 10_000
 
 
@@ -162,30 +225,10 @@ def minhash_lsh_pairs(
     shared by 10^6 docs would otherwise fan out 10^12 candidate rows).
     A pair living ONLY in skipped buckets is not emitted; the DuckDB
     oracle applies the identical deterministic rule, so parity holds.
-    The per-doc token explode feeding the signatures is linear (groupBy
-    doc) and needs no cap."""
-    sigs = minhash_signatures(df, text_col, id_col)
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"sig_{bi * rows_per_band + j}")
-                                for j in range(rows_per_band)
-                            ],
-                        ).alias("sig"),
-                    )
-                    for bi in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "bs.band", "bs.sig")
+    Band rows come from ``minhash_band_rows`` — a narrow per-row plan,
+    so the first shuffle in the whole operator is the bucket-count
+    window on (band, sig), not a tokenized-corpus groupBy."""
+    bands = minhash_band_rows(df, text_col, id_col)
     from pyspark.sql import Window
 
     bands = (

@@ -149,6 +149,40 @@ class TestDedup:
         # the stop-bigram alone must not pair unrelated docs
         assert all(p == (100, 101) for p in pairs)
 
+    def test_minhash_band_rows_narrow_vs_grouped(self, docs):
+        """The narrow per-row band formulation (transform+aggregate fold,
+        zero shuffle) must be bit-identical to the explode->groupBy
+        signature path it replaced, including NULL-text row dropping."""
+        from pyspark.sql import functions as F
+
+        null_docs = docs.select("doc_id", "text").unionByName(
+            docs.sparkSession.createDataFrame(
+                [(999_999, None)], "doc_id long, text string"
+            )
+        )
+        new = dedup.minhash_band_rows(null_docs, "text", "doc_id")
+        sigs = dedup.minhash_signatures(null_docs, "text", "doc_id")
+        rpb = dedup.MINHASH_K // dedup.MINHASH_BANDS
+        old = sigs.select(
+            "id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"sig_{bi * rpb + j}") for j in range(rpb)],
+                        ).alias("sig"),
+                    )
+                    for bi in range(dedup.MINHASH_BANDS)
+                ])
+            ).alias("bs"),
+        ).select("id", "bs.band", "bs.sig")
+        assert set(map(tuple, new.collect())) == set(map(tuple, old.collect()))
+        # and the narrow plan really is narrow: no Exchange before Generate
+        plan = new._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
     def test_minhash_hot_bucket_cap(self, spark):
         """Band buckets above max_bucket are skipped identically on both
         engines; pairs that also share a small bucket survive."""
