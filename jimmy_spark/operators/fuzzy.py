@@ -152,8 +152,13 @@ def fuzzy_lev_pairs(
     cond = cond & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
     return (
         a.join(b, cond)
-        .withColumn("dist", F.levenshtein(F.col("a.s"), F.col("b.s")))
-        .filter(F.col("dist") <= max_dist)
+        # thresholded levenshtein (banded O(n*d) with early exit, -1 when
+        # the distance provably exceeds the bound) — most pairs in a block
+        # are far apart, so the scorer bails out long before filling the
+        # full O(n^2) matrix; -1 fails the <= max_dist filter, so the
+        # result set is identical to the unbounded form
+        .withColumn("dist", F.levenshtein(F.col("a.s"), F.col("b.s"), max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
