@@ -386,7 +386,15 @@ def simhash_pairs(
         .filter(F.col("_bs") <= max_bucket)
         .drop("_bs")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # merge-hint the self-join: left to itself, Catalyst broadcasts one
+    # side as a SEPARATE BroadcastExchange whose child re-runs the whole
+    # signature lineage — the Arrow simhash UDF executes twice over the
+    # corpus. As a shuffle join both sides need hashpartitioning(band, bv),
+    # which the bucket-count window's Exchange already provides, so the
+    # second side becomes a ReusedExchange/shared shuffle stage and the
+    # UDF runs exactly once. (AQE may still demote to broadcast at
+    # runtime, but it feeds from the materialized shuffle — no recompute.)
+    a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
     pairs = (
         a.join(
             b,
