@@ -105,8 +105,12 @@ def ngram_jaccard_pairs(
         "_df", F.count("*").over(Window.partitionBy("s"))
     ).filter(F.col("_df") <= max_df).drop("_df")
     sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # merge-hint: both self-join sides consume the df-window's
+    # hashpartitioning(s) and share one materialized shuffle stage
+    # instead of re-exploding the corpus behind a BroadcastExchange
+    # (see simhash_pairs)
+    a = sh.hint("merge").alias("a")
+    b = sh.hint("merge").alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
@@ -238,7 +242,11 @@ def minhash_lsh_pairs(
         .filter(F.col("_bs") <= max_bucket)
         .drop("_bs")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # merge-hint: consume the bucket-count window's hashpartitioning
+    # (band, sig) on both sides so the second side shares the same
+    # materialized shuffle stage instead of re-running the signature map
+    # behind a separate BroadcastExchange (see simhash_pairs)
+    a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
     cand = (
         a.join(
             b,

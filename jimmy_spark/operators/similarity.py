@@ -200,7 +200,12 @@ def embedding_near_dup_pairs(
     emb = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     buckets = _bucket_udf(_dim_of(embeddings, vec_col), n_bits, n_tables)
     ids = emb.select(F.col(id_col).alias("id"), F.explode(buckets(F.col("v"))).alias("bkt"))
-    a, b = ids.alias("a"), ids.alias("b")
+    # merge-hint the self-join: broadcast would re-run the Arrow bucket
+    # UDF on a second full lineage; as a shuffle join both sides hash-
+    # partition on bkt with identical children, so the second side is a
+    # ReusedExchange and the UDF runs once (the (id, bkt) rows riding the
+    # exchange are two ints — far cheaper than a second UDF pass)
+    a, b = ids.hint("merge").alias("a"), ids.hint("merge").alias("b")
     cand = (
         a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
