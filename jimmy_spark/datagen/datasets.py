@@ -90,6 +90,7 @@ def ensure_exports(name: str) -> Path:
         write_eml_notes,
         write_encrypted_notes,
         write_jsonl_notes,
+        write_office_notes,
         write_sqlite_notes,
         write_xml_notes,
     )
@@ -97,7 +98,7 @@ def ensure_exports(name: str) -> Path:
     d = ensure_dataset(name)
     exp = d / "exports"
     marker = exp / "_MARKER.json"
-    recipe = {"v": 4, "src": name,
+    recipe = {"v": 5, "src": name,
               "src_recipe": json.loads((d / "_MARKER.json").read_text())}
     if marker.exists():
         try:
@@ -113,6 +114,7 @@ def ensure_exports(name: str) -> Path:
     write_encrypted_notes(src, str(exp / "enc.parquet"))
     write_crdt_notes(src, str(exp / "crdt.parquet"))
     write_eml_notes(src, str(exp / "eml"))
+    write_office_notes(src, str(exp / "office"))
     marker.write_text(json.dumps(recipe))
     return exp
 

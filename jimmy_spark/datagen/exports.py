@@ -283,3 +283,172 @@ def write_eml_notes(images_parquet: str, out_dir: str, shards: int = 4) -> None:
                 ]
             lines += [f"--{mb}--", ""]
             (d / f"msg-{rid}.eml").write_bytes("\n".join(lines).encode("utf-8"))
+
+
+OFFICE_LANES = ("docx", "odt", "adoc", "fountain", "txt", "mht")
+
+
+def _office_zip(entries: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic zip: fixed timestamps, fixed order, stored mimetype
+    first when present (ODF convention)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in entries:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(
+                info, data,
+                compress_type=(
+                    zipfile.ZIP_STORED if name == "mimetype"
+                    else zipfile.ZIP_DEFLATED
+                ),
+            )
+    return buf.getvalue()
+
+
+_DOCX_CT = b"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+</Types>"""
+
+_DOCX_ROOT_RELS = b"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+</Relationships>"""
+
+
+def _docx_bytes(rid: str, caption: str, fmt: str, w: int, h: int,
+                phash: int) -> bytes:
+    """Real WordprocessingML container: Heading1 title, bold/italic runs,
+    a numPr bullet list carrying the caption verbatim, a rels-resolved
+    hyperlink and a 2x2 table."""
+    c = escape(caption)
+    doc = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<w:body>
+<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t xml:space="preserve">note {rid}</w:t></w:r></w:p>
+<w:p><w:r><w:t xml:space="preserve">size </w:t></w:r><w:r><w:rPr><w:b/></w:rPr><w:t>{w}x{h}</w:t></w:r><w:r><w:t xml:space="preserve"> fmt </w:t></w:r><w:r><w:rPr><w:i/></w:rPr><w:t>{fmt}</w:t></w:r></w:p>
+<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/></w:numPr></w:pPr><w:r><w:t xml:space="preserve">{c}</w:t></w:r></w:p>
+<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/></w:numPr></w:pPr><w:r><w:t xml:space="preserve">phash {phash}</w:t></w:r></w:p>
+<w:p><w:hyperlink r:id="rId1"><w:r><w:t>origin</w:t></w:r></w:hyperlink></w:p>
+<w:tbl>
+<w:tr><w:tc><w:p><w:r><w:t>w</w:t></w:r></w:p></w:tc><w:tc><w:p><w:r><w:t>h</w:t></w:r></w:p></w:tc></w:tr>
+<w:tr><w:tc><w:p><w:r><w:t>{w}</w:t></w:r></w:p></w:tc><w:tc><w:p><w:r><w:t>{h}</w:t></w:r></w:p></w:tc></w:tr>
+</w:tbl>
+</w:body></w:document>"""
+    doc_rels = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" Target="https://ex.example/{rid}" TargetMode="External"/>
+</Relationships>"""
+    return _office_zip([
+        ("[Content_Types].xml", _DOCX_CT),
+        ("_rels/.rels", _DOCX_ROOT_RELS),
+        ("word/document.xml", doc.encode("utf-8")),
+        ("word/_rels/document.xml.rels", doc_rels.encode("utf-8")),
+    ])
+
+
+_ODT_MANIFEST = b"""<?xml version="1.0" encoding="UTF-8"?>
+<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0" manifest:version="1.2">
+<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.text"/>
+<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>
+</manifest:manifest>"""
+
+
+def _odt_bytes(rid: str, caption: str, fmt: str, w: int, h: int,
+               phash: int) -> bytes:
+    """Real OpenDocument container: text:h, automatic-style bold/italic
+    spans, text:list with the caption verbatim, xlink anchor, table."""
+    c = escape(caption)
+    content = f"""<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:style="urn:oasis:names:tc:opendocument:xmlns:style:1.0" xmlns:fo="urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0" xmlns:xlink="http://www.w3.org/1999/xlink" office:version="1.2">
+<office:automatic-styles>
+<style:style style:name="TB" style:family="text"><style:text-properties fo:font-weight="bold"/></style:style>
+<style:style style:name="TI" style:family="text"><style:text-properties fo:font-style="italic"/></style:style>
+</office:automatic-styles>
+<office:body><office:text>
+<text:h text:outline-level="1">note {rid}</text:h>
+<text:p>size <text:span text:style-name="TB">{w}x{h}</text:span> fmt <text:span text:style-name="TI">{fmt}</text:span></text:p>
+<text:list><text:list-item><text:p>{c}</text:p></text:list-item><text:list-item><text:p>phash {phash}</text:p></text:list-item></text:list>
+<text:p><text:a xlink:href="https://ex.example/{rid}">origin</text:a></text:p>
+<table:table>
+<table:table-row><table:table-cell><text:p>w</text:p></table:table-cell><table:table-cell><text:p>h</text:p></table:table-cell></table:table-row>
+<table:table-row><table:table-cell><text:p>{w}</text:p></table:table-cell><table:table-cell><text:p>{h}</text:p></table:table-cell></table:table-row>
+</table:table>
+</office:text></office:body></office:document-content>"""
+    return _office_zip([
+        ("mimetype", b"application/vnd.oasis.opendocument.text"),
+        ("META-INF/manifest.xml", _ODT_MANIFEST),
+        ("content.xml", content.encode("utf-8")),
+    ])
+
+
+def _adoc_text(rid: str, caption: str, fmt: str, w: int, h: int,
+               phash: int) -> str:
+    return (
+        f"= note {rid}\n\nsize *{w}x{h}* fmt _{fmt}_\n\n"
+        f"* {caption}\n* phash {phash}\n\n"
+        f"link:https://ex.example/{rid}[origin]\n\n"
+        f'[source,python]\n----\nprint({w}, "[x](y)")\n----'
+    )
+
+
+def _mht_bytes(rid: str) -> bytes:
+    """Single-part MIME web archive (converter.py:265 routes mht/mhtml to
+    the eml scan) — text/html body, base64 transfer encoding; the html
+    fragment is the same one the eml fixtures plant, so the html->md
+    conversion parity is already pinned."""
+    import base64
+
+    html = f"<p><b>doc {rid}</b> ready</p>"
+    lines = [
+        "From: exporter@ex.example",
+        f"Subject: msg {rid}",
+        f"Message-ID: <{rid}@ex.example>",
+        "MIME-Version: 1.0",
+        'Content-Type: text/html; charset="utf-8"',
+        "Content-Transfer-Encoding: base64",
+        "",
+        base64.encodebytes(html.encode("utf-8")).decode(),
+    ]
+    return "\n".join(lines).encode("utf-8")
+
+
+def write_office_notes(images_parquet: str, out_dir: str) -> None:
+    """DefaultConverter folder fixtures (converter.py:239-382's recursive
+    walk + per-extension dispatch): each t2 row becomes ONE file named
+    ``note-<image_id>.<ext>``, the extension selected by the row's first
+    md5 hex digit mod 6 (SQL-recomputable) over docx/odt/adoc/fountain/
+    txt/mht. Two fixed non-note files exercise the walk's skip and
+    error lanes: an image (skipped, converter.py:244-246) and a
+    corrupt docx (per-record error isolation). Container bytes are
+    deterministic (fixed zip timestamps), so regeneration is stable."""
+    import hashlib
+
+    d = Path(out_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    pdf = _rows(images_parquet)
+    for r in pdf.itertuples():
+        rid = r.image_id
+        lane = OFFICE_LANES[int(hashlib.md5(rid.encode()).hexdigest()[0], 16) % 6]
+        path = d / f"note-{rid}.{lane}"
+        w, h, ph = int(r.w), int(r.h), int(r.phash)
+        if lane == "docx":
+            path.write_bytes(_docx_bytes(rid, r.caption, r.fmt, w, h, ph))
+        elif lane == "odt":
+            path.write_bytes(_odt_bytes(rid, r.caption, r.fmt, w, h, ph))
+        elif lane == "adoc":
+            path.write_text(_adoc_text(rid, r.caption, r.fmt, w, h, ph))
+        elif lane == "fountain":
+            path.write_text(r.caption)
+        elif lane == "txt":
+            path.write_text(r.caption)
+        else:  # mht
+            path.write_bytes(_mht_bytes(rid))
+    # the walk's skip + error lanes (fixed content, not per-row)
+    (d / "diagram.png").write_bytes(b"\x89PNG\r\n\x1a\nnot-a-note")
+    (d / "broken-zip.docx").write_bytes(b"PK\x03\x04 truncated garbage")

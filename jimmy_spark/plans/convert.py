@@ -198,6 +198,28 @@ def notes_from_markdown(spark: SparkSession, md_dir: str) -> DataFrame:
     )
 
 
+def notes_from_folder(spark: SparkSession, root_dir: str) -> DataFrame:
+    """DefaultConverter filesystem-walk source (converter.py:239-382):
+    one binaryFile scan + per-extension dispatch (docx/odt via the stdlib
+    container parsers, adoc subset, fountain code-fence wrap, txt,
+    mht/mhtml MIME, frontmatter-parsed md) with images and extension-less
+    files skipped and per-record error isolation — the reference's
+    catch-all folder import as one distributed plan."""
+    from jimmy_spark.sources import folder
+
+    raw = folder.read_folder(spark, root_dir)
+    return raw.select(
+        F.col("name").alias("note_id"),
+        "title",
+        F.coalesce(F.col("body"), F.lit("")).alias("body"),
+        F.lit(None).cast("string").alias("author"),
+        "ts",
+        "ok",
+        "error",
+        "tags",
+    )
+
+
 SOURCES = {
     "eml": notes_from_eml,
     "markdown": notes_from_markdown,
@@ -205,6 +227,7 @@ SOURCES = {
     "sqlite": notes_from_sqlite,
     "xml": notes_from_xml,
     "archive": notes_from_archive,
+    "folder": notes_from_folder,
 }
 
 

@@ -209,6 +209,57 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return items.select("post_id", "title", "fmt", "width", "height")
 
 
+def q_doc_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines + XML export scans as one tagged union (the registry is
+    capped at 50 driver rows, so the two single-scan source demos ride one
+    entry — the av_features union-with-typed-NULLs pattern). Each lane
+    keeps its own dual-engine oracle: DuckDB read_json over the SAME jsonl
+    shards, and the XML fields recomputed from parquet ground truth."""
+    j = q_json_scan(spark, sf_dir).select(
+        F.lit("json").alias("lane"),
+        "note_id", "content", "n_tags", "tags_cat", "mod_ts",
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+    )
+    x = q_xml_scan(spark, sf_dir).select(
+        F.lit("xml").alias("lane"),
+        F.col("post_id").alias("note_id"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("long").alias("n_tags"),
+        F.lit(None).cast("string").alias("tags_cat"),
+        F.lit(None).cast("long").alias("mod_ts"),
+        "title", "fmt", "width", "height",
+    )
+    return j.unionByName(x)
+
+
+def q_office_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DefaultConverter folder walk (converter.py:239-382, the reference's
+    filesystem-walk family) over a mixed docx/odt/adoc/fountain/txt/mht
+    fixture tree: ONE binaryFile scan + per-extension stdlib converters
+    (functions/office.py parses the real zip + WordprocessingML/ODF
+    containers — the sandbox's pandoc analogue), inline-#tag extraction
+    and code-fence-aware markdown-link counts on every converted body,
+    per-record error isolation (a corrupt docx yields an error ROW, a
+    planted image is skipped). The oracle recomputes every converted
+    column — including the exact markdown bodies — from parquet ground
+    truth, so the converters must exactly invert the real containers the
+    fixture writer emits."""
+    from jimmy_spark.datagen import ensure_exports
+    from jimmy_spark.sources import folder
+
+    exp = str(ensure_exports("t2"))
+    notes = folder.read_folder(spark, f"{exp}/office")
+    return notes.select(
+        F.col("name").alias("note_id"),
+        "ext", "ok", "error", "title", "body",
+        F.array_join("tags", ",").alias("tags_cat"),
+        "n_links",
+    )
+
+
 def q_eml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EML MIME-tree scan (md_lib/eml.py:15-115 — the last uncovered §2.1
     scan family): hand-assembled multipart fixtures (quoted-printable
@@ -376,17 +427,22 @@ FROM pip JOIN t USING (image_id) GROUP BY pip.polygon_id, t.x, t.y
             f"fmt AS tags, caption AS flds FROM '{t2}/images.parquet'"
         ),
         # dual-engine JSON read: DuckDB scans the SAME jsonl shards with the
-        # same pinned column types the Spark side uses
-        "json_scan": (
-            "SELECT id AS note_id, content, len(tags)::BIGINT AS n_tags, "
-            "array_to_string(tags, ',') AS tags_cat, lastModified AS mod_ts "
+        # same pinned column types the Spark side uses; the xml lane's
+        # fields are recomputed from parquet ground truth (escaping must
+        # round-trip losslessly)
+        "doc_scans": (
+            "SELECT 'json' AS lane, id AS note_id, content, "
+            "len(tags)::BIGINT AS n_tags, "
+            "array_to_string(tags, ',') AS tags_cat, lastModified AS mod_ts, "
+            "NULL::VARCHAR AS title, NULL::VARCHAR AS fmt, "
+            "NULL::BIGINT AS width, NULL::BIGINT AS height "
             f"FROM read_json('{t2}/exports/jsonl/*.jsonl', "
             "format='newline_delimited', columns={id: 'VARCHAR', "
-            "content: 'VARCHAR', tags: 'VARCHAR[]', lastModified: 'BIGINT'})"
-        ),
-        "xml_scan": (
-            f"SELECT image_id AS post_id, caption AS title, fmt, "
-            f"w::BIGINT AS width, h::BIGINT AS height FROM '{t2}/images.parquet'"
+            "content: 'VARCHAR', tags: 'VARCHAR[]', lastModified: 'BIGINT'}) "
+            "UNION ALL "
+            "SELECT 'xml', image_id, NULL::VARCHAR, NULL::BIGINT, "
+            "NULL::VARCHAR, NULL::BIGINT, caption, fmt, "
+            f"w::BIGINT, h::BIGINT FROM '{t2}/images.parquet'"
         ),
         # every column recomputed from ground truth: the md5-hex branch
         # selectors mirror datagen/exports.py write_eml_notes; the html-only
@@ -409,6 +465,53 @@ SELECT image_id AS msg_id, TRUE AS ok, NULL::VARCHAR AS error,
             THEN md5(caption || '/att0') || chr(31) || md5(caption || '/att1')
             ELSE md5(caption || '/att0') END AS att_md5
 FROM '{t2}/images.parquet'
+""",
+        # every converted column recomputed from ground truth: lane
+        # selection mirrors write_office_notes' md5-digit dispatch, the
+        # bodies state the exact markdown each stdlib converter must
+        # produce from the real docx/odt/adoc/fountain/txt/mht containers,
+        # and the fixed error row pins per-record isolation
+        "office_scan": f"""
+WITH lanes AS (
+  SELECT image_id, caption, fmt, w, h, phash,
+         CASE (('0x' || substring(md5(image_id), 1, 1))::BIGINT % 6)
+           WHEN 0 THEN 'docx' WHEN 1 THEN 'odt' WHEN 2 THEN 'adoc'
+           WHEN 3 THEN 'fountain' WHEN 4 THEN 'txt' ELSE 'mht' END AS ext,
+         substring(image_id, 5)::BIGINT % 7 AS tag_i
+  FROM '{t2}/images.parquet'
+)
+SELECT 'note-' || image_id AS note_id, ext, TRUE AS ok,
+       NULL::VARCHAR AS error,
+       CASE WHEN ext = 'mht' THEN 'msg ' || image_id
+            ELSE 'note-' || image_id END AS title,
+       CASE
+         WHEN ext IN ('docx', 'odt', 'adoc') THEN
+           '# note ' || image_id || chr(10) || chr(10) ||
+           'size **' || w || 'x' || h || '** fmt *' || fmt || '*' ||
+           chr(10) || chr(10) ||
+           '- ' || caption || chr(10) || '- phash ' || phash ||
+           chr(10) || chr(10) ||
+           '[origin](https://ex.example/' || image_id || ')' ||
+           CASE WHEN ext = 'adoc' THEN
+             chr(10) || chr(10) || '```python' || chr(10) ||
+             'print(' || w || ', "[x](y)")' || chr(10) || '```'
+           ELSE
+             chr(10) || chr(10) || '| w | h |' || chr(10) ||
+             '| --- | --- |' || chr(10) ||
+             '| ' || w || ' | ' || h || ' |'
+           END
+         WHEN ext = 'fountain' THEN
+           '```fountain' || chr(10) || caption || chr(10) || '```' || chr(10)
+         WHEN ext = 'txt' THEN caption
+         ELSE '**doc ' || image_id || '** ready'
+       END AS body,
+       CASE WHEN ext = 'mht' THEN '' ELSE 'tag' || tag_i END AS tags_cat,
+       (CASE WHEN ext IN ('docx', 'odt', 'adoc') THEN 2
+             WHEN ext = 'txt' THEN 1 ELSE 0 END)::INTEGER AS n_links
+FROM lanes
+UNION ALL
+SELECT 'broken-zip', 'docx', FALSE, 'BadZipFile', 'broken-zip',
+       NULL::VARCHAR, '', 0
 """,
         # the oracle for a decrypt is the known plaintext: both fixture
         # shapes encrypt the caption, so a correct decrypt must reproduce it
@@ -1799,8 +1902,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "archive_scan": q_archive_scan,
     "sqlite_scan": q_sqlite_scan,
-    "json_scan": q_json_scan,
-    "xml_scan": q_xml_scan,
+    "doc_scans": q_doc_scans,
+    "office_scan": q_office_scan,
     "eml_scan": q_eml_scan,
     "decrypt_kernels": q_decrypt_kernels,
     "crdt_fold": q_crdt_fold,

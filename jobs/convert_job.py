@@ -28,7 +28,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--format", required=True,
-        choices=("eml", "markdown", "jsonl", "sqlite", "xml", "archive"),
+        choices=("eml", "markdown", "jsonl", "sqlite", "xml", "archive", "folder"),
     )
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
