@@ -98,7 +98,7 @@ def ensure_exports(name: str) -> Path:
     d = ensure_dataset(name)
     exp = d / "exports"
     marker = exp / "_MARKER.json"
-    recipe = {"v": 5, "src": name,
+    recipe = {"v": 6, "src": name,
               "src_recipe": json.loads((d / "_MARKER.json").read_text())}
     if marker.exists():
         try:

@@ -285,7 +285,13 @@ def write_eml_notes(images_parquet: str, out_dir: str, shards: int = 4) -> None:
             (d / f"msg-{rid}.eml").write_bytes("\n".join(lines).encode("utf-8"))
 
 
-OFFICE_LANES = ("docx", "odt", "adoc", "fountain", "txt", "mht")
+OFFICE_LANES = (
+    "docx", "odt", "adoc", "fountain", "txt", "mht",
+    "pdf", "mediawiki", "opml",
+)
+# mediawiki/opml land in .xml files: the reference dispatches them by
+# sniffing the ROOT TAG of .xml notes (converter.py:320-340)
+OFFICE_EXT = {"mediawiki": "xml", "opml": "xml"}
 
 
 def _office_zip(entries: list[tuple[str, bytes]]) -> bytes:
@@ -418,24 +424,116 @@ def _mht_bytes(rid: str) -> bytes:
     return "\n".join(lines).encode("utf-8")
 
 
+def _pdf_text_string(s: str) -> bytes:
+    """UTF-16BE hex string with BOM (the PDF text-string encoding)."""
+    data = b"\xfe\xff" + s.encode("utf-16-be")
+    return b"<" + data.hex().encode("ascii") + b">"
+
+
+def _pdf_bytes(rid: str, caption: str, phash: int) -> bytes:
+    """Real single-page PDF: xref-addressed objects and a FlateDecode
+    content stream whose Tj operators carry the title (18pt — the
+    heading-detection lane) and the caption/phash lines (12pt). The
+    extractor (functions/pdftext.py) must decompress and evaluate the
+    text operators, not pattern-match the file."""
+    import zlib
+
+    lines = [
+        (18, 720, f"note {rid}"),
+        (12, 700, caption),
+        (12, 680, f"phash {phash}"),
+    ]
+    ops = b""
+    for size, y, text_ in lines:
+        ops += (
+            b"BT /F1 %d Tf 72 %d Td " % (size, y)
+            + _pdf_text_string(text_) + b" Tj ET\n"
+        )
+    content = zlib.compress(ops)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        (b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+         + content + b"\nendstream"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _attr(s: str) -> str:
+    """XML attribute-safe escape: tabs/newlines as character references so
+    attribute-value normalization cannot rewrite them to spaces."""
+    return escape(s, {'"': "&quot;", "\t": "&#9;", "\n": "&#10;",
+                      "\r": "&#13;"})
+
+
+def _mediawiki_xml(rid: str, caption: str, fmt: str, w: int, h: int,
+                   phash: int) -> str:
+    markup = (
+        f"== note {rid} ==\n\n'''{w}x{h}''' ''{fmt}''\n\n"
+        f"* {caption}\n* phash {phash}\n\n"
+        f"[https://ex.example/{rid} origin]"
+    )
+    return (
+        '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/">'
+        f"<page><title>note {rid}</title><revision><text>"
+        f"{escape(markup)}</text></revision></page></mediawiki>"
+    )
+
+
+def _opml_xml(rid: str, caption: str, w: int, h: int, phash: int) -> str:
+    return (
+        '<opml version="2.0"><head>'
+        f"<title>note {rid}</title></head><body>"
+        f'<outline text="{_attr(caption)}">'
+        f'<outline text="phash {phash}"/></outline>'
+        f'<outline text="size {w}x{h}"/></body></opml>'
+    )
+
+
 def write_office_notes(images_parquet: str, out_dir: str) -> None:
     """DefaultConverter folder fixtures (converter.py:239-382's recursive
     walk + per-extension dispatch): each t2 row becomes ONE file named
-    ``note-<image_id>.<ext>``, the extension selected by the row's first
-    md5 hex digit mod 6 (SQL-recomputable) over docx/odt/adoc/fountain/
-    txt/mht. Two fixed non-note files exercise the walk's skip and
+    ``note-<image_id>.<ext>``, the lane selected by the row's first
+    md5 hex digit mod 9 (SQL-recomputable) over docx/odt/adoc/fountain/
+    txt/mht/pdf/mediawiki/opml (the last two land in .xml files — the
+    reference sniffs their ROOT TAG). Two fixed non-note files exercise the walk's skip and
     error lanes: an image (skipped, converter.py:244-246) and a
     corrupt docx (per-record error isolation). Container bytes are
     deterministic (fixed zip timestamps), so regeneration is stable."""
     import hashlib
+    import shutil
 
     d = Path(out_dir)
+    # lane assignment names the files, so a recipe change strands stale
+    # filenames — regeneration must start from an empty tree
+    if d.exists():
+        shutil.rmtree(d)
     d.mkdir(parents=True, exist_ok=True)
     pdf = _rows(images_parquet)
     for r in pdf.itertuples():
         rid = r.image_id
-        lane = OFFICE_LANES[int(hashlib.md5(rid.encode()).hexdigest()[0], 16) % 6]
-        path = d / f"note-{rid}.{lane}"
+        lane = OFFICE_LANES[
+            int(hashlib.md5(rid.encode()).hexdigest()[0], 16)
+            % len(OFFICE_LANES)
+        ]
+        path = d / f"note-{rid}.{OFFICE_EXT.get(lane, lane)}"
         w, h, ph = int(r.w), int(r.h), int(r.phash)
         if lane == "docx":
             path.write_bytes(_docx_bytes(rid, r.caption, r.fmt, w, h, ph))
@@ -447,6 +545,12 @@ def write_office_notes(images_parquet: str, out_dir: str) -> None:
             path.write_text(r.caption)
         elif lane == "txt":
             path.write_text(r.caption)
+        elif lane == "pdf":
+            path.write_bytes(_pdf_bytes(rid, r.caption, ph))
+        elif lane == "mediawiki":
+            path.write_text(_mediawiki_xml(rid, r.caption, r.fmt, w, h, ph))
+        elif lane == "opml":
+            path.write_text(_opml_xml(rid, r.caption, w, h, ph))
         else:  # mht
             path.write_bytes(_mht_bytes(rid))
     # the walk's skip + error lanes (fixed content, not per-row)

@@ -236,6 +236,94 @@ def odt_to_md(blob: bytes) -> str:
 
 
 # ---------------------------------------------------------------------------
+# MediaWiki markup + OPML outlines (the reference's xml root-tag dispatch,
+# converter.py:320-340, hands both to pandoc; same subset policy as above —
+# note the reference feeds the whole XML export text to pandoc's mediawiki
+# reader, while this converter extracts each <revision><text> payload and
+# converts the markup itself)
+
+
+def _mw_inline(s: str) -> str:
+    s = re.sub(r"\[(https?://[^\s\]]+)\s+([^\]]*)\]", r"[\2](\1)", s)
+    s = re.sub(r"\[\[([^\]|]+)\|([^\]]*)\]\]", r"[\2](\1)", s)
+    s = re.sub(r"\[\[([^\]]+)\]\]", r"[\1](\1)", s)
+    s = re.sub(r"'''(.+?)'''", r"**\1**", s)
+    s = re.sub(r"''((?:[^'\n]|'[^'])+?)''", r"*\1*", s)
+    return s
+
+
+def mediawiki_to_md(text: str) -> str:
+    """MediaWiki markup -> markdown subset.
+
+    >>> mediawiki_to_md("== Title ==")
+    '## Title'
+    >>> mediawiki_to_md("* a\\n** b\\n# first")
+    '- a\\n  - b\\n1. first'
+    >>> mediawiki_to_md("'''bold''' ''ital'' [https://e.x/1 doc] [[Page|p]]")
+    '**bold** *ital* [doc](https://e.x/1) [p](Page)'
+    >>> mediawiki_to_md("it's 'quoted' text")  # lone quotes untouched
+    "it's 'quoted' text"
+    """
+    out: list[str] = []
+    for line in text.split("\n"):
+        m = re.match(r"^(=+)\s*(.*?)\s*=+\s*$", line)
+        if m:
+            out.append("#" * len(m.group(1)) + " " + _mw_inline(m.group(2)))
+            continue
+        m = re.match(r"^(\*+)\s*(.*)$", line)
+        if m:
+            out.append(
+                "  " * (len(m.group(1)) - 1) + "- " + _mw_inline(m.group(2))
+            )
+            continue
+        m = re.match(r"^(#+)\s*(.*)$", line)
+        if m:
+            out.append(
+                "  " * (len(m.group(1)) - 1) + "1. " + _mw_inline(m.group(2))
+            )
+            continue
+        out.append(_mw_inline(line))
+    return "\n".join(out)
+
+
+def opml_to_md(root: ET.Element) -> str:
+    """OPML outline tree -> nested markdown list (root = parsed <opml>)."""
+    lines: list[str] = []
+
+    def walk(el: ET.Element, depth: int) -> None:
+        for o in el.findall("outline"):
+            lines.append("  " * depth + "- " + (o.get("text") or ""))
+            walk(o, depth + 1)
+
+    body = root.find("body")
+    if body is not None:
+        walk(body, 0)
+    return "\n".join(lines)
+
+
+def xml_export_to_md(text: str) -> str:
+    """Root-tag dispatch for ``.xml`` notes (converter.py:320-340):
+    mediawiki exports convert their page markup, OPML becomes a nested
+    list, anything else falls back to the raw text (the reference's
+    untyped-xml branch)."""
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        return text
+    root_tag = root.tag.rpartition("}")[-1]
+    if root_tag == "mediawiki":
+        pages = [
+            mediawiki_to_md(t.text or "")
+            for t in root.iter()
+            if t.tag.rpartition("}")[-1] == "text"
+        ]
+        return "\n\n".join(pages)
+    if root_tag == "opml":
+        return opml_to_md(root)
+    return text
+
+
+# ---------------------------------------------------------------------------
 # AsciiDoc (.adoc)
 
 def _adoc_inline(s: str) -> str:

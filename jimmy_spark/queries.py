@@ -237,10 +237,12 @@ def q_doc_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_office_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DefaultConverter folder walk (converter.py:239-382, the reference's
-    filesystem-walk family) over a mixed docx/odt/adoc/fountain/txt/mht
-    fixture tree: ONE binaryFile scan + per-extension stdlib converters
-    (functions/office.py parses the real zip + WordprocessingML/ODF
-    containers — the sandbox's pandoc analogue), inline-#tag extraction
+    filesystem-walk family) over a mixed docx/odt/adoc/fountain/txt/mht/
+    pdf/mediawiki/opml fixture tree: ONE binaryFile scan + per-extension
+    stdlib converters (functions/office.py parses the real zip +
+    WordprocessingML/ODF containers and sniffs .xml ROOT TAGS;
+    functions/pdftext.py evaluates real FlateDecode PDF text operators —
+    the sandbox's pandoc/pdf_oxide analogues), inline-#tag extraction
     and code-fence-aware markdown-link counts on every converted body,
     per-record error isolation (a corrupt docx yields an error ROW, a
     planted image is skipped). The oracle recomputes every converted
@@ -474,25 +476,29 @@ FROM '{t2}/images.parquet'
         "office_scan": f"""
 WITH lanes AS (
   SELECT image_id, caption, fmt, w, h, phash,
-         CASE (('0x' || substring(md5(image_id), 1, 1))::BIGINT % 6)
+         CASE (('0x' || substring(md5(image_id), 1, 1))::BIGINT % 9)
            WHEN 0 THEN 'docx' WHEN 1 THEN 'odt' WHEN 2 THEN 'adoc'
-           WHEN 3 THEN 'fountain' WHEN 4 THEN 'txt' ELSE 'mht' END AS ext,
+           WHEN 3 THEN 'fountain' WHEN 4 THEN 'txt' WHEN 5 THEN 'mht'
+           WHEN 6 THEN 'pdf' WHEN 7 THEN 'mediawiki' ELSE 'opml'
+         END AS lane,
          substring(image_id, 5)::BIGINT % 7 AS tag_i
   FROM '{t2}/images.parquet'
 )
-SELECT 'note-' || image_id AS note_id, ext, TRUE AS ok,
-       NULL::VARCHAR AS error,
-       CASE WHEN ext = 'mht' THEN 'msg ' || image_id
+SELECT 'note-' || image_id AS note_id,
+       CASE WHEN lane IN ('mediawiki', 'opml') THEN 'xml' ELSE lane END
+         AS ext,
+       TRUE AS ok, NULL::VARCHAR AS error,
+       CASE WHEN lane = 'mht' THEN 'msg ' || image_id
             ELSE 'note-' || image_id END AS title,
        CASE
-         WHEN ext IN ('docx', 'odt', 'adoc') THEN
+         WHEN lane IN ('docx', 'odt', 'adoc') THEN
            '# note ' || image_id || chr(10) || chr(10) ||
            'size **' || w || 'x' || h || '** fmt *' || fmt || '*' ||
            chr(10) || chr(10) ||
            '- ' || caption || chr(10) || '- phash ' || phash ||
            chr(10) || chr(10) ||
            '[origin](https://ex.example/' || image_id || ')' ||
-           CASE WHEN ext = 'adoc' THEN
+           CASE WHEN lane = 'adoc' THEN
              chr(10) || chr(10) || '```python' || chr(10) ||
              'print(' || w || ', "[x](y)")' || chr(10) || '```'
            ELSE
@@ -500,14 +506,28 @@ SELECT 'note-' || image_id AS note_id, ext, TRUE AS ok,
              '| --- | --- |' || chr(10) ||
              '| ' || w || ' | ' || h || ' |'
            END
-         WHEN ext = 'fountain' THEN
+         WHEN lane = 'fountain' THEN
            '```fountain' || chr(10) || caption || chr(10) || '```' || chr(10)
-         WHEN ext = 'txt' THEN caption
+         WHEN lane = 'txt' THEN caption
+         WHEN lane = 'pdf' THEN
+           '# note ' || image_id || chr(10) || chr(10) || caption ||
+           chr(10) || chr(10) || 'phash ' || phash
+         WHEN lane = 'mediawiki' THEN
+           '## note ' || image_id || chr(10) || chr(10) ||
+           '**' || w || 'x' || h || '** *' || fmt || '*' ||
+           chr(10) || chr(10) ||
+           '- ' || caption || chr(10) || '- phash ' || phash ||
+           chr(10) || chr(10) ||
+           '[origin](https://ex.example/' || image_id || ')'
+         WHEN lane = 'opml' THEN
+           '- ' || caption || chr(10) || '  - phash ' || phash ||
+           chr(10) || '- size ' || w || 'x' || h
          ELSE '**doc ' || image_id || '** ready'
        END AS body,
-       CASE WHEN ext = 'mht' THEN '' ELSE 'tag' || tag_i END AS tags_cat,
-       (CASE WHEN ext IN ('docx', 'odt', 'adoc') THEN 2
-             WHEN ext = 'txt' THEN 1 ELSE 0 END)::INTEGER AS n_links
+       CASE WHEN lane = 'mht' THEN '' ELSE 'tag' || tag_i END AS tags_cat,
+       (CASE WHEN lane IN ('docx', 'odt', 'adoc', 'mediawiki') THEN 2
+             WHEN lane IN ('txt', 'pdf', 'opml') THEN 1
+             ELSE 0 END)::INTEGER AS n_links
 FROM lanes
 UNION ALL
 SELECT 'broken-zip', 'docx', FALSE, 'BadZipFile', 'broken-zip',

@@ -81,10 +81,21 @@ def _convert_file(fname: str, data: bytes) -> dict | None:
         body = docx_to_md(data)
     elif ext == "odt":
         body = odt_to_md(data)
+    elif ext == "pdf":
+        # converter.py:296-306 (pdf_oxide to_markdown_all with
+        # detect_headings) — the stdlib subset extractor
+        from jimmy_spark.functions.pdftext import pdf_to_md
+
+        body = pdf_to_md(data)
+    elif ext == "xml":
+        # converter.py:320-340: dispatch on the ROOT TAG (mediawiki/opml
+        # convert, anything else falls back to the raw text)
+        from jimmy_spark.functions.office import xml_export_to_md
+
+        body = xml_export_to_md(data.decode("utf-8"))
     else:
-        # xml root-tag families and the pandoc last-resort both fall back
-        # to the raw text in this subset (converter.py:337-340's untyped
-        # xml branch); documented divergence for exotic markups
+        # the pandoc last-resort falls back to the raw text in this
+        # subset; documented divergence for exotic markups
         body = data.decode("utf-8", errors="replace")
 
     from jimmy_spark.functions.mdlinks import get_markdown_links

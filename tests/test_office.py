@@ -171,6 +171,46 @@ def test_dispatch_mht_routes_to_mime_scan():
     assert rec["body"] == "**doc x** ready"
 
 
+def test_pdf_text_extraction_evaluates_real_operators():
+    """The extractor must inflate the FlateDecode stream and decode the
+    UTF-16BE Tj strings — and detect the 18pt line as a heading
+    (pdf_oxide detect_headings analogue, converter.py:296-306)."""
+    from jimmy_spark.datagen.exports import _pdf_bytes
+    from jimmy_spark.functions.pdftext import pdf_to_md
+
+    cap = "tabs\tand “unicode” stay \\intact"
+    md = pdf_to_md(_pdf_bytes("img_9", cap, -42))
+    assert md == f"# note img_9\n\n{cap}\n\nphash -42"
+
+
+def test_pdf_literal_string_escapes():
+    from jimmy_spark.functions.pdftext import pdf_to_md
+
+    blob = (b"1 0 obj << /Length 44 >>\nstream\n"
+            b"BT /F1 12 Tf (a\\(b\\)c \\\\ \\101) Tj ET\n"
+            b"endstream endobj\n")
+    assert pdf_to_md(blob) == "a(b)c \\ A"
+
+
+def test_xml_root_tag_dispatch():
+    from jimmy_spark.datagen.exports import _mediawiki_xml, _opml_xml
+    from jimmy_spark.functions.office import xml_export_to_md
+
+    cap = "Cap #t [asset](https://e.x/1) 'q'\ttab"
+    got = xml_export_to_md(_mediawiki_xml("img_7", cap, "png", 16, 16, 5))
+    assert got == (
+        "## note img_7\n\n**16x16** *png*\n\n"
+        f"- {cap}\n- phash 5\n\n[origin](https://ex.example/img_7)"
+    )
+    got = xml_export_to_md(_opml_xml("img_7", cap, 16, 16, 5))
+    assert got == f"- {cap}\n  - phash 5\n- size 16x16"
+    # untyped roots and non-XML fall back to the raw text
+    assert xml_export_to_md("<channel><item/></channel>") == (
+        "<channel><item/></channel>"
+    )
+    assert xml_export_to_md("not xml <") == "not xml <"
+
+
 # ---------------------------------------------------------------------------
 # distributed scan + lifecycle
 
@@ -185,7 +225,9 @@ def test_folder_scan_lanes_and_error_isolation(spark, office_dir):
         ("broken-zip", "docx", "BadZipFile")
     ]
     exts = {r.ext for r in by_ok[0]}
-    assert exts == {"docx", "odt", "adoc", "fountain", "txt", "mht"}
+    assert exts == {
+        "docx", "odt", "adoc", "fountain", "txt", "mht", "pdf", "xml",
+    }
     # fence-awareness: fountain bodies hold the caption's [asset](...)
     # link inside the code fence, so their link count must be 0
     assert all(r.n_links == 0 for r in by_ok[0] if r.ext == "fountain")
