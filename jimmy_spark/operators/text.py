@@ -92,12 +92,23 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                      fr.alias("hits_fr"), pred.alias("lang_pred"))
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """md5 content fingerprint + 60-bit integer prefix (join-friendly)."""
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """md5 content fingerprint + 60-bit integer prefix (join-friendly).
+
+    ``keep`` carries extra source columns through the projection so callers
+    that need them alongside the fingerprint (e.g. the dedup job's prep
+    stage keeping ``text`` for the pair stage) never have to join them back
+    on — the fingerprint is a pure per-row function of the text."""
     t = F.col(text_col)
     h = F.md5(t)
     return df.select(
         id_col,
+        *keep,
         h.alias("md5"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp60"),
     )

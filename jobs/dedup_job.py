@@ -57,25 +57,34 @@ def main() -> int:
 
     def prep(df):
         # per-row kernels (bucket-local, hence resumable): the content
-        # fingerprint rides along with the text the pair stage needs
-        return (
-            text.fingerprint(df)
-            .join(df.select("doc_id", "text"), "doc_id")
-            .select("doc_id", "fp60", "text")
+        # fingerprint is a pure projection of (doc_id, text), so text rides
+        # in the same select — no join, no shuffle of the corpus
+        return text.fingerprint(df, keep=("text",)).select(
+            "doc_id", "fp60", "text"
         )
 
     prepared = runner.run_stage(
         "prep", docs, prep, f"{args.out}/prep", id_col="doc_id"
     )
 
-    pairs = dedup.minhash_lsh_pairs(prepared, tau_pct=args.tau)
+    # materialize the LSH+verify ladder ONCE: the stats count below and the
+    # CC edge derivation both read the checkpointed pairs instead of
+    # re-running the signature/verify pipeline per action
+    pairs = dedup.minhash_lsh_pairs(prepared, tau_pct=args.tau).localCheckpoint()
     clusters = dedup.connected_components(prepared.select("doc_id"), pairs)
     clusters.orderBy("doc_id").write.mode("overwrite").parquet(
         f"{args.out}/clusters"
     )
 
     n_pairs = pairs.count()
-    n_clusters = clusters.select("cluster_id").distinct().count()
+    # count distinct clusters off the just-written parquet, not by
+    # re-executing the ids-join plan behind `clusters`
+    n_clusters = (
+        spark.read.parquet(f"{args.out}/clusters")
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
     m = runner.table.read_all(spark)
     summary = m.agg(
         F.sum("rows_in").alias("rows_in"), F.sum("rows_out").alias("rows_out")
