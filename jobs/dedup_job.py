@@ -67,16 +67,24 @@ def main() -> int:
         "prep", docs, prep, f"{args.out}/prep", id_col="doc_id"
     )
 
-    # materialize the LSH+verify ladder ONCE: the stats count below and the
-    # CC edge derivation both read the checkpointed pairs instead of
-    # re-running the signature/verify pipeline per action
-    pairs = dedup.minhash_lsh_pairs(prepared, tau_pct=args.tau).localCheckpoint()
+    # materialize the LSH+verify ladder ONCE, as a RELIABLE parquet table
+    # under the job output (not localCheckpoint: executor-local blocks die
+    # with the executor — on a 1000-node cluster a single lost node would
+    # fail the job mid-CC). The stats count below and the CC edge
+    # derivation both read the written pairs instead of re-running the
+    # signature/verify pipeline per action, and the verified-pair table —
+    # the dedup ladder's most expensive artifact — becomes a first-class
+    # output downstream consumers can reuse.
+    dedup.minhash_lsh_pairs(prepared, tau_pct=args.tau).write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/pairs")
+    pairs = spark.read.parquet(f"{args.out}/pairs")
     clusters = dedup.connected_components(prepared.select("doc_id"), pairs)
     clusters.orderBy("doc_id").write.mode("overwrite").parquet(
         f"{args.out}/clusters"
     )
 
-    n_pairs = pairs.count()
+    n_pairs = pairs.count()  # parquet footer count — no recompute
     # count distinct clusters off the just-written parquet, not by
     # re-executing the ids-join plan behind `clusters`
     n_clusters = (
