@@ -374,17 +374,21 @@ def _folded_body() -> "F.Column":
 
 
 def scan_vault_resources(spark: SparkSession, md_dir: str) -> DataFrame:
-    """Paths-only recursive listing of the vault's NON-markdown files —
-    the candidate set find_file_recursively globs over
-    (common.py:506-522). Bytes are not read here (the content column is
-    pruned out of the binaryFile scan); the copy stage re-opens matched
-    files executor-side, so resource bytes never cross a shuffle."""
+    """Recursive listing of the vault's NON-markdown files — the
+    candidate set find_file_recursively globs over (common.py:506-522) —
+    with a content md5 for the writer's identical-bytes dedup
+    (get_unique_path, common.py:170-183: a colliding filename only gets
+    a suffix when the BYTES differ). The bytes are read executor-side in
+    the scan projection and immediately reduced to the 16-byte hash;
+    only (path, relpath, fname, md5) ride the plan — resource bytes
+    never cross a shuffle. The copy stage re-opens matched files
+    executor-side."""
     prefix = "file:" + os.path.abspath(md_dir).rstrip("/") + "/"
     files = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(md_dir)
-        .select("path")
+        .select("path", F.md5("content").alias("md5"))
         .filter(
             ~F.col("path").endswith(".md")
             & ~F.col("path").endswith(".mdown")
@@ -395,6 +399,7 @@ def scan_vault_resources(spark: SparkSession, md_dir: str) -> DataFrame:
         "path",
         F.replace(F.col("path"), F.lit(prefix), F.lit("")).alias("relpath"),
         F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"),
+        "md5",
     )
 
 
@@ -405,7 +410,9 @@ def resolve_md_resources(
     writer.py:139-213): each non-markdown link matches a vault file by
     rglob semantics — relpath equals the unquoted url or ends with
     '/<url>', first sorted match wins — gets a collision-free output
-    name, and rewrites to the reference's make_link shape
+    name (same name + same bytes deduplicate to ONE file, per
+    get_unique_path common.py:170-183), and rewrites to the reference's
+    make_link shape
     (``[title](./name)`` / ``![...]``, angle-bracketed when URL-quoting
     would alter the path; link text falls back to the filename). An
     unmatched resource link stays untouched, like the reference's
@@ -431,16 +438,30 @@ def resolve_md_resources(
         (F.col("relpath") == F.col("url"))
         | F.col("relpath").endswith(F.concat(F.lit("/"), F.col("url")))
     )
-    best = cand.groupBy("src_id", "orig", "url", "fname", "text", "is_image").agg(
-        F.min("relpath").alias("src_rel"), F.min("path").alias("src_path")
+    best = (
+        cand.groupBy("src_id", "orig", "url", "fname", "text", "is_image")
+        .agg(F.min(F.struct("relpath", "path", "md5")).alias("m"))
+        .select(
+            "src_id", "orig", "url", "fname", "text", "is_image",
+            F.col("m.relpath").alias("src_rel"),
+            F.col("m.path").alias("src_path"),
+            F.col("m.md5").alias("md5"),
+        )
     )
-    # collision-free output names over the DISTINCT matched files
-    w = Window.partitionBy("fname").orderBy("src_rel")
+    # collision-free output names over the DISTINCT matched files, with
+    # the reference's identical-bytes rule (get_unique_path,
+    # common.py:170-183): same filename + same bytes -> ONE output file
+    # (every matching source reuses it); only files whose CONTENT
+    # differs earn a collision suffix. Content groups within a filename
+    # order by their first (min) relpath, so naming stays deterministic.
     stem = F.regexp_extract("fname", r"^(.*?)(\.[^.]*)?$", 1)
     ext = F.regexp_extract("fname", r"(\.[^.]*)$", 1)
-    dests = (
-        best.select("fname", "src_rel", "src_path").distinct()
-        .withColumn("_rn", F.row_number().over(w))
+    files = best.select("fname", "md5", "src_rel", "src_path").distinct()
+    wg = Window.partitionBy("fname").orderBy("grp_rel")
+    groups = (
+        files.groupBy("fname", "md5")
+        .agg(F.min("src_rel").alias("grp_rel"))
+        .withColumn("_rn", F.row_number().over(wg))
         .withColumn(
             "dest_rel",
             F.when(F.col("_rn") == 1, F.col("fname")).otherwise(
@@ -450,7 +471,10 @@ def resolve_md_resources(
                 )
             ),
         )
-        .drop("_rn")
+        .select("fname", "md5", "dest_rel")
+    )
+    dests = files.join(groups, ["fname", "md5"]).select(
+        "fname", "src_rel", "src_path", "dest_rel"
     )
     matched = best.join(dests, ["fname", "src_rel", "src_path"])
     rel = F.concat(F.lit("./"), F.col("dest_rel"))
@@ -467,7 +491,11 @@ def resolve_md_resources(
     repls = matched.select(
         "src_id", F.struct(F.col("orig").alias("t"), repl.alias("p")).alias("repl")
     )
-    copy_plan = matched.select("src_path", "dest_rel").distinct()
+    # identical-content sources share a dest — copy each dest ONCE from
+    # its deterministic representative
+    copy_plan = matched.groupBy("dest_rel").agg(
+        F.min("src_path").alias("src_path")
+    )
     return repls, copy_plan
 
 

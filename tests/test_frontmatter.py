@@ -247,6 +247,37 @@ class TestMarkdownSource:
         assert "[doc](./report.pdf)" in body
         assert "![ghost](missing.png)" in body          # unmatched: kept
 
+    def test_resource_identical_bytes_deduplicate(self, spark, tmp_path):
+        """get_unique_path's byte rule (common.py:170-183): a filename
+        collision only earns a suffix when the CONTENT differs —
+        identical bytes under the same name collapse to one output file
+        that every referencing link targets."""
+        from jimmy_spark.plans import convert
+
+        src = tmp_path / "vault"
+        for d in ("a", "b", "c"):
+            (src / d).mkdir(parents=True)
+        (src / "a" / "logo.png").write_bytes(b"SAME")
+        (src / "b" / "logo.png").write_bytes(b"SAME")     # dup bytes
+        (src / "c" / "logo.png").write_bytes(b"OTHER")    # real collision
+        (src / "n1.md").write_text("x ![l](a/logo.png) y ![m](b/logo.png)")
+        (src / "n2.md").write_text("z ![n](c/logo.png)")
+        stats = convert.run_conversion(
+            spark, "markdown", str(src), str(tmp_path / "out")
+        )
+        assert stats["errors"] == 0
+        # two distinct contents -> two files copied, not three
+        assert stats["resources"] == 2
+        out = tmp_path / "out"
+        assert (out / "logo.png").read_bytes() == b"SAME"
+        assert (out / "logo-0001.png").read_bytes() == b"OTHER"
+        assert not (out / "logo-0002.png").exists()
+        b1 = (out / "n1.md").read_text()
+        b2 = (out / "n2.md").read_text()
+        # both identical-bytes refs target the ONE deduplicated file
+        assert b1.count("(./logo.png)") == 2
+        assert "![n](./logo-0001.png)" in b2
+
     def test_full_lifecycle_from_markdown_source(self, spark, tmp_path):
         """markdown is a first-class SOURCES entry: folder -> lifecycle ->
         folder, lossless."""
