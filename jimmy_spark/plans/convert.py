@@ -374,21 +374,21 @@ def _folded_body() -> "F.Column":
 
 
 def scan_vault_resources(spark: SparkSession, md_dir: str) -> DataFrame:
-    """Recursive listing of the vault's NON-markdown files — the
-    candidate set find_file_recursively globs over (common.py:506-522) —
-    with a content md5 for the writer's identical-bytes dedup
-    (get_unique_path, common.py:170-183: a colliding filename only gets
-    a suffix when the BYTES differ). The bytes are read executor-side in
-    the scan projection and immediately reduced to the 16-byte hash;
-    only (path, relpath, fname, md5) ride the plan — resource bytes
-    never cross a shuffle. The copy stage re-opens matched files
-    executor-side."""
+    """Paths-only recursive listing of the vault's NON-markdown files —
+    the candidate set find_file_recursively globs over
+    (common.py:506-522). Bytes are not read here (the content column is
+    pruned out of the binaryFile scan): content hashes for the writer's
+    identical-bytes dedup are computed later, for the DISTINCT matched
+    files only (_hash_files) — a vault can carry terabytes of
+    never-referenced attachments, and this plan never opens them. The
+    copy stage re-opens matched files executor-side, so resource bytes
+    never cross a shuffle."""
     prefix = "file:" + os.path.abspath(md_dir).rstrip("/") + "/"
     files = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(md_dir)
-        .select("path", F.md5("content").alias("md5"))
+        .select("path")
         .filter(
             ~F.col("path").endswith(".md")
             & ~F.col("path").endswith(".mdown")
@@ -399,7 +399,32 @@ def scan_vault_resources(spark: SparkSession, md_dir: str) -> DataFrame:
         "path",
         F.replace(F.col("path"), F.lit(prefix), F.lit("")).alias("relpath"),
         F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"),
-        "md5",
+    )
+
+
+def _hash_files(files: DataFrame) -> DataFrame:
+    """(fname, src_rel, src_path) -> + md5 of the file bytes, computed
+    executor-side over the matched files only (the identical-bytes probe
+    of get_unique_path, common.py:170-183). An unreadable file degrades
+    to a unique per-file sentinel, so it can never content-merge with
+    anything — the copy stage will surface the real error."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            md5s = []
+            for path, rel in zip(pdf["src_path"], pdf["src_rel"]):
+                try:
+                    with open(path.removeprefix("file:"), "rb") as f:
+                        md5s.append(hashlib.md5(f.read()).hexdigest())
+                except Exception:  # noqa: BLE001 — per-file isolation
+                    md5s.append("unreadable:" + rel)
+            out = pdf[["fname", "src_rel", "src_path"]].copy()
+            out["md5"] = md5s
+            yield out
+
+    return files.mapInPandas(
+        gen, "fname string, src_rel string, src_path string, md5 string"
     )
 
 
@@ -438,15 +463,8 @@ def resolve_md_resources(
         (F.col("relpath") == F.col("url"))
         | F.col("relpath").endswith(F.concat(F.lit("/"), F.col("url")))
     )
-    best = (
-        cand.groupBy("src_id", "orig", "url", "fname", "text", "is_image")
-        .agg(F.min(F.struct("relpath", "path", "md5")).alias("m"))
-        .select(
-            "src_id", "orig", "url", "fname", "text", "is_image",
-            F.col("m.relpath").alias("src_rel"),
-            F.col("m.path").alias("src_path"),
-            F.col("m.md5").alias("md5"),
-        )
+    best = cand.groupBy("src_id", "orig", "url", "fname", "text", "is_image").agg(
+        F.min("relpath").alias("src_rel"), F.min("path").alias("src_path")
     )
     # collision-free output names over the DISTINCT matched files, with
     # the reference's identical-bytes rule (get_unique_path,
@@ -454,9 +472,11 @@ def resolve_md_resources(
     # (every matching source reuses it); only files whose CONTENT
     # differs earn a collision suffix. Content groups within a filename
     # order by their first (min) relpath, so naming stays deterministic.
+    # Hashing runs over the distinct MATCHED files only (_hash_files) —
+    # unreferenced vault bytes are never opened.
     stem = F.regexp_extract("fname", r"^(.*?)(\.[^.]*)?$", 1)
     ext = F.regexp_extract("fname", r"(\.[^.]*)$", 1)
-    files = best.select("fname", "md5", "src_rel", "src_path").distinct()
+    files = _hash_files(best.select("fname", "src_rel", "src_path").distinct())
     wg = Window.partitionBy("fname").orderBy("grp_rel")
     groups = (
         files.groupBy("fname", "md5")
