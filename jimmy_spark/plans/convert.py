@@ -178,16 +178,44 @@ def notes_from_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
     )
 
 
+def _tree_cols(root_dir: str):
+    """(folder, stem) columns for the tree-walking sources: ``folder`` is
+    the file's directory relative to the scan root with every component
+    sanitized (the reference safe_path's each notebook title,
+    writer.py:106-109), '' at root; ``stem`` is the filename stem the
+    wikilink/rglob matchers key on. The per-file relpath also makes a
+    collision-free note key — filename stems repeat across vault
+    subfolders."""
+    prefix = "file:" + os.path.abspath(root_dir).rstrip("/") + "/"
+    relpath = F.replace(F.col("path"), F.lit(prefix), F.lit(""))
+    reldir = F.when(
+        relpath.contains("/"),
+        F.regexp_extract(relpath, r"^(.*)/[^/]*$", 1),
+    ).otherwise(F.lit(""))
+    folder = F.array_join(
+        F.transform(
+            F.filter(F.split(reldir, "/"), lambda x: x != F.lit("")),
+            strings.safe_filename,
+        ),
+        "/",
+    )
+    return relpath, folder
+
+
 def notes_from_markdown(spark: SparkSession, md_dir: str) -> DataFrame:
     """Markdown-folder source (DefaultConverter family, converter.py:275):
     YAML frontmatter parsed on READ — title falls back to the filename
     stem, created becomes the note timestamp; tags/custom metadata ride
-    in the richer sources.markdown frame for callers that need them."""
+    in the richer sources.markdown frame for callers that need them.
+    ``folder`` preserves the vault subtree (output mirrors it) and
+    ``stem`` is the wikilink-resolution key; ``note_id`` is the relpath,
+    the only per-file key that stays unique across subfolders."""
     from jimmy_spark.sources import markdown as md
 
     raw = md.read_markdown(spark, md_dir)
+    relpath, folder = _tree_cols(md_dir)
     return raw.select(
-        F.col("name").alias("note_id"),
+        relpath.alias("note_id"),
         "title",
         F.coalesce(F.col("body"), F.lit("")).alias("body"),
         "author",
@@ -195,6 +223,8 @@ def notes_from_markdown(spark: SparkSession, md_dir: str) -> DataFrame:
         "ok",
         "error",
         "tags",
+        folder.alias("folder"),
+        F.col("name").alias("stem"),
     )
 
 
@@ -208,8 +238,9 @@ def notes_from_folder(spark: SparkSession, root_dir: str) -> DataFrame:
     from jimmy_spark.sources import folder
 
     raw = folder.read_folder(spark, root_dir)
+    relpath, fol = _tree_cols(root_dir)
     return raw.select(
-        F.col("name").alias("note_id"),
+        relpath.alias("note_id"),
         "title",
         F.coalesce(F.col("body"), F.lit("")).alias("body"),
         F.lit(None).cast("string").alias("author"),
@@ -217,6 +248,8 @@ def notes_from_folder(spark: SparkSession, root_dir: str) -> DataFrame:
         "ok",
         "error",
         "tags",
+        fol.alias("folder"),
+        F.col("name").alias("stem"),
     )
 
 
@@ -274,15 +307,67 @@ def determine_paths(notes: DataFrame) -> DataFrame:
     """Deterministic, collision-free relative paths: safe filename from
     the title, duplicate titles suffixed by (title, note_id) rank — the
     get_unique_name discipline. One shuffle on the title (the key is
-    near-unique, so no skew concern)."""
+    near-unique, so no skew concern).
+
+    Sources that carry a ``folder`` column (the markdown/folder walks —
+    the reference preserves the notebook tree as output directories,
+    writer.py:106-109 + 268-271) keep their notes under it: uniqueness
+    probes per directory like get_unique_path, and ``out_path`` becomes
+    ``<folder>/<unique name>``. Flat sources are unchanged."""
+    has_folder = "folder" in notes.columns
+    fol = (
+        F.coalesce(F.col("folder"), F.lit("")) if has_folder else F.lit("")
+    )
     safe = strings.safe_filename(strings.split_title(F.col("title")))
-    w = Window.partitionBy(safe).orderBy("note_id")
+    parts = ([fol] if has_folder else []) + [safe]
+    w = Window.partitionBy(*parts).orderBy("note_id")
     rn = F.row_number().over(w)
     rel = F.when(rn == 1, F.concat(safe, F.lit(".md"))).otherwise(
         F.concat(safe, F.lit("-"), F.lpad((rn - 1).cast("string"), 4, "0"),
                  F.lit(".md"))
     )
+    if has_folder:
+        rel = F.when(fol == "", rel).otherwise(F.concat(fol, F.lit("/"), rel))
     return notes.withColumn("out_path", rel)
+
+
+def relative_url(folder: "F.Column", target: "F.Column", frag: "F.Column"):
+    """``get_quoted_relative_path`` (writer.py:16-34) + make_link's
+    fragment placement (links.py:16-27) as one JVM expression: the link
+    URL from a note living in directory ``folder`` ('' = root) to the
+    output file at root-relative ``target`` — common prefix dropped,
+    ``../`` per remaining source level, ``./`` prefixed when no walk-up
+    (Obsidian compatibility), and the whole URL angle-bracketed (with
+    the fragment INSIDE the brackets) when percent-quoting would alter
+    it."""
+    src = F.filter(F.split(folder, "/"), lambda x: x != F.lit(""))
+    dst = F.split(target, "/")
+    n_dst_dirs = F.size(dst) - 1
+    # leading shared directory components (zip pads the shorter side
+    # with null; eqNullSafe makes the pad compare unequal)
+    pairs = F.zip_with(
+        src, F.slice(dst, F.lit(1), n_dst_dirs), lambda a, b: a.eqNullSafe(b)
+    )
+    ncommon = F.aggregate(
+        pairs,
+        F.struct(F.lit(True).alias("go"), F.lit(0).alias("n")),
+        lambda acc, x: F.struct(
+            (acc["go"] & x).alias("go"),
+            F.when(acc["go"] & x, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+        ),
+    )["n"]
+    ups = F.size(src) - ncommon
+    tail = F.array_join(
+        F.slice(dst, ncommon + F.lit(1), F.size(dst) - ncommon), "/"
+    )
+    rel = F.concat(F.repeat(F.lit("../"), ups), tail)
+    rel = F.when(ups == 0, F.concat(F.lit("./"), rel)).otherwise(rel)
+    frag_part = F.when(frag == "", F.lit("")).otherwise(
+        F.concat(F.lit("#"), frag)
+    )
+    return F.when(
+        rel.rlike("^[A-Za-z0-9_.~/-]*$"), F.concat(rel, frag_part)
+    ).otherwise(F.concat(F.lit("<"), rel, frag_part, F.lit(">")))
 
 
 # --------------------------------------------------------------------------
@@ -314,13 +399,20 @@ def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
 
     # inner explode: linkless notes contribute no ref rows (an outer
     # explode would fold a NULL target and null the whole body)
+    src_folder = (
+        F.coalesce(F.col("folder"), F.lit(""))
+        if "folder" in notes_with_paths.columns
+        else F.lit("")
+    )
     refs = notes_with_paths.select(
         F.col("note_id").alias("src_id"),
+        src_folder.alias("src_folder"),
         F.explode(
             mdlinks.note_ref_tokens_col(F.col("body"))
         ).alias("tok"),
     ).select(
         "src_id",
+        "src_folder",
         "tok",
         F.regexp_extract("tok", mdlinks.NOTE_REF_RE, 1).alias("target_id"),
         F.regexp_extract("tok", r"#([A-Za-z0-9_\-]+)$", 1).alias("frag"),
@@ -328,14 +420,24 @@ def resolve_links(notes_with_paths: DataFrame) -> DataFrame:
     id_map = notes_with_paths.select(
         F.col("note_id").alias("target_id"), F.col("out_path").alias("target_path")
     )
-    repl = F.when(F.col("target_path").isNull(), F.lit("broken-link")).otherwise(
-        F.concat(
-            F.col("target_path"),
-            F.when(
-                F.col("frag") == "", F.lit("")
-            ).otherwise(F.concat(F.lit("#"), strings.header_id(F.col("frag")))),
+    frag_part = F.when(
+        F.col("frag") == "", F.lit("")
+    ).otherwise(F.concat(F.lit("#"), strings.header_id(F.col("frag"))))
+    # flat sources keep the root-relative token rewrite; a note living in
+    # a subfolder (the tree-walking sources) walks up to its target
+    rel_path = F.when(
+        F.col("src_folder") == "", F.concat(F.col("target_path"), frag_part)
+    ).otherwise(
+        relative_url(
+            F.col("src_folder"), F.col("target_path"),
+            F.when(F.col("frag") == "", F.lit("")).otherwise(
+                strings.header_id(F.col("frag"))
+            ),
         )
     )
+    repl = F.when(
+        F.col("target_path").isNull(), F.lit("broken-link")
+    ).otherwise(rel_path)
     resolved = (
         refs.join(id_map, "target_id", "left")
         .groupBy("src_id")
@@ -448,11 +550,18 @@ def resolve_md_resources(
     copy stage executes."""
     from jimmy_spark.functions import mdlinks
 
+    src_folder = (
+        F.coalesce(F.col("folder"), F.lit(""))
+        if "folder" in notes_with_paths.columns
+        else F.lit("")
+    )
     refs = notes_with_paths.select(
         F.col("note_id").alias("src_id"),
+        src_folder.alias("src_folder"),
         F.explode(mdlinks.resource_links_col(F.col("body"))).alias("r"),
     ).select(
         "src_id",
+        "src_folder",
         F.col("r.orig").alias("orig"),
         F.col("r.url").alias("url"),
         F.col("r.fname").alias("fname"),
@@ -463,7 +572,9 @@ def resolve_md_resources(
         (F.col("relpath") == F.col("url"))
         | F.col("relpath").endswith(F.concat(F.lit("/"), F.col("url")))
     )
-    best = cand.groupBy("src_id", "orig", "url", "fname", "text", "is_image").agg(
+    best = cand.groupBy(
+        "src_id", "src_folder", "orig", "url", "fname", "text", "is_image"
+    ).agg(
         F.min("relpath").alias("src_rel"), F.min("path").alias("src_path")
     )
     # collision-free output names over the DISTINCT matched files, with
@@ -497,12 +608,12 @@ def resolve_md_resources(
         "fname", "src_rel", "src_path", "dest_rel"
     )
     matched = best.join(dests, ["fname", "src_rel", "src_path"])
-    rel = F.concat(F.lit("./"), F.col("dest_rel"))
-    # get_quoted_relative_path (writer.py:16-34): bracket when quoting
-    # would change the URL (spaces, non-ASCII, ...)
-    quoted = F.when(
-        rel.rlike("^[A-Za-z0-9_.~/-]*$"), rel
-    ).otherwise(F.concat(F.lit("<"), rel, F.lit(">")))
+    # resources land at the output ROOT (the reference's
+    # global_resource_folder='.' mode, writer.py:81-83); a note in a
+    # subfolder walks up to them — relative_url applies the full
+    # get_quoted_relative_path discipline (./ prefix, ../ walk-up,
+    # angle brackets when quoting would change the URL)
+    quoted = relative_url(F.col("src_folder"), F.col("dest_rel"), F.lit(""))
     title = F.when(F.col("text") != "", F.col("text")).otherwise(F.col("fname"))
     repl = F.concat(
         F.when(F.col("is_image"), F.lit("!")).otherwise(F.lit("")),
@@ -566,27 +677,50 @@ def resolve_md_links(
     scanner (one Arrow crossing); everything after it is JVM."""
     from jimmy_spark.functions import mdlinks, strings
 
+    src_folder = (
+        F.coalesce(F.col("folder"), F.lit(""))
+        if "folder" in notes_with_paths.columns
+        else F.lit("")
+    )
     refs = notes_with_paths.select(
         F.col("note_id").alias("src_id"),
+        src_folder.alias("src_folder"),
         F.explode(mdlinks.note_links_col(F.col("body"))).alias("l"),
     ).select(
         "src_id",
+        "src_folder",
         F.col("l.orig").alias("orig"),
         F.col("l.target_id").alias("target_id"),
         F.col("l.text").alias("text"),
         F.col("l.frag").alias("frag"),
         F.col("l.title").alias("title"),
     )
-    id_map = notes_with_paths.select(
-        F.col("note_id").alias("target_id"), F.col("out_path").alias("target_path")
-    )
+    # wikilinks/.md links address notes by filename STEM; stems repeat
+    # across vault subfolders, so the map takes the first sorted match
+    # per stem (find_file_recursively's rglob discipline, deterministic)
+    if "stem" in notes_with_paths.columns:
+        id_map = notes_with_paths.groupBy(
+            F.col("stem").alias("target_id")
+        ).agg(F.min("out_path").alias("target_path"))
+    else:
+        # note_id is unique by construction — a groupBy here would add a
+        # shuffle on the map frame for nothing
+        id_map = notes_with_paths.select(
+            F.col("note_id").alias("target_id"),
+            F.col("out_path").alias("target_path"),
+        )
     joined_refs = refs.join(id_map, "target_id", "left")
-    stem = F.regexp_replace(F.col("target_path"), r"\.md$", "")
-    best_text = F.when(F.col("text") != "", F.col("text")).otherwise(
-        F.coalesce(stem, F.col("target_id"))
+    # link text falls back to the target FILENAME stem (new_path.stem,
+    # writer.py:228), never the directory part
+    stem = F.regexp_replace(
+        F.regexp_extract(F.col("target_path"), r"([^/]+)$", 1),
+        r"\.md$", "",
     )
-    frag_part = F.when(F.col("frag") == "", F.lit("")).otherwise(
-        F.concat(F.lit("#"), strings.header_id(F.col("frag")))
+    best_text = F.when(F.col("text") != "", F.col("text")).otherwise(
+        F.when(F.col("target_path").isNull(), F.col("target_id")).otherwise(stem)
+    )
+    frag_norm = F.when(F.col("frag") == "", F.lit("")).otherwise(
+        strings.header_id(F.col("frag"))
     )
     title_part = F.when(F.col("title") == "", F.lit("")).otherwise(
         F.concat(F.lit(' "'), F.col("title"), F.lit('"'))
@@ -599,8 +733,9 @@ def resolve_md_links(
         ),
     ).otherwise(
         F.concat(
-            F.lit("["), best_text, F.lit("]("), F.col("target_path"),
-            frag_part, title_part, F.lit(")"),
+            F.lit("["), best_text, F.lit("]("),
+            relative_url(F.col("src_folder"), F.col("target_path"), frag_norm),
+            title_part, F.lit(")"),
         )
     )
     pairs = joined_refs.select(
@@ -671,7 +806,11 @@ def write_notes(
             for rel, docstr in zip(pdf["out_path"], pdf["doc"]):
                 try:
                     data = (docstr or "").encode("utf-8")
-                    with open(os.path.join(out_dir, rel), "wb") as f:
+                    full = os.path.join(out_dir, rel)
+                    # tree-walking sources mirror their folder structure
+                    # (writer.py:268-271 mkdir tree)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    with open(full, "wb") as f:
                         f.write(data)
                     rows.append((rel, len(data), True, None))
                 except Exception as e:  # noqa: BLE001 — per-note isolation

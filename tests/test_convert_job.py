@@ -196,21 +196,27 @@ def test_link_resolution_prefix_ids_not_corrupted(spark):
 
 def test_write_error_isolation(spark, tmp_path):
     """A note whose path cannot be written yields a manifest error row —
-    the task (and the other notes) survive."""
+    the task (and the other notes) survive. (Missing directories are NOT
+    an error anymore — write_notes mkdirs the tree for the folder-walking
+    sources — so the failure here is a path component that is an existing
+    regular FILE, which makedirs cannot create through.)"""
+    out = tmp_path / "w"
+    out.mkdir()
+    (out / "blocked").write_text("a file, not a directory")
     notes = spark.createDataFrame(
         [("n1", "ok-note", "x"), ("n2", "bad", "y")],
         "note_id string, title string, body string",
     ).withColumn(
         "out_path",
-        F.when(F.col("note_id") == "n2", F.lit("no-such-dir/f.md"))
+        F.when(F.col("note_id") == "n2", F.lit("blocked/f.md"))
         .otherwise(F.lit("fine.md")),
     ).withColumn("author", F.lit(None).cast("string")) \
      .withColumn("ts", F.lit(None).cast("long"))
-    manifest = convert.write_notes(notes, str(tmp_path / "w")).collect()
+    manifest = convert.write_notes(notes, str(out)).collect()
     by_path = {r.out_path: r for r in manifest}
     assert by_path["fine.md"].written
-    assert not by_path["no-such-dir/f.md"].written
-    assert by_path["no-such-dir/f.md"].error
+    assert not by_path["blocked/f.md"].written
+    assert by_path["blocked/f.md"].error
 
 
 def test_convert_job_cli_exit_codes(eml_dir, tmp_path, monkeypatch):

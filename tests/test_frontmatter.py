@@ -171,9 +171,9 @@ class TestMarkdownSource:
         # titles: 'Other' (frontmatter) and 'main' (stem)
         body = (tmp_path / "out" / "main.md").read_text()
         # wikilink -> standard link to the written path, text = stem
-        assert "[Other](Other.md)" in body
+        assert "[Other](./Other.md)" in body
         # quoted .md link with fragment -> header-id-normalized fragment
-        assert "[lbl](Other.md#my-sec)" in body
+        assert "[lbl](./Other.md#my-sec)" in body
         # untouched: web link, image embed, fence-only wikilink (never
         # extracted, so never rewritten — a fence-only ref has no
         # replacement row)
@@ -184,7 +184,56 @@ class TestMarkdownSource:
         assert "[gone](broken-link Missing)" in body
         # embedded note transclusion is a NOTE link by suffix
         # (obsidian.py:24-35) — rewritten to a standard link
-        assert "embed [Other](Other.md#part)" in body
+        assert "embed [Other](./Other.md#part)" in body
+
+    def test_nested_vault_hierarchy_preserved(self, spark, tmp_path):
+        """The reference writes the notebook tree as nested directories
+        (writer.py:106-109 determine_paths recursion + :268-271 mkdir
+        tree) and links notes RELATIVE to the referencing note's folder
+        (get_quoted_relative_path, writer.py:16-34: common prefix
+        dropped, ../ walk-up, ./ prefix, angle brackets when quoting
+        would alter the URL). Same-stem notes in different folders are
+        distinct notes; wikilinks resolve to the first sorted match.
+        Resources live at the output root (global_resource_folder='.'
+        mode) and nested notes walk up to them."""
+        from jimmy_spark.plans import convert
+
+        src = tmp_path / "vault"
+        (src / "sub" / "deep").mkdir(parents=True)
+        (src / "b").mkdir()
+        (src / "Root Note.md").write_text("root [[Nested]] dup [[Dup]]")
+        (src / "sub" / "Nested.md").write_text(
+            "up [[Root Note]] sib [[Deep]] pic ![p](pic.png)"
+        )
+        (src / "sub" / "deep" / "Deep.md").write_text("leaf")
+        # same stem in two folders: both survive, no suffix needed
+        (src / "sub" / "Dup.md").write_text("one")
+        (src / "b" / "Dup.md").write_text("two")
+        (src / "pic.png").write_bytes(b"PIX")
+        stats = convert.run_conversion(
+            spark, "markdown", str(src), str(tmp_path / "out")
+        )
+        assert stats["errors"] == 0 and stats["written"] == 5
+        out = tmp_path / "out"
+        # the output tree mirrors the vault tree
+        assert (out / "Root Note.md").exists()
+        assert (out / "sub" / "Nested.md").exists()
+        assert (out / "sub" / "deep" / "Deep.md").exists()
+        assert (out / "sub" / "Dup.md").exists()
+        assert (out / "b" / "Dup.md").exists()
+        # root -> nested: plain ./ descent
+        assert "[Nested](./sub/Nested.md)" in (out / "Root Note.md").read_text()
+        nested = (out / "sub" / "Nested.md").read_text()
+        # nested -> root: ../ walk-up; space forces angle brackets
+        assert "[Root Note](<../Root Note.md>)" in nested
+        # nested -> deeper sibling dir: ./ descent from sub/
+        assert "[Deep](./deep/Deep.md)" in nested
+        # resource copied to the root, nested note walks up to it
+        assert (out / "pic.png").read_bytes() == b"PIX"
+        assert "![p](../pic.png)" in nested
+        # wikilink to a duplicated stem: first sorted out_path wins
+        # (b/Dup.md < sub/Dup.md)
+        assert "[Dup](./b/Dup.md)" in (out / "Root Note.md").read_text()
 
     def test_tags_roundtrip_through_lifecycle(self, spark, tmp_path):
         """Tags survive convert: frontmatter tags (merged with inline
