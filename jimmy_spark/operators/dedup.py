@@ -27,6 +27,8 @@ all-pairs join — that is the point of the ladder.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -231,22 +233,91 @@ def minhash_lsh_pairs(
     oracle applies the identical deterministic rule, so parity holds.
     Band rows come from ``minhash_band_rows`` — a narrow per-row plan,
     so the first shuffle in the whole operator is the bucket-count
-    window on (band, sig), not a tokenized-corpus groupBy."""
+    window on (band, sig), not a tokenized-corpus groupBy.
+
+    EXACTLY-ONCE candidate emission (no ``distinct``): near-identical
+    docs collide on MANY bands, so the naive band self-join emits each
+    pair once per shared bucket and needs a ``distinct()`` — a shuffle
+    of the raw pair stream, which on a dup-heavy corpus is the largest
+    exchange in the operator (measured 31M pre-distinct rows for 7.8M
+    pairs at sf0.1). Instead each band row carries ALL of its doc's
+    band sigs + capped bits as FLAT columns (MINHASH_BANDS is a small
+    compile-time constant, so the no-earlier-collision predicate unrolls
+    into plain codegen-able comparisons — no arrays, no higher-order
+    functions, which an earlier attempt showed cost more per joined row
+    than the distinct they replace), and a joined pair survives only at
+    the FIRST band where the two docs collide in an uncapped bucket.
+    Any earlier collision is provably the same bucket on both sides
+    (equal sigs => same bucket => same capped bit), so the predicate is
+    decidable row-locally and the raw pair stream never shuffles. The
+    pair set is identical to the join+distinct formulation."""
     bands = minhash_band_rows(df, text_col, id_col)
     from pyspark.sql import Window
 
-    bands = (
-        bands.withColumn(
-            "_bs", F.count("*").over(Window.partitionBy("band", "sig"))
-        )
-        .filter(F.col("_bs") <= max_bucket)
-        .drop("_bs")
+    annotated = bands.withColumn(
+        "capped",
+        F.count("*").over(Window.partitionBy("band", "sig")) > max_bucket,
     )
-    # merge-hint: consume the bucket-count window's hashpartitioning
-    # (band, sig) on both sides so the second side shares the same
-    # materialized shuffle stage instead of re-running the signature map
-    # behind a separate BroadcastExchange (see simhash_pairs)
-    a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
+    # flat per-doc layout: one row per doc with s0..s3 / c0..c3 (band is
+    # unique per doc, so max(when(band=i, ...)) picks the single value);
+    # re-explode only the UNCAPPED bands for the join. All frames here
+    # are O(docs) narrow rows — the O(candidate-multiplicity) distinct
+    # shuffle this replaces was the expensive part.
+    perdoc = annotated.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("band") == i, F.col("sig"))).alias(f"_s{i}")
+            for i in range(MINHASH_BANDS)
+        ],
+        *[
+            F.max(F.when(F.col("band") == i, F.col("capped"))).alias(f"_c{i}")
+            for i in range(MINHASH_BANDS)
+        ],
+    )
+    sig_by_band = F.coalesce(
+        *[
+            F.when(F.col("band") == i, F.col(f"_s{i}"))
+            for i in range(MINHASH_BANDS)
+        ]
+    )
+    capped_by_band = F.coalesce(
+        *[
+            F.when(F.col("band") == i, F.col(f"_c{i}"))
+            for i in range(MINHASH_BANDS)
+        ]
+    )
+    # ROUND-ROBIN repartition of the probe side: the per-doc frame is
+    # tiny (O(docs) rows), so AQE coalesces its shuffle to one partition
+    # — and because every join downstream of here is a broadcast join,
+    # that one task would emit all 31M candidate pairs AND run the whole
+    # exact-verify chain serially (measured: >400s at sf0.1). A probe row
+    # in a bucket of size k emits only its own <k matches, so row-level
+    # round-robin spreads the emission work evenly EVEN under one giant
+    # near-dup cluster (where first-band-wins concentrates every pair on
+    # band 0 — keyed repartitioning by (band, sig) would put all of them
+    # on one task). Explicit numPartitions pins the fan-out against AQE.
+    shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rows = (
+        perdoc.withColumn(
+            "band",
+            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))),
+        )
+        .withColumn("sig", sig_by_band)
+        .filter(~capped_by_band)
+        .repartition(shuf)
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    # a pair already emitted at an earlier band j < band collided in an
+    # uncapped bucket there; kill it here (unrolled, codegen-able)
+    earlier_clash = reduce(
+        lambda acc, j: acc
+        | (
+            (F.col("a.band") > j)
+            & (F.col(f"a._s{j}") == F.col(f"b._s{j}"))
+            & ~F.col(f"a._c{j}")
+        ),
+        range(MINHASH_BANDS - 1),
+        F.lit(False),
+    )
     cand = (
         a.join(
             b,
@@ -254,8 +325,8 @@ def minhash_lsh_pairs(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(~earlier_clash)
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
     )
     # exact verification on candidates only — but first the standard SIZE
     # prefilter: Jaccard >= tau implies 100*min(na,nb) >= tau*max(na,nb)
@@ -362,12 +433,34 @@ def simhash_pairs(
     Scale: the only shuffle keys are (band index, 16-bit band value); the
     64-bit signature rides as one long. Candidate volume is sum of bucket
     sizes squared — random corpora spread over 65536 values per band.
-    """
+
+    EXACTLY-ONCE candidate emission (no ``distinct``), the minhash
+    pattern: near-identical docs collide on several bands, so the naive
+    band self-join emits each pair once per shared bucket and needs a
+    pair-stream distinct. Here every band row already carries the FULL
+    64-bit sig, so the earlier bands' values are derivable row-locally
+    by the same shift+mask — only the per-band capped bits need
+    carrying (equal band values => same bucket => same capped bit on
+    both sides, so one side's bit decides). A joined pair survives only
+    at the first band where it collides in an uncapped bucket; the raw
+    pair stream never shuffles, and the hamming cut runs where the pair
+    is born. The probe side is ROUND-ROBIN repartitioned: AQE coalesces
+    the tiny O(docs) frame to one partition and every join downstream
+    is broadcast, so one task would otherwise emit every candidate
+    serially; row-level spreading also balances giant near-dup clusters
+    whose pairs all land on band 0 (see minhash_lsh_pairs)."""
     from pyspark.sql import Window
 
     sigs = simhash64(df, text_col, id_col).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig")
     )
+
+    def _bv(col, bi):
+        # mask AFTER the shift: & 65535 keeps exactly bits
+        # [16*bi, 16*bi+16) whether the shift is arithmetic (Spark,
+        # DuckDB) or logical — sign-fill bits land above the mask
+        return F.shiftright(col, 16 * bi).bitwiseAND(F.lit(65535))
+
     bands = sigs.select(
         "id",
         "sig",
@@ -376,33 +469,59 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        # mask AFTER the shift: & 65535 keeps exactly bits
-                        # [16*bi, 16*bi+16) whether the shift is arithmetic
-                        # (Spark, DuckDB) or logical — sign-fill bits land
-                        # above the mask
-                        F.shiftright("sig", 16 * bi)
-                        .bitwiseAND(F.lit(65535))
-                        .alias("bv"),
+                        _bv(F.col("sig"), bi).alias("bv"),
                     )
                     for bi in range(4)
                 ]
             )
         ).alias("bs"),
     ).select("id", "sig", "bs.band", "bs.bv")
-    bands = (
-        bands.withColumn("_bs", F.count("*").over(Window.partitionBy("band", "bv")))
-        .filter(F.col("_bs") <= max_bucket)
-        .drop("_bs")
+    annotated = bands.withColumn(
+        "capped",
+        F.count("*").over(Window.partitionBy("band", "bv")) > max_bucket,
     )
-    # merge-hint the self-join: left to itself, Catalyst broadcasts one
-    # side as a SEPARATE BroadcastExchange whose child re-runs the whole
-    # signature lineage — the Arrow simhash UDF executes twice over the
-    # corpus. As a shuffle join both sides need hashpartitioning(band, bv),
-    # which the bucket-count window's Exchange already provides, so the
-    # second side becomes a ReusedExchange/shared shuffle stage and the
-    # UDF runs exactly once. (AQE may still demote to broadcast at
-    # runtime, but it feeds from the materialized shuffle — no recompute.)
-    a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
+    # back to one flat row per doc (sig + 4 capped bits), then re-explode
+    # the uncapped bands; both frames are O(docs) narrow rows
+    perdoc = annotated.groupBy("id").agg(
+        F.first("sig").alias("sig"),
+        *[
+            F.max(F.when(F.col("band") == i, F.col("capped"))).alias(f"_c{i}")
+            for i in range(4)
+        ],
+    )
+    shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rows = (
+        perdoc.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn(
+            "bv",
+            F.coalesce(
+                *[
+                    F.when(F.col("band") == i, _bv(F.col("sig"), i))
+                    for i in range(4)
+                ]
+            ),
+        )
+        .filter(
+            ~F.coalesce(
+                *[
+                    F.when(F.col("band") == i, F.col(f"_c{i}"))
+                    for i in range(4)
+                ]
+            )
+        )
+        .repartition(shuf)
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    earlier_clash = reduce(
+        lambda acc, j: acc
+        | (
+            (F.col("a.band") > j)
+            & (_bv(F.col("a.sig"), j) == _bv(F.col("b.sig"), j))
+            & ~F.col(f"a._c{j}")
+        ),
+        range(3),
+        F.lit(False),
+    )
     pairs = (
         a.join(
             b,
@@ -410,12 +529,12 @@ def simhash_pairs(
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(~earlier_clash)
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
