@@ -199,6 +199,30 @@ class TestDedup:
         # the 30 boilerplate clones live only in >10-sized buckets: skipped
         assert all(p == (100, 101) for p in pairs)
 
+    def test_minhash_pairs_emitted_exactly_once(self, spark):
+        """r5 first-uncapped-band rule: identical docs collide in ALL 4
+        band buckets, so the naive band self-join emits each pair 4x —
+        without a pair-stream distinct (removed in r5), only the
+        exactly-once emission rule keeps the output duplicate-free."""
+        rows = [(i, "same doc body alpha beta gamma") for i in range(1, 9)]
+        rows += [(50, "unrelated words entirely disjoint tokens here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = dedup.minhash_lsh_pairs(df, tau_pct=60).collect()
+        pairs = [(r.doc_a, r.doc_b) for r in got]
+        assert len(pairs) == len(set(pairs)) == 8 * 7 // 2
+        assert all(a < b for a, b in pairs)
+
+    def test_simhash_pairs_emitted_exactly_once(self, spark):
+        """Same exactly-once invariant for the simhash band join: clones
+        share all 4 band buckets (hamming 0) yet appear once per pair."""
+        rows = [(i, "same doc body alpha beta gamma") for i in range(1, 9)]
+        rows += [(50, "unrelated words entirely disjoint tokens here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = dedup.simhash_pairs(df, max_hamming=3).collect()
+        pairs = [(r.doc_a, r.doc_b) for r in got]
+        assert len(pairs) == len(set(pairs)) == 8 * 7 // 2
+        assert all(r.hamming == 0 for r in got if r.doc_a < 9 and r.doc_b < 9)
+
     def test_connected_components_known_graph(self, spark):
         """Chain 1-2-3, pair 10-11, singleton 99: labels converge to the
         min id of each component in O(diameter) rounds."""
