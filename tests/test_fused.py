@@ -43,3 +43,42 @@ def test_fused_matches_modular(spark, t1_dir):
         for p in r.polygon_ids
     }
     assert pairs_fused == pairs_modular and len(pairs_fused) > 0
+
+
+def test_fused_decode_cache_is_per_row_correct(spark, t1_dir):
+    """The r5 content-addressed decode cache memoizes only the
+    blob-determined triple (shape, crc, error); the shape-vs-declared
+    validation must stay per row. Rows sharing identical bytes but
+    declaring different sizes get different verdicts, and a repeated
+    corrupt blob reports the same error on every row."""
+    import numpy as np
+
+    from jimmy_spark.codecs import qjpg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    good = qjpg.encode(img)
+    bad = b"QJPGgarbage-not-a-stream"
+    rows = [
+        ("a", good, 16, 16, "jpeg", "cap", 1),
+        ("b", good, 8, 8, "jpeg", "cap", 2),     # same bytes, wrong decl
+        ("c", good, 16, 16, "jpeg", "cap", 3),   # cache hit, still ok
+        ("d", bad, 16, 16, "jpeg", "cap", 4),
+        ("e", bad, 16, 16, "jpeg", "cap", 5),    # cached error replays
+    ]
+    imgs = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    poly_pdf = pq.read_table(f"{t1_dir}/polygons.parquet").to_pandas()
+    out = {
+        r.image_id: r
+        for r in fused.fused_spatial_stage(imgs, poly_pdf).collect()
+    }
+    assert out["a"].ok and out["c"].ok
+    assert out["a"].px_checksum == out["c"].px_checksum != 0
+    assert not out["b"].ok
+    assert out["b"].error == "decoded size 16x16 != declared 8x8"
+    assert not out["d"].ok and not out["e"].ok
+    assert out["d"].error == out["e"].error and out["d"].error
