@@ -21,6 +21,8 @@ per-bucket rerank; skewed buckets salt like any hot key.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -194,22 +196,50 @@ def embedding_near_dup_pairs(
     Scale notes: candidates are ~sum of bucket sizes squared; skewed
     buckets (many near-identical vectors) are real duplicates and belong
     together — downstream connected-components collapses them. Vectors are
-    joined back by id after the distinct, so the wide arrays never ride
-    through the candidate shuffle.
+    joined back by id onto the candidate pairs, so the wide arrays never
+    ride through the candidate join; the only per-row payload there is
+    the n_tables-long bucket array that powers exactly-once emission.
     """
     emb = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     buckets = _bucket_udf(_dim_of(embeddings, vec_col), n_bits, n_tables)
-    ids = emb.select(F.col(id_col).alias("id"), F.explode(buckets(F.col("v"))).alias("bkt"))
-    # merge-hint the self-join: broadcast would re-run the Arrow bucket
-    # UDF on a second full lineage; as a shuffle join both sides hash-
-    # partition on bkt with identical children, so the second side is a
-    # ReusedExchange and the UDF runs once (the (id, bkt) rows riding the
-    # exchange are two ints — far cheaper than a second UDF pass)
-    a, b = ids.hint("merge").alias("a"), ids.hint("merge").alias("b")
+    # EXACTLY-ONCE candidate emission (no ``distinct``), the LSH pattern
+    # shared with minhash/simhash (operators/dedup.py): a near-dup pair
+    # collides in up to n_tables buckets, so the naive bucket self-join
+    # emits it once per table and needs a pair-stream distinct. Each row
+    # carries its FULL bucket array (n_tables longs; bucket values are
+    # table-coded via the t<<(n_bits+1) offset, so cross-table equality
+    # is impossible) and a joined pair survives only at the FIRST table
+    # where the two rows share a bucket — element_at with literal
+    # ordinals, plain codegen-able comparisons, decided row-locally; the
+    # raw pair stream never shuffles. Round-robin repartition keeps AQE
+    # from collapsing the tiny O(rows) frame to one partition (every
+    # join downstream is broadcast-shaped — one task would emit every
+    # candidate serially) and balances giant duplicate clusters, whose
+    # pairs all land on table 0. The UDF still runs once: both join
+    # sides descend from the SAME repartition exchange (ReusedExchange).
+    shuf = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ids = (
+        emb.select(F.col(id_col).alias("id"), buckets(F.col("v")).alias("bkts"))
+        .select("id", "bkts", F.posexplode("bkts").alias("t", "bkt"))
+        .repartition(shuf)
+    )
+    a, b = ids.alias("a"), ids.alias("b")
+    earlier_clash = reduce(
+        lambda acc, j: acc
+        | (
+            (F.col("a.t") > j)
+            & (
+                F.element_at(F.col("a.bkts"), j + 1)
+                == F.element_at(F.col("b.bkts"), j + 1)
+            )
+        ),
+        range(n_tables - 1),
+        F.lit(False),
+    )
     cand = (
         a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")))
+        .filter(~earlier_clash)
         .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
-        .distinct()
     )
     va = emb.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
     vb = emb.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))

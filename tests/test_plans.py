@@ -108,8 +108,10 @@ def test_date_kernels_stay_jvm_side(spark):
 
 
 def test_near_dup_vectors_not_in_candidate_shuffle(spark):
-    """emb_near_dup's distinct (the only wide op) must shuffle only pair
-    ids — the embedding arrays are re-joined after it."""
+    """emb_near_dup's candidate exchanges must carry only pair ids and
+    bucket keys — the embedding arrays are re-joined after the pair
+    stream exists (r5: the distinct is gone; the invariant now guards
+    the round-robin probe exchange and the verify joins)."""
     from jimmy_spark.queries import q_emb_near_dup
 
     plan = _plan(q_emb_near_dup(spark, "/root/testdata/sf0.001"))
