@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from jimmy_spark.datagen.core import splitmix64
+from jimmy_spark.session import shuffle_partitions_of
 
 MINHASH_K = 16
 MINHASH_BANDS = 4
@@ -250,7 +251,17 @@ def minhash_lsh_pairs(
     Any earlier collision is provably the same bucket on both sides
     (equal sigs => same bucket => same capped bit), so the predicate is
     decidable row-locally and the raw pair stream never shuffles. The
-    pair set is identical to the join+distinct formulation."""
+    pair set is identical to the join+distinct formulation.
+
+    Above the broadcast threshold the self-join falls back to SMJ keyed
+    on (band, sig) — the round-robin probe spreading then no longer
+    applies (a giant near-dup cluster's pairs, concentrated on band 0 by
+    the first-band rule, land on the task owning that bucket). That
+    fallback is still bounded BY THE SAME CAP that bounds the oracle:
+    an uncapped bucket has <= max_bucket rows, so no task emits more
+    than ~max_bucket^2/2 pairs per bucket (~5e7 at the default cap) —
+    heavy but fixed, independent of corpus size, and no worse than the
+    old join+distinct plan whose per-bucket emission was identical."""
     bands = minhash_band_rows(df, text_col, id_col)
     from pyspark.sql import Window
 
@@ -295,7 +306,7 @@ def minhash_lsh_pairs(
     # near-dup cluster (where first-band-wins concentrates every pair on
     # band 0 — keyed repartitioning by (band, sig) would put all of them
     # on one task). Explicit numPartitions pins the fan-out against AQE.
-    shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shuf = shuffle_partitions_of(df.sparkSession)
     rows = (
         perdoc.withColumn(
             "band",
@@ -489,7 +500,7 @@ def simhash_pairs(
             for i in range(4)
         ],
     )
-    shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shuf = shuffle_partitions_of(df.sparkSession)
     rows = (
         perdoc.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
         .withColumn(

@@ -18,6 +18,7 @@ Output: one row per input image; PIP matches as an array<string> column
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 from collections.abc import Iterator
 
@@ -58,9 +59,13 @@ def fused_spatial_stage(images: DataFrame, polygons: pd.DataFrame) -> DataFrame:
         # Only the blob-determined triple (decoded shape, crc, error) is
         # cached — the shape-vs-declared-(w,h) validation stays PER ROW,
         # so two rows sharing bytes but declaring different sizes still
-        # get their own verdicts. Bounded: cleared at _CACHE_CAP entries
-        # (decoded arrays are NOT retained, only shape+crc, so the cache
-        # is a few hundred bytes per unique blob).
+        # get their own verdicts. Keys are (fmt, blake2b-128(bytes)), NOT
+        # the bytes themselves: keying on the raw blob would pin up to
+        # _CACHE_CAP full images (and their Arrow batch buffers) in
+        # executor memory — tens of GB for unique-heavy megapixel tasks.
+        # The 16-byte digest keeps each entry ~100 bytes regardless of
+        # blob size (128-bit collision odds are negligible at any corpus
+        # size), so the cache tops out at a few MB; cleared at the cap.
         cache: dict[tuple, tuple] = {}
         _CACHE_CAP = 65536
         for pdf in batches:
@@ -73,7 +78,7 @@ def fused_spatial_stage(images: DataFrame, polygons: pd.DataFrame) -> DataFrame:
             ws = pdf["w"].to_numpy()
             hs = pdf["h"].to_numpy()
             for i in range(n):
-                key = (fmts[i], blobs[i])
+                key = (fmts[i], hashlib.blake2b(blobs[i], digest_size=16).digest())
                 hit = cache.get(key)
                 if hit is None:
                     if len(cache) >= _CACHE_CAP:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jimmy_spark.datagen.core import splitmix64
+from jimmy_spark.session import shuffle_partitions_of
 
 
 def _as_double(col):
@@ -217,7 +218,7 @@ def embedding_near_dup_pairs(
     # candidate serially) and balances giant duplicate clusters, whose
     # pairs all land on table 0. The UDF still runs once: both join
     # sides descend from the SAME repartition exchange (ReusedExchange).
-    shuf = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shuf = shuffle_partitions_of(embeddings.sparkSession)
     ids = (
         emb.select(F.col(id_col).alias("id"), buckets(F.col("v")).alias("bkts"))
         .select("id", "bkts", F.posexplode("bkts").alias("t", "bkt"))

@@ -37,6 +37,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def shuffle_partitions_of(spark) -> int:
+    """Numeric shuffle-partition count for explicit ``repartition(n)``
+    calls (the exactly-once LSH probes). ``spark.sql.shuffle.partitions``
+    is not guaranteed numeric — managed platforms set it to ``'auto'``
+    under AQE advisory sizing — so fall back to the cluster's default
+    parallelism rather than crashing at plan-build time."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(
     app_name: str = "jimmy-spark",
     master: str | None = None,

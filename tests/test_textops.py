@@ -223,6 +223,75 @@ class TestDedup:
         assert len(pairs) == len(set(pairs)) == 8 * 7 // 2
         assert all(r.hamming == 0 for r in got if r.doc_a < 9 and r.doc_b < 9)
 
+    def test_shuffle_partitions_fallback_on_non_numeric_conf(self):
+        """Managed platforms set spark.sql.shuffle.partitions='auto'
+        (OSS Spark refuses the value at set-time, so a stub stands in):
+        the exactly-once probes must fall back to defaultParallelism
+        instead of crashing at plan-build time."""
+        from jimmy_spark.session import shuffle_partitions_of
+
+        class _Conf:
+            def get(self, k):
+                return "auto"
+
+        class _SC:
+            defaultParallelism = 12
+
+        class _Spark:
+            conf = _Conf()
+            sparkContext = _SC()
+
+        assert shuffle_partitions_of(_Spark()) == 12
+
+    def test_minhash_capped_first_band_does_not_suppress_pair(
+        self, spark, monkeypatch
+    ):
+        """The exactly-once rule must treat an earlier-band collision as
+        'already emitted' ONLY if that bucket was uncapped (the ~_c{j}
+        term): a pair whose band-0 bucket is capped but whose band-1
+        bucket is small must be emitted exactly once at band 1, not
+        dropped. Band sigs are md5-derived and cannot be steered via
+        text, so the band-rows stage is stubbed; the verify stage still
+        runs for real (identical texts pass any tau)."""
+        n_fill = 11  # band-0 bucket size 13 > max_bucket=10
+        band_rows = []
+        for i in [1, 2, *range(3, 3 + n_fill)]:
+            band_rows.append((i, 0, "X"))  # shared, capped
+            band_rows.append((i, 1, "Y" if i in (1, 2) else f"f{i}"))
+            band_rows.append((i, 2, f"b2_{i}"))
+            band_rows.append((i, 3, f"b3_{i}"))
+        stub = spark.createDataFrame(band_rows, "id long, band int, sig string")
+        monkeypatch.setattr(dedup, "minhash_band_rows", lambda *a, **k: stub)
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in [1, 2, *range(3, 3 + n_fill)]],
+            "doc_id long, text string",
+        )
+        got = dedup.minhash_lsh_pairs(docs, tau_pct=60, max_bucket=10).collect()
+        assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+
+    def test_simhash_capped_first_band_does_not_suppress_pair(
+        self, spark, monkeypatch
+    ):
+        """Same ~_c{j} coverage for simhash_pairs, with crafted 64-bit
+        sigs (bands ARE bit fields, so the signature stage is stubbed
+        with exact band values): docs 1 and 2 share every band but only
+        band 1's bucket is small — the pair must appear exactly once."""
+        def sig_of(b0, b1, b2, b3):
+            return b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+
+        rows = [(1, sig_of(1, 2, 3, 4)), (2, sig_of(1, 2, 3, 4))]
+        rows += [
+            (i, sig_of(1, 0x100 + i, 0x200 + i, 0x300 + i))
+            for i in range(3, 14)  # 13 docs share band 0 -> capped at 10
+        ]
+        stub = spark.createDataFrame(rows, "doc_id long, simhash long")
+        monkeypatch.setattr(dedup, "simhash64", lambda *a, **k: stub)
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(1, 14)], "doc_id long, text string"
+        )
+        got = dedup.simhash_pairs(docs, max_hamming=3, max_bucket=10).collect()
+        assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 0)]
+
     def test_connected_components_known_graph(self, spark):
         """Chain 1-2-3, pair 10-11, singleton 99: labels converge to the
         min id of each component in O(diameter) rounds."""
