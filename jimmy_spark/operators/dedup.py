@@ -110,8 +110,11 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
     # merge-hint: both self-join sides consume the df-window's
     # hashpartitioning(s) and share one materialized shuffle stage
-    # instead of re-exploding the corpus behind a BroadcastExchange
-    # (see simhash_pairs)
+    # instead of re-exploding the corpus behind a BroadcastExchange.
+    # (minhash/simhash moved to exactly-once broadcast probes in r5;
+    # here the pair multiplicity IS the intersection count the groupBy
+    # below aggregates, so the shared-shuffle SMJ remains the right
+    # shape — there is nothing to deduplicate away.)
     a = sh.hint("merge").alias("a")
     b = sh.hint("merge").alias("b")
     common = (
