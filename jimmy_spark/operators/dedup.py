@@ -264,7 +264,10 @@ def minhash_lsh_pairs(
     an uncapped bucket has <= max_bucket rows, so no task emits more
     than ~max_bucket^2/2 pairs per bucket (~5e7 at the default cap) —
     heavy but fixed, independent of corpus size, and no worse than the
-    old join+distinct plan whose per-bucket emission was identical."""
+    old join+distinct plan whose per-bucket emission was identical.
+    (In that regime the round-robin exchange is an accepted overhead:
+    one extra narrow O(docs) shuffle under the SMJ's keyed exchanges —
+    whether the frame will broadcast is not knowable at plan time.)"""
     bands = minhash_band_rows(df, text_col, id_col)
     from pyspark.sql import Window
 

@@ -78,13 +78,22 @@ def fused_spatial_stage(images: DataFrame, polygons: pd.DataFrame) -> DataFrame:
             ws = pdf["w"].to_numpy()
             hs = pdf["h"].to_numpy()
             for i in range(n):
-                key = (fmts[i], hashlib.blake2b(blobs[i], digest_size=16).digest())
+                # NULL blob: no digest — key on a sentinel so the decode
+                # path raises its usual ValueError and the error row is
+                # cached/replayed like any other (per-record isolation:
+                # a null must not escape as a task-killing TypeError)
+                blob = blobs[i]
+                key = (
+                    (fmts[i], hashlib.blake2b(blob, digest_size=16).digest())
+                    if blob is not None
+                    else (fmts[i], None)
+                )
                 hit = cache.get(key)
                 if hit is None:
                     if len(cache) >= _CACHE_CAP:
                         cache.clear()
                     try:
-                        arr = decode_image(blobs[i], fmts[i])
+                        arr = decode_image(blob, fmts[i])
                         # crc over the array buffer directly — decoders
                         # return C-contiguous uint8, so this equals
                         # crc32(tobytes()) without the per-image copy
@@ -129,8 +138,8 @@ def fused_spatial_stage(images: DataFrame, polygons: pd.DataFrame) -> DataFrame:
             for r in np.unique(ri):
                 m = ri == r
                 sel = pi[m]
-                hit = inside_ring(lon[sel], lat[sel], ring_x[r], ring_y[r])
-                for p in sel[hit]:
+                inside = inside_ring(lon[sel], lat[sel], ring_x[r], ring_y[r])
+                for p in sel[inside]:
                     polys[p].append(str(ids_arr[r]))
             out["polygon_ids"] = [sorted(p) for p in polys]
             yield pd.DataFrame(out)

@@ -178,9 +178,15 @@ def embedding_near_dup_pairs(
     n_bits: int = 8,
     n_tables: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs (a < b) with round(cos,6) >= tau_micro/1e6, generated
-    through LSH buckets — the pair space is a hash join on the bucket id,
-    never an all-pairs crossJoin — then verified with exact cosine.
+    """Near-dup pairs (a < b) passing ``round(cos, 6) * 1e6 >= tau_micro``
+    evaluated in double arithmetic — the EXACT expression the DuckDB
+    oracle evaluates, so the boundary behaves identically on both engines
+    (note this is the as-implemented contract: for tau values whose
+    tau_micro/1e6 is not exactly representable, the double product can
+    land on either side of the integer, e.g. 0.99*1e6 < 990000 — fine,
+    because both engines agree bit-for-bit). Pairs are generated through
+    LSH buckets — the pair space is a hash join on the bucket id, never
+    an all-pairs crossJoin — then verified with exact cosine.
 
     Recall contract: hyperplane signs are scale-invariant, so *collinear*
     duplicates (cos = 1: rescaled / renormalized re-encodes, the dominant

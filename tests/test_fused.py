@@ -65,6 +65,8 @@ def test_fused_decode_cache_is_per_row_correct(spark, t1_dir):
         ("c", good, 16, 16, "jpeg", "cap", 3),   # cache hit, still ok
         ("d", bad, 16, 16, "jpeg", "cap", 4),
         ("e", bad, 16, 16, "jpeg", "cap", 5),    # cached error replays
+        ("f", None, 16, 16, "jpeg", "cap", 6),   # NULL blob: error row,
+        ("g", None, 16, 16, "jpeg", "cap", 7),   # not a task TypeError
     ]
     imgs = spark.createDataFrame(
         rows,
@@ -82,3 +84,5 @@ def test_fused_decode_cache_is_per_row_correct(spark, t1_dir):
     assert out["b"].error == "decoded size 16x16 != declared 8x8"
     assert not out["d"].ok and not out["e"].ok
     assert out["d"].error == out["e"].error and out["d"].error
+    assert not out["f"].ok and not out["g"].ok
+    assert out["f"].error == out["g"].error and "corrupt" in out["f"].error
