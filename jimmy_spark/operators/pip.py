@@ -1,10 +1,10 @@
-"""Point-in-polygon spatial join (broadcast polygon side).
+"""Point-in-polygon spatial join (broadcast polygon side + shuffled scale path).
 
 Jimmy analogue: every reference join is "build a small dict once, probe it
 per record" (SURVEY §2.4) — i.e. a broadcast hash join. Here the broadcast
 side is the polygon set and the probe is spatial.
 
-Two physical strategies, identical results:
+Three physical strategies, identical results:
 
 1. ``pip_join_rtree`` (default, the 100-TB path): polygons are packed into
    an STR R-tree on the driver and shipped inside the ``mapInPandas``
@@ -20,6 +20,18 @@ Two physical strategies, identical results:
    BroadcastNestedLoopJoin on the bbox range predicate, then a pandas-UDF
    ray-cast filter. Slower (NLJ row pairing on the JVM) but useful as an
    independent implementation for differential testing.
+
+3. ``pip_join_cells``: the huge-polygon-set scale path. Both rtree and
+   broadcast require the polygon set to fit in a task closure / broadcast;
+   with millions of polygons (country-scale admin + parcel layers) neither
+   does. Here each polygon's bbox is covered by fixed-width grid cells,
+   each (polygon, cell) is classified FULL (cell rectangle provably inside
+   the ring — accepted with no exact test, ring bytes never enter the
+   shuffle) or BOUNDARY (ring rides once per boundary cell), points key by
+   exact integer floor division, and the two sides meet in a plain
+   equality join on (gx, gy) — a shuffled hash/sort-merge join Catalyst +
+   AQE partition and skew-split like any other key join. Nothing is
+   broadcast; both sides stream.
 
 The DuckDB oracle (``duckdb_pip_sql``) evaluates the same bbox prefilter +
 integer predicates via edge unnesting — exact row-set equality.
@@ -137,6 +149,182 @@ def pip_join_broadcast(
 
     return cand.filter(
         exact(F.col(lat_col), F.col(lon_col), F.col("ring_x"), F.col("ring_y"))
+    ).select(id_col, "polygon_id")
+
+
+def _cover_cells(
+    pdf: pd.DataFrame, grid: int
+):
+    """Per polygon-batch: exploded (gx, gy, polygon_id, ring_x?, ring_y?).
+
+    Classification per (polygon, cell rectangle), all-integer after
+    shifting coordinates to the polygon's bbox origin (products then fit
+    int64 whenever the bbox span + grid stays under ~3e9 — every
+    non-antimeridian polygon; wider spans skip classification and mark
+    every cell BOUNDARY, which is always correct, only slower):
+
+      FULL     — all 4 rect corners inside the ring (on-edge = inside) and
+                 no ring edge intersects the closed rect (exact SAT:
+                 bbox-overlap on x/y + rect corners strictly one side of
+                 the edge's supporting line). Rings are dropped (null).
+      BOUNDARY — corners straddle or an edge crosses: ring rides along for
+                 the exact per-point ray-cast after the join.
+      outside  — no corner inside, no edge intersects: dropped here, so
+                 bbox-corner cells never reach the shuffle at all.
+    """
+    out_gx: list[np.ndarray] = []
+    out_gy: list[np.ndarray] = []
+    out_id: list[np.ndarray] = []
+    out_rx: list[list] = []
+    out_ry: list[list] = []
+    for row in pdf.itertuples():
+        rx = np.array([v["lon_e7"] for v in row.ring], dtype=np.int64)
+        ry = np.array([v["lat_e7"] for v in row.ring], dtype=np.int64)
+        gx0, gx1 = row.min_lon // grid, row.max_lon // grid
+        gy0, gy1 = row.min_lat // grid, row.max_lat // grid
+        gxs = np.arange(gx0, gx1 + 1, dtype=np.int64)
+        gys = np.arange(gy0, gy1 + 1, dtype=np.int64)
+        cgx = np.repeat(gxs, len(gys))
+        cgy = np.tile(gys, len(gxs))
+        span = max(row.max_lon - row.min_lon, row.max_lat - row.min_lat)
+        if span + grid > 2_500_000_000:  # int64 product guard (see docstring)
+            full = np.zeros(len(cgx), dtype=bool)
+            keep = np.ones(len(cgx), dtype=bool)
+        else:
+            # shift to bbox origin: every coordinate below is a small delta
+            ox, oy = int(row.min_lon), int(row.min_lat)
+            lrx, lry = rx - ox, ry - oy
+            x0, y0 = cgx * grid - ox, cgy * grid - oy
+            x1, y1 = x0 + grid, y0 + grid
+            # (a) rect corners inside the ring?
+            corner_in = np.ones(len(cgx), dtype=bool)
+            corner_any = np.zeros(len(cgx), dtype=bool)
+            for cx, cy in ((x0, y0), (x1, y0), (x0, y1), (x1, y1)):
+                ins = inside_ring(cx, cy, lrx, lry)
+                corner_in &= ins
+                corner_any |= ins
+            # (b) any ring edge intersecting the closed rect? (edges x cells)
+            ex1, ey1 = lrx[:, None], lry[:, None]
+            ex2, ey2 = np.roll(lrx, -1)[:, None], np.roll(lry, -1)[:, None]
+            bx0, bx1 = x0[None, :], x1[None, :]
+            by0, by1 = y0[None, :], y1[None, :]
+            bbox_ov = (
+                (np.maximum(ex1, ex2) >= bx0)
+                & (np.minimum(ex1, ex2) <= bx1)
+                & (np.maximum(ey1, ey2) >= by0)
+                & (np.minimum(ey1, ey2) <= by1)
+            )
+            dx, dy = ex2 - ex1, ey2 - ey1
+            allpos = np.ones_like(bbox_ov)
+            allneg = np.ones_like(bbox_ov)
+            for cx, cy in ((bx0, by0), (bx1, by0), (bx0, by1), (bx1, by1)):
+                cr = dx * (cy - ey1) - (cx - ex1) * dy
+                allpos &= cr > 0
+                allneg &= cr < 0
+            # touching (cr == 0 corner on the line) counts as intersecting:
+            # separated only when ALL corners are STRICTLY one side
+            edge_hit = (bbox_ov & ~(allpos | allneg)).any(axis=0)
+            full = corner_in & ~edge_hit
+            keep = corner_any | edge_hit
+        cgx, cgy, full = cgx[keep], cgy[keep], full[keep]
+        out_gx.append(cgx)
+        out_gy.append(cgy)
+        out_id.append(np.full(len(cgx), row.polygon_id, dtype=object))
+        ring_x = [int(v) for v in rx]
+        ring_y = [int(v) for v in ry]
+        out_rx.extend(None if f else ring_x for f in full)
+        out_ry.extend(None if f else ring_y for f in full)
+    return pd.DataFrame(
+        {
+            "gx": np.concatenate(out_gx) if out_gx else np.array([], np.int64),
+            "gy": np.concatenate(out_gy) if out_gy else np.array([], np.int64),
+            "polygon_id": np.concatenate(out_id)
+            if out_id
+            else np.array([], object),
+            "ring_x": pd.Series(out_rx, dtype=object),
+            "ring_y": pd.Series(out_ry, dtype=object),
+        }
+    )
+
+
+def _pip_exact_or_full_udf():
+    """Exact ray-cast verdict; a null ring means a FULL cell -> True.
+
+    Null-tolerant on purpose: branching with F.when around a pandas UDF
+    does not short-circuit (Spark may evaluate the UDF on every row), and
+    splitting full/boundary into filter branches would recompute the join
+    per branch — one null-aware kernel keeps the verify a single pass.
+    (Built lazily: pandas_udf needs an active session.)"""
+
+    @F.pandas_udf("boolean")
+    def exact_or_full(
+        lat: pd.Series, lon: pd.Series, rx: pd.Series, ry: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(lat), dtype=bool)
+        lat_v = lat.to_numpy(np.int64)
+        lon_v = lon.to_numpy(np.int64)
+        for i in range(len(lat)):
+            r = rx.iloc[i]
+            if r is None:
+                out[i] = True
+                continue
+            out[i] = inside_ring(
+                lon_v[i : i + 1],
+                lat_v[i : i + 1],
+                np.asarray(r, dtype=np.int64),
+                np.asarray(ry.iloc[i], dtype=np.int64),
+            )[0]
+        return pd.Series(out)
+
+    return exact_or_full
+
+
+def pip_join_cells(
+    points: DataFrame,
+    polygons: DataFrame,
+    grid_e7: int = 250_000,
+    id_col: str = "image_id",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Shuffled grid-cell PIP join — polygon sets too large to broadcast.
+
+    Exactly-once by construction: a point lies in exactly ONE grid cell
+    (integer floor division) and each (polygon, cell) pair is emitted once
+    by the cover, so no ``distinct`` is needed on the pair stream. FULL
+    cells carry no ring bytes through the shuffle and skip the exact test;
+    only BOUNDARY candidates pay the ray-cast. ``grid_e7`` should track the
+    median polygon bbox edge (default ~0.025 deg fits the city-scale rings
+    of this engine's datasets); a too-fine grid fans out big polygons, a
+    too-coarse one turns every cell BOUNDARY.
+
+    Scale shape: one narrow mapInPandas over polygons (cover+classify), one
+    JVM projection over points, one equality shuffle join on (gx, gy) —
+    AQE handles hot-cell skew like any other join key. Reference analogue:
+    this is the same blocking-key discipline as the LSH dedup ladder, with
+    the grid cell as the block.
+    """
+    grid = int(grid_e7)
+    cover_schema = (
+        "gx long, gy long, polygon_id string, "
+        "ring_x array<long>, ring_y array<long>"
+    )
+    cover = polygons.select(
+        "polygon_id", "ring", "min_lat", "max_lat", "min_lon", "max_lon"
+    ).mapInPandas(lambda it: (_cover_cells(pdf, grid) for pdf in it), cover_schema)
+    pts = points.select(
+        id_col,
+        lat_col,
+        lon_col,
+        F.expr(f"({lon_col} - pmod({lon_col}, {grid})) div {grid}").alias("gx"),
+        F.expr(f"({lat_col} - pmod({lat_col}, {grid})) div {grid}").alias("gy"),
+    )
+    cand = pts.join(cover, ["gx", "gy"])
+    exact_or_full = _pip_exact_or_full_udf()
+    return cand.filter(
+        exact_or_full(
+            F.col(lat_col), F.col(lon_col), F.col("ring_x"), F.col("ring_y")
+        )
     ).select(id_col, "polygon_id")
 
 

@@ -162,3 +162,89 @@ class TestPIP:
 
     def test_empty_polygon_matches_nothing(self, points, poly_pdf, expected_pairs):
         assert not any(p == "poly_0004" for _, p in expected_pairs)
+
+    @pytest.mark.parametrize("grid", [50_000, 250_000, 1_000_000])
+    def test_cells_matches_oracle_grid_invariant(
+        self, spark, points, t1_dir, expected_pairs, grid
+    ):
+        """Shuffled cell-grid strategy == oracle at every grid width: the
+        grid only shapes the physical plan, never the row set."""
+        polys = spark.read.parquet(f"{t1_dir}/polygons.parquet")
+        got = {
+            (r.image_id, r.polygon_id)
+            for r in pip.pip_join_cells(points, polys, grid_e7=grid).collect()
+        }
+        assert got == expected_pairs
+
+    def test_cells_exactly_once(self, spark, points, t1_dir):
+        """No distinct in the plan, so prove no duplicate pairs are born."""
+        polys = spark.read.parquet(f"{t1_dir}/polygons.parquet")
+        out = pip.pip_join_cells(points, polys, grid_e7=100_000)
+        dup = out.groupBy("image_id", "polygon_id").count().filter("count > 1")
+        assert dup.count() == 0
+
+    def test_cells_on_edge_is_inside(self, spark, t1_dir, poly_pdf):
+        """Tie-rule probes through the cell-join path (grid chosen so the
+        rectangle spans several cells and FULL cells exist inside it)."""
+        rect = poly_pdf[poly_pdf["polygon_id"] == "poly_0003"].iloc[0]
+        lat0, lon0 = rect["min_lat"], rect["min_lon"]
+        lat1, lon1 = rect["max_lat"], rect["max_lon"]
+        probes = pd.DataFrame(
+            {
+                "image_id": ["corner", "edge_mid", "center", "outside"],
+                "lat_e7": [lat0, lat0, (lat0 + lat1) // 2, lat0 - 1],
+                "lon_e7": [lon0, (lon0 + lon1) // 2, (lon0 + lon1) // 2, lon0],
+            }
+        )
+        polys = spark.read.parquet(f"{t1_dir}/polygons.parquet")
+        got = {
+            (r.image_id, r.polygon_id)
+            for r in pip.pip_join_cells(
+                spark.createDataFrame(probes), polys, grid_e7=20_000
+            ).collect()
+            if r.polygon_id == "poly_0003"
+        }
+        assert got == {
+            ("corner", "poly_0003"),
+            ("edge_mid", "poly_0003"),
+            ("center", "poly_0003"),
+        }
+
+    def test_cover_classification(self, poly_pdf):
+        """FULL cells carry no ring bytes; every FULL cell's interior
+        sample points are genuinely inside; outside-bbox corner cells of a
+        concave ring are dropped before the shuffle."""
+        from jimmy_spark.functions.raycast import inside_ring
+        from jimmy_spark.operators.pip import _cover_cells
+
+        grid = 20_000
+        one = poly_pdf[poly_pdf["polygon_id"] == "poly_0003"]
+        cov = _cover_cells(one, grid)
+        full = cov[cov["ring_x"].isna()]
+        boundary = cov[~cov["ring_x"].isna()]
+        assert len(full) > 0 and len(boundary) > 0
+        rect = one.iloc[0]
+        rx = np.array([v["lon_e7"] for v in rect["ring"]], dtype=np.int64)
+        ry = np.array([v["lat_e7"] for v in rect["ring"]], dtype=np.int64)
+        for row in full.itertuples():
+            # all four corners + center of a FULL cell must be inside
+            xs = np.array(
+                [row.gx * grid, (row.gx + 1) * grid, row.gx * grid,
+                 (row.gx + 1) * grid, row.gx * grid + grid // 2],
+                dtype=np.int64,
+            )
+            ys = np.array(
+                [row.gy * grid, row.gy * grid, (row.gy + 1) * grid,
+                 (row.gy + 1) * grid, row.gy * grid + grid // 2],
+                dtype=np.int64,
+            )
+            assert inside_ring(xs, ys, rx, ry).all()
+        # concave star ring: bbox-corner cells fully outside are dropped
+        star = poly_pdf[poly_pdf["polygon_id"] == "poly_0001"]
+        cov_star = _cover_cells(star, 10_000)
+        srow = star.iloc[0]
+        n_bbox = (
+            (srow["max_lon"] // 10_000 - srow["min_lon"] // 10_000 + 1)
+            * (srow["max_lat"] // 10_000 - srow["min_lat"] // 10_000 + 1)
+        )
+        assert len(cov_star) < n_bbox

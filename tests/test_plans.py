@@ -81,6 +81,24 @@ def test_broadcast_pip_uses_broadcast_join(spark, images, t1_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_cell_pip_is_shuffled_join_no_broadcast(spark, images, t1_dir):
+    """The huge-polygon-set PIP path must not depend on a broadcast: with
+    auto-broadcast off (simulating a polygon side too big to broadcast),
+    the plan is a shuffled equality join on the grid keys — the shape that
+    survives millions of polygons."""
+    pts = cells.with_georef(images.select("image_id", "phash"))
+    polys = spark.read.parquet(f"{t1_dir}/polygons.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(pip.pip_join_cells(pts, polys))
+        assert "BroadcastExchange" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "hashpartitioning(gx" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_link_semi_is_semi_join(spark):
     """Existence join must be a semi join (probe side never duplicated)."""
     from jimmy_spark.queries import q_link_semi
