@@ -255,6 +255,172 @@ def knn_join(
     return out.select("query_id", F.col("rank").cast("int").alias("rank"), id_col)
 
 
+def knn_join_big(
+    points: DataFrame,
+    queries: DataFrame,
+    res: int = DEFAULT_RES,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Distributed-query-set kNN: queries are a DataFrame, not pandas.
+
+    ``knn_join`` plans candidate cells per query ON THE DRIVER and
+    broadcasts them — right for interactive batches (hundreds of queries),
+    a driver bottleneck when the query set is itself table-sized (every
+    image probing its neighborhood). Here the same density-directed
+    ring-expansion planning (``_candidate_cells``) runs INSIDE mapInPandas
+    over query partitions, with the density grid shipped once per executor
+    as an explicit ``sparkContext.broadcast`` (the grid stays bounded by
+    the MAX_DRIVER_CELLS coarsening ladder — same invariant as knn_join);
+    candidates then meet the cell-keyed points in a plain SHUFFLED join
+    (no broadcast anywhere on the candidate path), so both sides stream
+    and AQE splits hot cells. The sampled-bound prune, exact int64
+    ranking, DECIMAL overflow route and defensive completeness check are
+    the same exact semantics as knn_join — results are byte-identical.
+
+    Driver-touching state, each bounded: the density grid (coarsening
+    ladder), overflow query ids (planetary-d_bound queries routed to the
+    DECIMAL brute pass — pathological by construction), and the
+    completeness-violation id list (provably empty; collected only to
+    re-route defensively).
+    """
+    spark = points.sparkSession
+    from jimmy_spark.operators.cells import hex_cell_expr
+
+    lat, lon = F.col("lat_e7"), F.col("lon_e7")
+    ladder = list(dict.fromkeys([res, min(res, 6), min(res, 5)]))
+    cards = points.agg(
+        *[
+            F.approx_count_distinct(hex_cell_expr(lat, lon, r)).alias(f"r{r}")
+            for r in ladder
+        ]
+    ).first()
+    res = next(
+        (r for r in ladder if cards[f"r{r}"] <= MAX_DRIVER_CELLS), ladder[-1]
+    )
+
+    pts = points.select(
+        F.col(id_col),
+        F.col("lat_e7").alias("p_lat"),
+        F.col("lon_e7").alias("p_lon"),
+        hex_cell_expr(F.col("lat_e7"), F.col("lon_e7"), res).alias("cell"),
+    ).persist()
+    n_total = pts.count()
+
+    qcols = queries.select("query_id", "lat_e7", "lon_e7", "k")
+    qmeta = qcols.select(
+        "query_id",
+        F.col("lat_e7").alias("q_lat"),
+        F.col("lon_e7").alias("q_lon"),
+        "k",
+    )
+    counts_pdf = pts.groupBy("cell").agg(F.count("*").alias("cnt")).toPandas()
+    grid_bc = spark.sparkContext.broadcast(counts_pdf)
+    res_now = res
+
+    def plan(batches):
+        grid = grid_bc.value
+        for pdf in batches:
+            cand, overflow = _candidate_cells(pdf, grid, res_now)
+            if overflow:
+                cand = cand.assign(cell=cand["cell"].astype("Int64"))
+                cand = pd.concat(
+                    [
+                        cand,
+                        pd.DataFrame(
+                            {
+                                "query_id": np.array(overflow, dtype=object),
+                                "cell": pd.array(
+                                    [None] * len(overflow), dtype="Int64"
+                                ),
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+            yield cand
+
+    def _cand_df() -> DataFrame:
+        # re-instantiated per pass like knn_join's _cand(): planning is a
+        # bounded strip walk per query — cheaper than persisting the
+        # (query x cells) candidate stream (measured on the driver-side
+        # twin; same trade here)
+        return qcols.mapInPandas(plan, "query_id string, cell long")
+
+    overflow_ids = [
+        r.query_id
+        for r in _cand_df().filter(F.col("cell").isNull()).select("query_id")
+        .distinct().collect()
+    ]
+
+    def _scored() -> DataFrame:
+        return (
+            _cand_df()
+            .filter(F.col("cell").isNotNull())
+            .join(pts, "cell")
+            .join(qmeta, "query_id")
+            .withColumn(
+                "dist2",
+                (F.col("p_lat") - F.col("q_lat"))
+                * (F.col("p_lat") - F.col("q_lat"))
+                + (F.col("p_lon") - F.col("q_lon"))
+                * (F.col("p_lon") - F.col("q_lon")),
+            )
+            .select("query_id", "k", id_col, "dist2")
+        )
+
+    result_dfs: list[DataFrame] = []
+    w = Window.partitionBy("query_id").orderBy("dist2", id_col)
+    sample = _scored().filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)) == 0)
+    kth = (
+        sample.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == F.col("k"))
+        .select("query_id", F.col("dist2").alias("bound"))
+    )
+    topk = (
+        _scored()
+        .join(kth, "query_id", "left")  # NOT broadcast: one row per query,
+        # query-set-sized by assumption
+        .filter(F.col("bound").isNull() | (F.col("dist2") <= F.col("bound")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", id_col)
+        .localCheckpoint(eager=True)
+    )
+    # defensive completeness check, distributed: join planned queries
+    # against their result counts; the violation set is provably empty
+    # (d_bound argument) and only its ids ever reach the driver
+    planned = _cand_df().filter(F.col("cell").isNotNull()).select("query_id").distinct()
+    got_n = topk.groupBy("query_id").agg(F.count("*").alias("n"))
+    short_ids = [
+        r.query_id
+        for r in planned.join(got_n, "query_id", "left")
+        .join(qcols.select("query_id", "k"), "query_id")
+        .filter(
+            F.coalesce(F.col("n"), F.lit(0))
+            < F.least(F.col("k"), F.lit(n_total))
+        )
+        .select("query_id")
+        .collect()
+    ]
+    if short_ids:
+        overflow_ids = overflow_ids + short_ids
+        topk = topk.filter(~F.col("query_id").isin(short_ids))
+    result_dfs.append(topk)
+
+    if overflow_ids:
+        result_dfs.append(
+            _brute_force(pts, qmeta, overflow_ids, id_col).localCheckpoint(
+                eager=True
+            )
+        )
+
+    pts.unpersist()
+    out = result_dfs[0]
+    for extra in result_dfs[1:]:
+        out = out.unionByName(extra)
+    return out.select("query_id", F.col("rank").cast("int").alias("rank"), id_col)
+
+
 def _brute_force(
     pts: DataFrame, qmeta: DataFrame, qids: list[str], id_col: str
 ) -> DataFrame:
