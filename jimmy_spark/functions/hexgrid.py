@@ -157,6 +157,54 @@ def rings_needed(res: int, dist: np.ndarray) -> np.ndarray:
     return np.ceil((dist + 2.0 * s) / (1.5 * s)).astype(np.int64)
 
 
+def polyfill(ring_x: np.ndarray, ring_y: np.ndarray, res: int) -> np.ndarray:
+    """Cells whose CENTER lies inside the ring — H3 ``polyfill`` semantics.
+
+    Candidate cells are enumerated directly in axial space from the ring's
+    bbox (centers: x = s*sqrt(3)*(q + r/2), y = 1.5*s*r, so the r range
+    follows from the y extent and, per r row, the q range from the x
+    extent — no lattice sampling, no missed cells). Each center is rounded
+    to the e7 fixed-point lattice with the grid's floor(v + 0.5) half-rule
+    and tested with the exact integer ray-cast (on-edge = inside), so the
+    result is deterministic bit-for-bit.
+
+    Returns sorted int64 cell ids. Note the standard H3 caveat: polyfill
+    covers the polygon's *centers*, not its area — cells intersecting the
+    ring with centers outside are not included (use a dilated ring for a
+    cover).
+    """
+    from jimmy_spark.functions.raycast import inside_ring
+
+    s = SIZES[res]
+    rx = np.asarray(ring_x, dtype=np.int64)
+    ry = np.asarray(ring_y, dtype=np.int64)
+    min_x, max_x = float(rx.min()), float(rx.max())
+    min_y, max_y = float(ry.min()), float(ry.max())
+    # ranges widened by one row/col each side: float rounding on the bbox
+    # boundary must never drop a borderline center — the exact ray-cast
+    # below discards the extras
+    r_lo = int(np.ceil(min_y / (1.5 * s))) - 1
+    r_hi = int(np.floor(max_y / (1.5 * s))) + 1
+    sq3 = np.sqrt(3.0)
+    rows = np.arange(r_lo, r_hi + 1, dtype=np.int64)
+    # per row: s*sqrt(3)*(q + r/2) in [min_x, max_x]
+    q_lo = np.ceil(min_x / (s * sq3) - rows * 0.5).astype(np.int64) - 1
+    q_hi = np.floor(max_x / (s * sq3) - rows * 0.5).astype(np.int64) + 1
+    n_per = np.maximum(q_hi - q_lo + 1, 0)
+    if n_per.sum() == 0:
+        return np.array([], dtype=np.int64)
+    r_all = np.repeat(rows, n_per)
+    q_all = np.concatenate(
+        [np.arange(lo, hi + 1, dtype=np.int64) for lo, hi in zip(q_lo, q_hi) if hi >= lo]
+    )
+    cells = pack(res, q_all, r_all)
+    cy, cx = center(cells)
+    px = np.floor(cx + 0.5).astype(np.int64)
+    py = np.floor(cy + 0.5).astype(np.int64)
+    keep = inside_ring(px, py, rx, ry)
+    return np.sort(cells[keep])
+
+
 # --- DuckDB oracle SQL ----------------------------------------------------
 
 

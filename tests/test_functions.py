@@ -94,6 +94,67 @@ class TestHexgrid:
         m = d > 0
         assert (eu[m] >= 1.5 * s * d[m] - 1e-6).all()
 
+    @staticmethod
+    def _polyfill_lattice(rx, ry, res):
+        """Independent polyfill: enumerate candidate cells by ENCODING a
+        dense point lattice over the bbox (spacing < inradius, so every
+        cell whose center could be in the bbox is hit), then apply the
+        same rounded-center ray-cast. Shares no axial-range arithmetic
+        with hexgrid.polyfill."""
+        from jimmy_spark.functions.raycast import inside_ring
+
+        s = hexgrid.SIZES[res]
+        step = s * np.sqrt(3.0) / 4.0
+        xs = np.arange(rx.min() - 2 * s, rx.max() + 2 * s, step)
+        ys = np.arange(ry.min() - 2 * s, ry.max() + 2 * s, step)
+        gx, gy = np.meshgrid(xs, ys)
+        cells = np.unique(
+            hexgrid.encode(gy.ravel().astype(np.int64),
+                           gx.ravel().astype(np.int64), res)
+        )
+        cy, cx = hexgrid.center(cells)
+        px = np.floor(cx + 0.5).astype(np.int64)
+        py = np.floor(cy + 0.5).astype(np.int64)
+        return np.sort(cells[inside_ring(px, py, rx, ry)])
+
+    @pytest.mark.parametrize("poly_id", ["poly_0000", "poly_0001", "poly_0003"])
+    @pytest.mark.parametrize("res", [8, 9])
+    def test_polyfill_matches_lattice_enumeration(self, t1_dir, poly_id, res):
+        """Axial-range enumeration == independent lattice enumeration on
+        convex, concave-star and rectangle rings."""
+        import pyarrow.parquet as pq
+
+        polys = pq.read_table(f"{t1_dir}/polygons.parquet").to_pandas()
+        p = polys[polys["polygon_id"] == poly_id].iloc[0]
+        rx = np.array([v["lon_e7"] for v in p["ring"]], dtype=np.int64)
+        ry = np.array([v["lat_e7"] for v in p["ring"]], dtype=np.int64)
+        got = hexgrid.polyfill(rx, ry, res)
+        exp = self._polyfill_lattice(rx, ry, res)
+        np.testing.assert_array_equal(got, exp)
+        assert len(got) > 0
+
+    def test_polyfill_roundtrip_and_empty(self, t1_dir):
+        """Every polyfill cell's rounded center re-encodes to itself, and
+        a ring smaller than one cell can legitimately fill zero cells."""
+        import pyarrow.parquet as pq
+
+        polys = pq.read_table(f"{t1_dir}/polygons.parquet").to_pandas()
+        p = polys[polys["polygon_id"] == "poly_0000"].iloc[0]
+        rx = np.array([v["lon_e7"] for v in p["ring"]], dtype=np.int64)
+        ry = np.array([v["lat_e7"] for v in p["ring"]], dtype=np.int64)
+        cells = hexgrid.polyfill(rx, ry, 9)
+        cy, cx = hexgrid.center(cells)
+        px = np.floor(cx + 0.5).astype(np.int64)
+        py = np.floor(cy + 0.5).astype(np.int64)
+        np.testing.assert_array_equal(hexgrid.encode(py, px, 9), cells)
+        # tiny triangle far from any res-7 center: empty is valid, no crash
+        tiny = hexgrid.polyfill(
+            np.array([3, 6, 6], dtype=np.int64),
+            np.array([3, 3, 6], dtype=np.int64),
+            7,
+        )
+        assert tiny.dtype == np.int64
+
 
 # ---------------------------------------------------------------------------
 # Independent S2 twin: a scalar, per-point encoder derived from FIRST
