@@ -69,3 +69,83 @@ def test_hourly_rollup_cascade_invariant(spark, events):
     for k, (n, tot) in from_fine.items():
         assert n == from_raw[k][0]
         assert abs(tot - from_raw[k][1]) < 1e-4
+
+
+class TestSpatialIngest:
+    """Continuous-arrival twin of the spatial hot path (streaming/spatial.py):
+    drain -> idempotent no-op -> drain new arrivals; final sink must equal
+    the one-shot batch fused stage over everything, row for row."""
+
+    @staticmethod
+    def _norm_fused(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        for c in out.columns:
+            if len(out) and isinstance(out[c].iloc[0], (list, tuple)):
+                out[c] = out[c].map(lambda v: tuple(v) if v is not None else None)
+            elif str(out[c].dtype) == "object":
+                out[c] = out[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                )
+        cols = sorted(out.columns)
+        return out[cols].sort_values("image_id").reset_index(drop=True)
+
+    def test_ingest_two_arrivals_equals_batch(self, spark, t1_dir, tmp_path):
+        import pyarrow.parquet as pq
+        import shutil
+
+        from jimmy_spark.operators import fused
+        from jimmy_spark.streaming import spatial
+
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        out = str(tmp_path / "enriched")
+        cp = str(tmp_path / "cp")
+        tbl = pq.read_table(f"{t1_dir}/images.parquet")
+        poly_pdf = pd.read_parquet(f"{t1_dir}/polygons.parquet")
+
+        # arrival 1: first 300 rows
+        pq.write_table(tbl.slice(0, 300), src / "part-0.parquet")
+        spatial.run_spatial_ingest(spark, str(src), poly_pdf, out, cp)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == 300
+
+        # no new files: draining again is a no-op (no duplicate rows)
+        spatial.run_spatial_ingest(spark, str(src), poly_pdf, out, cp)
+        assert spark.read.parquet(out).count() == 300
+
+        # arrival 2: the rest — only the new file is processed
+        pq.write_table(tbl.slice(300), src / "part-1.parquet")
+        spatial.run_spatial_ingest(spark, str(src), poly_pdf, out, cp)
+
+        got = self._norm_fused(spark.read.parquet(out).toPandas())
+        exp = self._norm_fused(
+            fused.fused_spatial_stage(
+                spark.read.parquet(str(src)), poly_pdf
+            ).toPandas()
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_ingest_restart_after_sink_loss_is_consistent(
+        self, spark, t1_dir, tmp_path
+    ):
+        """Blowing away the sink but keeping the source checkpoint must NOT
+        silently skip data on a fresh run id — and a fresh checkpoint over
+        the same source reproduces the sink byte-identically (determinism
+        of the fused kernel across replays)."""
+        import pyarrow.parquet as pq
+
+        from jimmy_spark.streaming import spatial
+
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        poly_pdf = pd.read_parquet(f"{t1_dir}/polygons.parquet")
+        tbl = pq.read_table(f"{t1_dir}/images.parquet")
+        pq.write_table(tbl.slice(0, 200), src / "part-0.parquet")
+
+        out_a, cp_a = str(tmp_path / "out_a"), str(tmp_path / "cp_a")
+        out_b, cp_b = str(tmp_path / "out_b"), str(tmp_path / "cp_b")
+        spatial.run_spatial_ingest(spark, str(src), poly_pdf, out_a, cp_a)
+        spatial.run_spatial_ingest(spark, str(src), poly_pdf, out_b, cp_b)
+        a = self._norm_fused(spark.read.parquet(out_a).toPandas())
+        b = self._norm_fused(spark.read.parquet(out_b).toPandas())
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
