@@ -23,7 +23,7 @@ class STRtree:
         self.max_y = np.asarray(max_y, dtype=np.int64)
         order = np.argsort((self.min_x + self.max_x) * 0.5, kind="stable")
         n_slices = max(1, int(np.ceil(np.sqrt(n / _LEAF))))
-        slice_sz = int(np.ceil(n / n_slices))
+        slice_sz = max(1, int(np.ceil(n / n_slices)))  # n=0: empty tree, no crash
         leaves = []
         for s in range(0, n, slice_sz):
             sl = order[s : s + slice_sz]

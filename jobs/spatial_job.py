@@ -35,13 +35,23 @@ def main() -> int:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument(
+        "--pip-strategy",
+        choices=("rtree", "cells"),
+        default="rtree",
+        help="rtree: broadcast R-tree fused into the narrow map (polygon "
+        "set fits a task closure — the north_rule default). cells: "
+        "shuffled grid-cell join (operators/pip.py pip_join_cells) for "
+        "polygon sets too large to broadcast; identical output.",
+    )
+    ap.add_argument("--pip-grid-e7", type=int, default=250_000)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     import pandas as pd
-    from jimmy_spark.operators import cells, fused, tiling
+    from jimmy_spark.operators import cells, fused, pip, tiling
     from jimmy_spark.sources.images import read_images
     from jimmy_spark.streaming.checkpoint import StageRunner
 
@@ -58,11 +68,37 @@ def main() -> int:
     images = read_images(spark, args.images)
     poly_pdf = pd.read_parquet(args.polygons)
 
+    if args.pip_strategy == "rtree":
+        stage_fn = lambda df: fused.fused_spatial_stage(df, poly_pdf)  # noqa: E731
+    else:
+        # cells: same fused kernel minus the closure-broadcast PIP (empty
+        # polygon set), PIP pairs from the shuffled grid-cell join, folded
+        # back to the per-image sorted array — output identical to rtree
+        polygons_df = spark.read.parquet(args.polygons)
+        no_polys = poly_pdf.iloc[0:0]
+
+        def stage_fn(df):
+            base = fused.fused_spatial_stage(df, no_polys).drop("polygon_ids")
+            # no ok-filter: the fused kernel PIPs every row (georef comes
+            # from phash, not from the decode), so the twin must too
+            pairs = pip.pip_join_cells(
+                base.select("image_id", "lat_e7", "lon_e7"),
+                polygons_df,
+                grid_e7=args.pip_grid_e7,
+            )
+            agg = pairs.groupBy("image_id").agg(
+                F.sort_array(F.collect_list("polygon_id")).alias("polygon_ids")
+            )
+            return base.join(agg, "image_id", "left").withColumn(
+                "polygon_ids",
+                F.coalesce(F.col("polygon_ids"), F.array().cast("array<string>")),
+            )
+
     runner = StageRunner(spark, args.checkpoint, args.run_id, n_buckets=args.buckets)
     enriched = runner.run_stage(
         "fused_spatial",
         images,
-        lambda df: fused.fused_spatial_stage(df, poly_pdf),
+        stage_fn,
         f"{args.out}/enriched",
     )
 

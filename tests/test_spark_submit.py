@@ -56,6 +56,35 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
     ).fetchall()
     assert counts2 == counts1
 
+    # --pip-strategy cells (unbroadcastable-polygon path) through the same
+    # deployment shape: enriched output must be identical row for row
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zip_path),
+        str(REPO / "jobs" / "spatial_job.py"),
+        "--images", f"{t1_dir}/images.parquet",
+        "--polygons", f"{t1_dir}/polygons.parquet",
+        "--out", str(tmp_path / "out_cells"),
+        "--checkpoint", str(tmp_path / "cp_cells"),
+        "--run-id", "submit-cells",
+        "--buckets", "8",
+        "--pip-strategy", "cells",
+    ]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-3000:]
+    s3 = json.loads(p.stdout.strip().splitlines()[-1])
+    assert s3["rows_in"] == 500 and s3["rows_out"] == 500
+    q = (
+        "SELECT image_id, ok, px_checksum, hex_r8, s2_l12, tile_z12_x, "
+        "tile_z12_y, list_sort(polygon_ids) AS pids FROM '{d}/enriched/*/*.parquet' "
+        "ORDER BY image_id"
+    )
+    a = duckdb.sql(q.format(d=f"{tmp_path}/out")).fetchall()
+    b = duckdb.sql(q.format(d=f"{tmp_path}/out_cells")).fetchall()
+    assert a == b
+
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
 def test_spark_submit_dedup_job(spark, tmp_path):
