@@ -1,0 +1,139 @@
+"""Within-distance spatial pair join (the classic geospatial "distance
+join"): all pairs of points at squared planar distance <= d^2.
+
+North_rule family: spatial join over the (lat_e7, lon_e7) fixed-point plane
+shared by the hex grid, kNN, and PIP stages (functions/hexgrid.py docstring).
+Reference analogue: jimmy's only pairwise-proximity operator is the O(n^2)
+fuzzy-title theta join (/root/reference/src/jimmy/common.py:373-400); the
+scalable shape is the same blocking discipline used by operators/knn.py —
+hex-cell blocking key + bounded candidate join + exact integer verify.
+
+Plan shape (built for the 10^12-row design point):
+
+1. Home cell per point at resolution ``res`` — pure JVM expression
+   (``cells.hex_cell_expr``), no Python worker.
+2. The LEFT side explodes each point to its full hex disk of radius
+   ``k = rings_needed(res, d)`` (``functions/hexgrid.py``: any point within
+   Euclidean distance d of a point in a cell lies within k rings of it).
+   The disk offsets are a compile-time literal array of packed
+   ``(dq << 30) + dr`` deltas, so neighbor ids are plain int64 adds —
+   the expansion is a narrow codegen'd explode, no shuffle.
+3. The RIGHT side keeps each point at its home cell only. ONE shuffled
+   equality join on the cell id.
+4. Verify: exact int64 squared distance (join-matched deltas are bounded
+   by ~(k+2)*sqrt(3)*size, far inside int64-exact range) and the
+   ``a_id < b_id`` total order.
+
+Exactly-once BY CONSTRUCTION (no distinct): a true pair (a, b) with
+``a_id < b_id`` is emitted iff b's home cell is in a's disk — b has exactly
+ONE home cell and the disk enumerates distinct cells, so each qualifying
+pair matches exactly one (disk-cell, home-cell) row pair. The ring bound
+makes membership certain, so recall is exact, not approximate.
+
+Scale/skew: the single Exchange is the cell-keyed join; hot cells get AQE
+skew-join splitting, and true output over a hot spot is inherently
+quadratic in its population (every emitted pair is a real result, the
+candidate set is bounded by the disk area times local density — never
+all-pairs). Fanout is 3k(k+1)+1 rows per left point; ``res`` defaults to
+the finest grid whose disk radius stays <= MAX_RINGS so the explode factor
+is bounded and known at plan time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jimmy_spark.functions import hexgrid
+from jimmy_spark.operators.cells import hex_cell_expr
+
+# Largest disk radius the left-side explode may use when auto-picking the
+# resolution: fanout 3k(k+1)+1 <= 37 rows/point at k=3.
+MAX_RINGS = 3
+
+
+def pick_resolution(d: float) -> tuple[int, int]:
+    """Finest resolution whose guaranteed disk radius is <= MAX_RINGS
+    (finer cells = tighter candidates, but the disk must stay bounded);
+    falls back to the coarsest grid when d dwarfs every cell size."""
+    coarsest = min(hexgrid.RESOLUTIONS)
+    for res in sorted(hexgrid.RESOLUTIONS, reverse=True):
+        k = int(hexgrid.rings_needed(res, np.asarray([float(d)]))[0])
+        if k <= MAX_RINGS or res == coarsest:
+            return res, k
+    raise AssertionError("unreachable")
+
+
+def _disk_deltas(k: int) -> list[int]:
+    """Packed int64 cell-id deltas for the radius-k disk (bit layout in
+    functions/hexgrid.py: q in bits 30-59, r in bits 0-29, so a neighbor
+    id is home + (dq << 30) + dr; offsets never leave the 30-bit fields
+    because |q|,|r| stay far below the 2^29 bias)."""
+    offs = hexgrid.disk_offsets(k)
+    return [int((dq << 30) + dr) for dq, dr in offs]
+
+
+def distance_join(
+    points: DataFrame,
+    d: int,
+    res: int | None = None,
+    id_col: str = "image_id",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """All pairs (a_id < b_id) with squared planar distance <= d*d.
+
+    Output: (a_id, b_id, dist2:long), each qualifying pair exactly once.
+    ``d`` is in e7 fixed-point units (the hex grid's plane).
+    """
+    if res is None:
+        res, k = pick_resolution(d)
+    else:
+        k = int(hexgrid.rings_needed(res, np.asarray([float(d)]))[0])
+    deltas = F.array(*[F.lit(x) for x in _disk_deltas(k)])
+    home: Column = hex_cell_expr(F.col(lat_col), F.col(lon_col), res)
+
+    # generators can't nest inside expressions: explode to a column, then add
+    left = points.select(
+        F.col(id_col).alias("a_id"),
+        F.col(lat_col).alias("a_lat"),
+        F.col(lon_col).alias("a_lon"),
+        home.alias("_home"),
+        F.explode(deltas).alias("_delta"),
+    ).select(
+        "a_id", "a_lat", "a_lon",
+        (F.col("_home") + F.col("_delta")).alias("cell"),
+    )
+    right = points.select(
+        F.col(id_col).alias("b_id"),
+        F.col(lat_col).alias("b_lat"),
+        F.col(lon_col).alias("b_lon"),
+        home.alias("cell"),
+    )
+    dx = (F.col("a_lon") - F.col("b_lon")).cast("long")
+    dy = (F.col("a_lat") - F.col("b_lat")).cast("long")
+    dist2 = dx * dx + dy * dy
+    return (
+        left.join(right, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dist2 <= F.lit(int(d) * int(d)))
+        .select("a_id", "b_id", dist2.alias("dist2"))
+    )
+
+
+def duckdb_dist_sql(points_sql: str, d: int, id_col: str = "image_id") -> str:
+    """Oracle twin: brute-force self theta-join. Squares go through HUGEINT
+    (full-span e7 deltas overflow int64 — DuckDB reorders predicates, so a
+    bbox prefilter cannot be relied on to run first); the surviving dist2
+    is <= d^2 and casts back to BIGINT to match Spark's long."""
+    dist2 = (
+        f"(a.lon_e7 - b.lon_e7)::HUGEINT * (a.lon_e7 - b.lon_e7) + "
+        f"(a.lat_e7 - b.lat_e7)::HUGEINT * (a.lat_e7 - b.lat_e7)"
+    )
+    return (
+        f"SELECT a.{id_col} AS a_id, b.{id_col} AS b_id, "
+        f"({dist2})::BIGINT AS dist2 "
+        f"FROM ({points_sql}) a JOIN ({points_sql}) b "
+        f"ON a.{id_col} < b.{id_col} AND {dist2} <= {int(d)}::HUGEINT * {int(d)}"
+    )

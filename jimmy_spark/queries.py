@@ -25,6 +25,7 @@ from jimmy_spark.operators import (
     cells,
     decode,
     dedup,
+    distjoin,
     knn,
     multimodal,
     pip,
@@ -94,6 +95,22 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_pdf = pd.read_parquet(f"{_t2()}/knn_queries.parquet")
     out = knn.knn_join(_points(spark), queries_pdf)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "image_id")
+
+
+def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance spatial pair join (operators/distjoin.py): every
+    image pair within 20,000 e7-units (~2.2 km of latitude) of each other,
+    exactly once, via hex-disk blocking at res 9 + one shuffled cell join +
+    exact int64 verify. Exercises the t2 hot clusters (the three planted
+    211/186/131-point spots produce the quadratic local pair mass a real
+    geo corpus has). Oracle: brute-force HUGEINT self theta-join."""
+    from jimmy_spark.operators import distjoin
+
+    return distjoin.distance_join(_points(spark), d=DIST_JOIN_D, res=9)
+
+
+# ~2.2 km; res 9 disk radius rings_needed(9, 20000) = 3 -> 37-cell fanout
+DIST_JOIN_D = 20_000
 
 
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +421,7 @@ def _oracle_spatial() -> dict[str, str]:
         ),
         "pip": pip.duckdb_pip_sql(g, f"{t2}/polygons.parquet"),
         "knn": knn.duckdb_knn_sql(g, f"{t2}/knn_queries.parquet"),
+        "dist_join": distjoin.duckdb_dist_sql(g, DIST_JOIN_D),
         "cell_counts": (
             "SELECT hex_r8, count(*) AS cnt FROM ("
             + hexgrid.duckdb_hex_query(g, "image_id", "lat_e7", "lon_e7", (8,))
@@ -792,30 +810,28 @@ def q_binary_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     common.py:222-227, formats/colornote.py:37-54, md_lib/evernote.py:19-49):
     canonical base64 (Spark's MIME line-wrap stripped via translate so it
     matches RFC-4648/DuckDB), hex, and an AES-GCM encrypt->decrypt
-    roundtrip whose oracle identity is the plaintext itself."""
+    roundtrip whose oracle identity is the plaintext itself — PLUS the
+    custom_metadata open map (intermediate_format.py:197): per-doc MapType
+    -> map_filter -> exploded key/value rows riding the same docs scan
+    (round-5 absorption freeing a registry slot for ``dist_join``;
+    cardinality is 2 rows/doc, one per kept map key)."""
     docs = _docs(spark, sf_dir)
     txt = F.encode(F.col("text"), "UTF-8")
     key = F.lit("0123456789abcdef")
-    return docs.select(
-        "doc_id",
-        F.translate(F.base64(txt), "\r\n", "").alias("b64"),
-        F.hex(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("hx"),
-        F.decode(F.unbase64(F.base64(txt)), "UTF-8").alias("b64_rt"),
-        F.aes_decrypt(F.aes_encrypt(txt, key), key).cast("string").alias("aes_rt"),
-    )
-
-
-def q_metadata_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """custom_metadata open-map handling (intermediate_format.py:197):
-    per-doc MapType column -> map_filter -> exploded key/value rows."""
-    docs = _docs(spark, sf_dir)
     m = F.create_map(
         F.lit("lang"), F.col("lang"),
         F.lit("source"), F.col("source"),
         F.lit("n_chars"), F.col("n_chars").cast("string"),
     )
     kept = F.map_filter(m, lambda k, v: k != "n_chars")
-    return docs.select("doc_id", F.explode(kept).alias("meta_key", "meta_val"))
+    return docs.select(
+        "doc_id",
+        F.translate(F.base64(txt), "\r\n", "").alias("b64"),
+        F.hex(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("hx"),
+        F.decode(F.unbase64(F.base64(txt)), "UTF-8").alias("b64_rt"),
+        F.aes_decrypt(F.aes_encrypt(txt, key), key).cast("string").alias("aes_rt"),
+        F.explode(kept).alias("meta_key", "meta_val"),
+    )
 
 
 def q_rollup_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,14 +959,14 @@ def _oracle_generic() -> dict[str, str]:
             "FROM kids k LEFT JOIN documents p ON k.parent_id = p.doc_id"
         ),
         "binary_kernels": (
-            "SELECT doc_id, to_base64(encode(text)) AS b64, "
+            "WITH b AS (SELECT doc_id, to_base64(encode(text)) AS b64, "
             "hex(encode(substring(text, 1, 16))) AS hx, "
-            "text AS b64_rt, text AS aes_rt FROM documents"
-        ),
-        "metadata_map": (
-            "SELECT doc_id, 'lang' AS meta_key, lang AS meta_val FROM documents "
+            "text AS b64_rt, text AS aes_rt, lang, source FROM documents) "
+            "SELECT doc_id, b64, hx, b64_rt, aes_rt, "
+            "'lang' AS meta_key, lang AS meta_val FROM b "
             "UNION ALL "
-            "SELECT doc_id, 'source' AS meta_key, source AS meta_val FROM documents"
+            "SELECT doc_id, b64, hx, b64_rt, aes_rt, "
+            "'source' AS meta_key, source AS meta_val FROM b"
         ),
         "rollup_concat": (
             "SELECT user_id, count(*) AS n_events, "
@@ -1916,6 +1932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tiles": q_tiles,
     "pip": q_pip,
     "knn": q_knn,
+    "dist_join": q_dist_join,
     "cell_counts": q_cell_counts,
     "overlay": q_overlay,
     "decode_stats": q_decode_stats,
@@ -1938,7 +1955,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "tree_span": q_tree_span,
     "binary_kernels": q_binary_kernels,
-    "metadata_map": q_metadata_map,
     "rollup_concat": q_rollup_concat,
     "cube_counts": q_cube_counts,
     "topk_per_group": q_topk_per_group,

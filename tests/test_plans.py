@@ -108,10 +108,12 @@ def test_link_semi_is_semi_join(spark):
 
 
 def test_metadata_map_is_narrow(spark):
-    """Map build + filter + explode is one narrow stage — no Exchange."""
-    from jimmy_spark.queries import q_metadata_map
+    """Map build + filter + explode is one narrow stage — no Exchange.
+    (The open-map lane rides q_binary_kernels since the round-5 registry
+    consolidation; the plan property is unchanged.)"""
+    from jimmy_spark.queries import q_binary_kernels
 
-    plan = _plan(q_metadata_map(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_binary_kernels(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan
     assert "Generate explode" in plan or "Generate" in plan
 
