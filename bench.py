@@ -51,7 +51,7 @@ def _pipeline_bench(cores: int, lean: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from jimmy_spark.datagen import ensure_dataset
-    from jimmy_spark.operators import cells, fused, knn
+    from jimmy_spark.operators import cells, distjoin, fused, knn
     from jimmy_spark.session import get_spark
 
     d = str(ensure_dataset("bench"))
@@ -161,12 +161,29 @@ def _pipeline_bench(cores: int, lean: bool = False) -> dict:
         stages["knn"] = min(k_reps)
         stages["knn_reps"] = [round(r, 3) for r in k_reps]
 
+    # --- within-distance pair join (square-grid scale path, d=100 e7-units
+    # ~1.1 m): 8.35M exact pairs out of 4M points incl. the three 530k-point
+    # hot clusters — the regime where grid-width-tracks-d keeps candidates
+    # output-proportional (operators/distjoin.py distance_join_grid) -------
+    n_dist = 0
+    stages["dist_join"] = 0.0
+    if not lean and cores >= 12:
+        pts = cells.with_georef(images.select("image_id", "phash"))
+        d_reps = []
+        for _ in range(3):
+            t = time.monotonic()
+            n_dist = distjoin.distance_join_grid(pts, d=100).count()
+            d_reps.append(time.monotonic() - t)
+        stages["dist_join"] = min(d_reps)
+        stages["dist_join_reps"] = [round(r, 3) for r in d_reps]
+
     spark.stop()
     return {
         "cores": cores,
         "rows": n_rows,
         "rollup_groups": n_groups,
         "knn_rows": n_knn,
+        "dist_pairs": n_dist,
         "stages": {
             k: (v if isinstance(v, list) else round(v, 3))
             for k, v in stages.items()
@@ -414,16 +431,17 @@ def _write_report(
         "combined rollup (cell/tile/PIP-pair counts, one groupBy shuffle) "
         "and kNN (interactive latency) are reported as separate columns.",
         "",
-        "| parallelism | fused map sec | rows/sec | rollup sec | knn sec (300 queries) |",
-        "| --- | --- | --- | --- | --- |",
+        "| parallelism | fused map sec | rows/sec | rollup sec | knn sec (300 queries) | dist_join sec (d=100, 8.35M pairs) |",
+        "| --- | --- | --- | --- | --- | --- |",
     ]
     for r in (r_lo, r_hi):
         st = r["stages"]
         rollup = st["rollup"] or "-"
         knn_s = st["knn"] or "-"
+        dist_s = st.get("dist_join") or "-"
         lines.append(
             f"| local[{r['cores']}] | {r['total_sec']} | {r['rows_per_sec']} | "
-            f"{rollup} | {knn_s} |"
+            f"{rollup} | {knn_s} | {dist_s} |"
         )
     lines += [
         "",
@@ -562,8 +580,10 @@ def main() -> None:
             r_hi = dict(r_hi, stages=dict(r_hi["stages"]))
             r_hi["stages"]["knn"] = r_hi_primary["stages"]["knn"]
             r_hi["stages"]["rollup"] = r_hi_primary["stages"]["rollup"]
+            r_hi["stages"]["dist_join"] = r_hi_primary["stages"]["dist_join"]
             r_hi["knn_rows"] = r_hi_primary["knn_rows"]
             r_hi["rollup_groups"] = r_hi_primary["rollup_groups"]
+            r_hi["dist_pairs"] = r_hi_primary["dist_pairs"]
 
     probe = _host_cpu_probe()
     generic = _generic_bench()

@@ -122,6 +122,81 @@ def distance_join(
     )
 
 
+# Shift that makes every e7 coordinate non-negative before the integer
+# floor-div (SQL `div` truncates toward zero, which is NOT floor for
+# negatives; double-division floor risks off-by-one at exact multiples).
+_GRID_OFF = 2_000_000_000
+
+
+def distance_join_grid(
+    points: DataFrame,
+    d: int,
+    width: int | None = None,
+    id_col: str = "image_id",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Square-grid strategy behind the same `distance_join` semantics —
+    the SCALE path when ``d`` is far below the finest hex cell size.
+
+    The hex grids stop at res 9 (size 15,715 e7-units ≈ 174 m,
+    functions/hexgrid.py SIZES); for a small ``d`` over a dense hot spot
+    every cluster point shares one cell and the hex-disk candidate set
+    goes quadratic in the cell population. Here the grid width tracks
+    ``d`` itself (default ``width = d``), so the 3x3 neighborhood area is
+    ~9*d^2 and candidates stay proportional to ``density * d^2`` — the
+    output-optimal bound for a distance join, at any density. Same
+    discipline as pip_join_cells' (gx, gy) cover (operators/pip.py).
+
+    Exactly-once BY CONSTRUCTION (no distinct), same argument as the hex
+    disk: with ``width >= d``, any qualifying partner's home cell differs
+    by at most 1 in each axis, the 9 neighbor cells are distinct, and a
+    point has exactly one home cell — so each qualifying (a, b) matches
+    exactly one (neighbor-cell, home-cell) row pair.
+
+    ONE shuffled equality join on (gx, gy); the 9-way explode is a narrow
+    codegen'd Generate. Hot cells ride AQE skew splitting.
+    """
+    w = int(width if width is not None else d)
+    if w < int(d):
+        raise ValueError(f"grid width {w} must be >= d {d}")
+    gx = F.expr(f"({lon_col} + {_GRID_OFF}) div {w}")
+    gy = F.expr(f"({lat_col} + {_GRID_OFF}) div {w}")
+
+    left = points.select(
+        F.col(id_col).alias("a_id"),
+        F.col(lat_col).alias("a_lat"),
+        F.col(lon_col).alias("a_lon"),
+        gx.alias("_gx"),
+        gy.alias("_gy"),
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dx"),
+    ).select(
+        "a_id", "a_lat", "a_lon",
+        (F.col("_gx") + F.col("_dx")).alias("gx"),
+        "_gy",
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dy"),
+    ).select(
+        "a_id", "a_lat", "a_lon", "gx",
+        (F.col("_gy") + F.col("_dy")).alias("gy"),
+    )
+    right = points.select(
+        F.col(id_col).alias("b_id"),
+        F.col(lat_col).alias("b_lat"),
+        F.col(lon_col).alias("b_lon"),
+        gx.alias("gx"),
+        gy.alias("gy"),
+    )
+    dx = (F.col("a_lon") - F.col("b_lon")).cast("long")
+    dy = (F.col("a_lat") - F.col("b_lat")).cast("long")
+    dist2 = dx * dx + dy * dy
+    return (
+        left.join(right, ["gx", "gy"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dist2 <= F.lit(int(d) * int(d)))
+        .select("a_id", "b_id", dist2.alias("dist2"))
+    )
+
+
 def duckdb_dist_sql(points_sql: str, d: int, id_col: str = "image_id") -> str:
     """Oracle twin: brute-force self theta-join. Squares go through HUGEINT
     (full-span e7 deltas overflow int64 — DuckDB reorders predicates, so a

@@ -98,6 +98,62 @@ def test_boundary_distance_inclusive(spark):
     assert ("b", "c", 1) in got
 
 
+@pytest.mark.parametrize("width_mult", [1, 3])
+def test_grid_strategy_matches_brute_force_and_hex(spark, width_mult):
+    """Square-grid scale path == hex-disk path == brute force, at the
+    minimal width (w = d) and a coarser one (w = 3d)."""
+    d = 20_000
+    df, ids, lat, lon = _mk_points(spark)
+    grid = {
+        (r.a_id, r.b_id, r.dist2)
+        for r in distjoin.distance_join_grid(df, d=d, width=d * width_mult).collect()
+    }
+    assert grid == _brute_pairs(np.array(ids), lat, lon, d)
+
+
+def test_grid_small_d_dense_cluster(spark):
+    """d far below the finest hex size over a tight cluster — the regime
+    the grid strategy exists for. Exact vs brute force; exactly-once."""
+    d = 150
+    rng = np.random.default_rng(11)
+    n = 300
+    # all points inside a 2000x2000 box: every hex cell would hold all of
+    # them; grid cells at w=150 hold ~2 each
+    lat = 500_000_000 + rng.integers(0, 2_000, size=n)
+    lon = -700_000_000 + rng.integers(0, 2_000, size=n)
+    ids = [f"p{i:05d}" for i in range(n)]
+    df = spark.createDataFrame(
+        [(ids[i], int(lat[i]), int(lon[i])) for i in range(n)],
+        "image_id string, lat_e7 long, lon_e7 long",
+    )
+    rows = [(r.a_id, r.b_id, r.dist2) for r in distjoin.distance_join_grid(df, d=d).collect()]
+    assert len(rows) == len(set(rows)), "duplicate pair emitted"
+    assert set(rows) == _brute_pairs(np.array(ids), lat, lon, d)
+
+
+def test_grid_floor_exact_at_negative_boundaries(spark):
+    """Negative coordinates sitting exactly on (and one off) grid-cell
+    boundaries — the floor-div correctness the _GRID_OFF shift buys."""
+    d = 1_000
+    pts = []
+    k = 0
+    for base in (-d * 3, -d, 0, d):
+        for off in (-1, 0, 1):
+            pts.append((f"p{k:03d}", base + off, base + off))
+            k += 1
+    df = spark.createDataFrame(pts, "image_id string, lat_e7 long, lon_e7 long")
+    ids = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    lon = np.array([p[2] for p in pts])
+    got = {(r.a_id, r.b_id, r.dist2) for r in distjoin.distance_join_grid(df, d=d).collect()}
+    assert got == _brute_pairs(ids, lat, lon, d)
+
+
+def test_grid_width_must_cover_d():
+    with pytest.raises(ValueError):
+        distjoin.distance_join_grid(None, d=100, width=50)
+
+
 def test_distance_join_single_cell_join_shuffle(spark):
     """ONE equality join on the cell id — the explode is narrow (no
     Exchange between the scan and the Generate)."""
