@@ -431,52 +431,61 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), simhash_col(text_col))
 
 
-def simhash_pairs(
-    df: DataFrame,
+def hamming_pairs(
+    sigs: DataFrame,
     max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str = "id",
+    sig_col: str = "sig",
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    nbands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs (a < b) with simhash hamming distance <= max_hamming,
-    via 16-bit band LSH: by pigeonhole, any pair within hamming 3 of a
-    4-band split shares at least one full band, so band-equality candidates
-    have recall 1 for the target radius — the standard simhash dedup join.
-    Verification is one JVM expression (bit_count(xor)); buckets above
-    ``max_bucket`` are skipped exactly like minhash (rule mirrored in the
-    oracle). Completes the dedup ladder: exact -> ngram -> minhash ->
-    simhash pairs -> clustering.
+    """Near-dup pairs (a < b, hamming) over ANY 64-bit signature column —
+    text simhash (``simhash_pairs``) or image perceptual hash — via band
+    LSH: by pigeonhole, a pair within hamming ``nbands - 1`` of an
+    ``nbands``-way split shares at least one full band, so band-equality
+    candidates have recall 1 for the target radius. Verification is one
+    JVM expression (bit_count(xor)); buckets above ``max_bucket`` are
+    skipped exactly like minhash (rule mirrored in the oracle).
 
-    Scale: the only shuffle keys are (band index, 16-bit band value); the
-    64-bit signature rides as one long. Candidate volume is sum of bucket
-    sizes squared — random corpora spread over 65536 values per band.
+    ``nbands`` defaults to the smallest 64-divisor > max_hamming; wider
+    radii mean narrower bands and denser buckets (8-bit bands spread
+    over only 256 values — the max_bucket cap is what bounds a hot
+    bucket's quadratic cost there).
+
+    Scale: the only shuffle keys are (band index, band value); the
+    64-bit signature rides as one long.
 
     EXACTLY-ONCE candidate emission (no ``distinct``), the minhash
-    pattern: near-identical docs collide on several bands, so the naive
-    band self-join emits each pair once per shared bucket and needs a
-    pair-stream distinct. Here every band row already carries the FULL
-    64-bit sig, so the earlier bands' values are derivable row-locally
-    by the same shift+mask — only the per-band capped bits need
-    carrying (equal band values => same bucket => same capped bit on
-    both sides, so one side's bit decides). A joined pair survives only
-    at the first band where it collides in an uncapped bucket; the raw
-    pair stream never shuffles, and the hamming cut runs where the pair
-    is born. The probe side is ROUND-ROBIN repartitioned: AQE coalesces
-    the tiny O(docs) frame to one partition and every join downstream
-    is broadcast, so one task would otherwise emit every candidate
-    serially; row-level spreading also balances giant near-dup clusters
-    whose pairs all land on band 0 (see minhash_lsh_pairs)."""
+    pattern: near-identical signatures collide on several bands, so the
+    naive band self-join emits each pair once per shared bucket and
+    needs a pair-stream distinct. Here every band row already carries
+    the FULL 64-bit sig, so the earlier bands' values are derivable
+    row-locally by the same shift+mask — only the per-band capped bits
+    need carrying (equal band values => same bucket => same capped bit
+    on both sides, so one side's bit decides). A joined pair survives
+    only at the first band where it collides in an uncapped bucket; the
+    raw pair stream never shuffles, and the hamming cut runs where the
+    pair is born. The probe side is ROUND-ROBIN repartitioned: AQE
+    coalesces the tiny O(rows) frame to one partition and every join
+    downstream is broadcast, so one task would otherwise emit every
+    candidate serially; row-level spreading also balances giant
+    near-dup clusters whose pairs all land on band 0 (see
+    minhash_lsh_pairs)."""
     from pyspark.sql import Window
 
-    sigs = simhash64(df, text_col, id_col).select(
-        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
-    )
+    if nbands is None:
+        nbands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    if 64 % nbands or nbands <= max_hamming:
+        raise ValueError(f"nbands {nbands} must divide 64 and exceed max_hamming")
+    width = 64 // nbands
+    mask = (1 << width) - 1
+    sigs = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
 
     def _bv(col, bi):
-        # mask AFTER the shift: & 65535 keeps exactly bits
-        # [16*bi, 16*bi+16) whether the shift is arithmetic (Spark,
-        # DuckDB) or logical — sign-fill bits land above the mask
-        return F.shiftright(col, 16 * bi).bitwiseAND(F.lit(65535))
+        # mask AFTER the shift: & mask keeps exactly bits
+        # [width*bi, width*(bi+1)) whether the shift is arithmetic
+        # (Spark, DuckDB) or logical — sign-fill bits land above the mask
+        return F.shiftright(col, width * bi).bitwiseAND(F.lit(mask))
 
     bands = sigs.select(
         "id",
@@ -488,7 +497,7 @@ def simhash_pairs(
                         F.lit(bi).alias("band"),
                         _bv(F.col("sig"), bi).alias("bv"),
                     )
-                    for bi in range(4)
+                    for bi in range(nbands)
                 ]
             )
         ).alias("bs"),
@@ -497,24 +506,24 @@ def simhash_pairs(
         "capped",
         F.count("*").over(Window.partitionBy("band", "bv")) > max_bucket,
     )
-    # back to one flat row per doc (sig + 4 capped bits), then re-explode
-    # the uncapped bands; both frames are O(docs) narrow rows
+    # back to one flat row per doc (sig + nbands capped bits), then
+    # re-explode the uncapped bands; both frames are O(rows) narrow rows
     perdoc = annotated.groupBy("id").agg(
         F.first("sig").alias("sig"),
         *[
             F.max(F.when(F.col("band") == i, F.col("capped"))).alias(f"_c{i}")
-            for i in range(4)
+            for i in range(nbands)
         ],
     )
-    shuf = shuffle_partitions_of(df.sparkSession)
+    shuf = shuffle_partitions_of(sigs.sparkSession)
     rows = (
-        perdoc.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        perdoc.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(nbands - 1))))
         .withColumn(
             "bv",
             F.coalesce(
                 *[
                     F.when(F.col("band") == i, _bv(F.col("sig"), i))
-                    for i in range(4)
+                    for i in range(nbands)
                 ]
             ),
         )
@@ -522,7 +531,7 @@ def simhash_pairs(
             ~F.coalesce(
                 *[
                     F.when(F.col("band") == i, F.col(f"_c{i}"))
-                    for i in range(4)
+                    for i in range(nbands)
                 ]
             )
         )
@@ -536,7 +545,7 @@ def simhash_pairs(
             & (_bv(F.col("a.sig"), j) == _bv(F.col("b.sig"), j))
             & ~F.col(f"a._c{j}")
         ),
-        range(3),
+        range(nbands - 1),
         F.lit(False),
     )
     pairs = (
@@ -548,13 +557,35 @@ def simhash_pairs(
         )
         .filter(~earlier_clash)
         .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs (a < b) with simhash hamming distance <= max_hamming
+    — ``hamming_pairs`` over the text simhash at the classic 4x16-bit
+    split (recall 1 for hamming <= 3). Completes the dedup ladder:
+    exact -> ngram -> minhash -> simhash pairs -> clustering."""
+    sigs = simhash64(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
+    )
+    out = hamming_pairs(
+        sigs, max_hamming=max_hamming, max_bucket=max_bucket, nbands=4
+    )
+    return out.select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "hamming"
+    )
 
 
 # --- duplicate clustering (connected components) ---------------------------

@@ -1024,7 +1024,12 @@ def q_simhash_pairs(spark, sf_dir):
     one-token-appended copy (id + 1e6) — the deterministic stand-in for a
     lightly-edited duplicate — built IDENTICALLY on both engines, then the
     banded hamming join (operators/dedup.py simhash_pairs) must find the
-    planted near-identical pairs and nothing random."""
+    planted near-identical pairs and nothing random. PLUS (r5, the image
+    axis of the same kernel): perceptual-hash near-dup pairs over the t2
+    images at hamming <= 6 through the generalized ``hamming_pairs`` at
+    an 8x8-bit band split (pigeonhole recall 1 for radius 7) — near-dup
+    structure comes from hot-cluster georef phashes sharing high bits.
+    One result, `kind` in ('text', 'phash')."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     aug = docs.unionByName(
         docs.select(
@@ -1032,7 +1037,20 @@ def q_simhash_pairs(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
     )
-    return dedup.simhash_pairs(aug, max_hamming=3)
+    text = dedup.simhash_pairs(aug, max_hamming=3).select(
+        F.lit("text").alias("kind"), "doc_a", "doc_b", "hamming"
+    )
+    sigs = _images(spark).select(
+        F.substring("image_id", 5, 12).cast("long").alias("id"),
+        F.col("phash").alias("sig"),
+    )
+    ph = dedup.hamming_pairs(sigs, max_hamming=6, nbands=8).select(
+        F.lit("phash").alias("kind"),
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        "hamming",
+    )
+    return text.unionByName(ph)
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -1380,13 +1398,34 @@ bands AS (
     SELECT id, sig, band, bv, count(*) OVER (PARTITION BY band, bv) AS bs
     FROM bands_all
   ) WHERE bs <= {dedup.DEFAULT_MAX_BUCKET}
+),
+pbands_all AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST(substring(image_id, 5, 12) AS BIGINT) AS id, "
+      f"phash AS sig, {bi} AS band, "
+      f"(phash >> {8 * bi}) & 255 AS bv FROM '{_t2()}/images.parquet'"
+      for bi in range(8)
+  )}
+),
+pbands AS (
+  SELECT id, sig, band, bv FROM (
+    SELECT id, sig, band, bv, count(*) OVER (PARTITION BY band, bv) AS bs
+    FROM pbands_all
+  ) WHERE bs <= {dedup.DEFAULT_MAX_BUCKET}
 )
-SELECT doc_a, doc_b, hamming FROM (
+SELECT 'text' AS kind, doc_a, doc_b, hamming FROM (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
          bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
 ) WHERE hamming <= 3
+UNION ALL
+SELECT 'phash' AS kind, doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+         bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+  FROM pbands a JOIN pbands b
+    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+) WHERE hamming <= 6
 """
     # all-pairs oracle over the same dup-planted corpus (x2 rescale in
     # double space is IEEE-exact on both engines); the Spark side reaches

@@ -223,6 +223,44 @@ class TestDedup:
         assert len(pairs) == len(set(pairs)) == 8 * 7 // 2
         assert all(r.hamming == 0 for r in got if r.doc_a < 9 and r.doc_b < 9)
 
+    def test_hamming_pairs_generalized_bands_vs_brute_force(self, spark):
+        """hamming_pairs at an 8x8-bit split (radius up to 7) over raw
+        64-bit signatures — planted near-dups at assorted distances plus
+        random background — must equal the exact brute-force pair set,
+        exactly once (the image-phash near-dup configuration)."""
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        sigs = list(rng.integers(-(2**63), 2**63, size=120, dtype=np.int64))
+        # planted: flips of 1..7 bits off sig[0] (IN at h<=6 iff <=6),
+        # and an exact clone
+        base = int(sigs[0])
+        for k in range(1, 8):
+            flipped = base
+            for b in range(k):
+                flipped ^= 1 << (b * 9)
+            sigs.append(np.int64(flipped))
+        sigs.append(np.int64(base))
+        df = spark.createDataFrame(
+            [(i, int(s)) for i, s in enumerate(sigs)], "id long, sig long"
+        )
+        got = [(r.a, r.b, r.hamming) for r in
+               dedup.hamming_pairs(df, max_hamming=6, nbands=8).collect()]
+        assert len(got) == len(set(got))
+        exp = set()
+        vals = [int(s) for s in sigs]
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                h = bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1")
+                if h <= 6:
+                    exp.add((i, j, h))
+        assert set(got) == exp
+        assert len(exp) >= 7  # planted structure actually exercised
+
+    def test_hamming_pairs_rejects_bad_band_split(self):
+        with pytest.raises(ValueError):
+            dedup.hamming_pairs(None, max_hamming=6, nbands=4)
+
     def test_shuffle_partitions_fallback_on_non_numeric_conf(self):
         """Managed platforms set spark.sql.shuffle.partitions='auto'
         (OSS Spark refuses the value at set-time, so a stub stands in):
