@@ -45,6 +45,22 @@ def main() -> int:
         "polygon sets too large to broadcast; identical output.",
     )
     ap.add_argument("--pip-grid-e7", type=int, default=250_000)
+    ap.add_argument(
+        "--dist-join-d",
+        type=int,
+        default=0,
+        help="when > 0, also write all point pairs within this planar "
+        "distance (e7 units) to <out>/near_pairs via the square-grid "
+        "distance join (width tracks d; output-proportional candidates).",
+    )
+    ap.add_argument(
+        "--dbscan-eps",
+        type=int,
+        default=0,
+        help="when > 0, also write DBSCAN cluster labels (core/border/"
+        "noise, min-id cluster labels) to <out>/clusters.",
+    )
+    ap.add_argument("--dbscan-min-pts", type=int, default=4)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -110,6 +126,25 @@ def main() -> int:
         .agg(F.count("*").alias("cnt"))
     )
     tile_counts.write.mode("overwrite").parquet(f"{args.out}/tile_counts")
+
+    ok_pts = enriched.filter(F.col("ok")).select("image_id", "lat_e7", "lon_e7")
+    if args.dist_join_d > 0:
+        from jimmy_spark.operators import distjoin
+
+        distjoin.distance_join_grid(ok_pts, d=args.dist_join_d).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/near_pairs")
+    if args.dbscan_eps > 0:
+        from pyspark.sql import functions as _F
+
+        from jimmy_spark.operators import geocluster
+
+        geocluster.dbscan(
+            ok_pts,
+            eps=args.dbscan_eps,
+            min_pts=args.dbscan_min_pts,
+            num_id=_F.substring("image_id", 5, 12).cast("long"),
+        ).write.mode("overwrite").parquet(f"{args.out}/clusters")
 
     m = runner.table.read_all(spark)
     summary = m.agg(

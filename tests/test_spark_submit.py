@@ -85,6 +85,56 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
     b = duckdb.sql(q.format(d=f"{tmp_path}/out_cells")).fetchall()
     assert a == b
 
+    # optional analytics stages through the same deployment shape:
+    # within-distance pairs + DBSCAN labels, both checked against
+    # brute-force / recursive-CTE DuckDB on the job's own enriched output
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zip_path),
+        str(REPO / "jobs" / "spatial_job.py"),
+        "--images", f"{t1_dir}/images.parquet",
+        "--polygons", f"{t1_dir}/polygons.parquet",
+        "--out", str(tmp_path / "out_an"),
+        "--checkpoint", str(tmp_path / "cp_an"),
+        "--run-id", "submit-analytics",
+        "--buckets", "8",
+        "--dist-join-d", "200000",
+        "--dbscan-eps", "200000",
+        "--dbscan-min-pts", "4",
+    ]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-3000:]
+    from jimmy_spark.operators import distjoin, geocluster
+
+    pts_sql = (
+        "SELECT image_id, lat_e7, lon_e7 "
+        f"FROM '{tmp_path}/out_an/enriched/*/*.parquet' WHERE ok"
+    )
+    exp_pairs = duckdb.sql(
+        distjoin.duckdb_dist_sql(pts_sql, 200000)
+        + " ORDER BY a_id, b_id"
+    ).fetchall()
+    got_pairs = duckdb.sql(
+        f"SELECT a_id, b_id, dist2 FROM '{tmp_path}/out_an/near_pairs/*.parquet' "
+        "ORDER BY a_id, b_id"
+    ).fetchall()
+    assert got_pairs == exp_pairs and len(got_pairs) > 0
+    exp_cl = duckdb.sql(
+        geocluster.duckdb_dbscan_sql(
+            pts_sql, eps=200000, min_pts=4,
+            num_id_sql="CAST(substring(image_id, 5, 12) AS BIGINT)",
+        )
+        + " ORDER BY image_id"
+    ).fetchall()
+    got_cl = duckdb.sql(
+        f"SELECT image_id, role, cluster_id FROM '{tmp_path}/out_an/clusters/*.parquet' "
+        "ORDER BY image_id"
+    ).fetchall()
+    assert got_cl == exp_cl
+    assert any(r[1] == "core" for r in got_cl)
+
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
 def test_spark_submit_dedup_job(spark, tmp_path):
