@@ -122,6 +122,38 @@ def dbscan(
     return core_out.unionByName(noncore_out)
 
 
+def cluster_stats(
+    points: DataFrame,
+    labels: DataFrame,
+    id_col: str = "image_id",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Per-cluster spatial profile from ``dbscan`` output: member count
+    (core + border), core count, integer bbox, double centroid, and RMS
+    radius from the centroid — one groupBy over the labeled join, fully
+    map-side-combinable, no window. Noise rows (NULL cluster) drop out."""
+    j = points.select(id_col, lat_col, lon_col).join(
+        labels.filter(F.col("cluster_id").isNotNull()), id_col
+    )
+    return j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("role") == "core", 1).otherwise(0)).alias("n_core"),
+        F.min(lat_col).alias("lat_min"),
+        F.max(lat_col).alias("lat_max"),
+        F.min(lon_col).alias("lon_min"),
+        F.max(lon_col).alias("lon_max"),
+        F.avg(lat_col).alias("lat_centroid"),
+        F.avg(lon_col).alias("lon_centroid"),
+        # RMS distance from the centroid = sqrt(var_pop(lat)+var_pop(lon));
+        # var_pop's central-moment aggregation is numerically stable where
+        # the naive E[x^2]-E[x]^2 cancels catastrophically for tight
+        # clusters far from the origin (lat^2 ~ 1e18 vs double's ~9e15
+        # integer resolution)
+        F.sqrt(F.var_pop(lat_col) + F.var_pop(lon_col)).alias("rms_radius"),
+    )
+
+
 def duckdb_dbscan_sql(
     points_sql: str,
     eps: int,

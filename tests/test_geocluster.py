@@ -145,6 +145,34 @@ def test_dbscan_partitioning_invariance(spark):
     assert a == b
 
 
+def test_cluster_stats_matches_numpy(fixture):
+    """Per-cluster profile == numpy over the python-oracle clusters."""
+    df, lat, lon, got = fixture
+    labels = geocluster.dbscan(df, eps=EPS, min_pts=MIN_PTS, num_id=NUM_ID())
+    stats = {
+        r.cluster_id: r
+        for r in geocluster.cluster_stats(df, labels).collect()
+    }
+    exp = _py_dbscan(lat, lon, EPS, MIN_PTS)
+    by_cluster = {}
+    for i, (role, cl) in exp.items():
+        if cl is not None:
+            by_cluster.setdefault(cl, []).append((i, role))
+    assert set(stats) == set(by_cluster)
+    for cl, members in by_cluster.items():
+        idx = [i for i, _ in members]
+        r = stats[cl]
+        assert r.n_members == len(idx)
+        assert r.n_core == sum(1 for _, role in members if role == "core")
+        assert (r.lat_min, r.lat_max) == (min(lat[i] for i in idx), max(lat[i] for i in idx))
+        assert (r.lon_min, r.lon_max) == (min(lon[i] for i in idx), max(lon[i] for i in idx))
+        la = np.array([lat[i] for i in idx], dtype=float)
+        lo = np.array([lon[i] for i in idx], dtype=float)
+        assert abs(r.lat_centroid - la.mean()) < 1e-6 * max(1.0, abs(la.mean()))
+        rms = float(np.sqrt(la.var() + lo.var()))
+        assert abs(r.rms_radius - rms) < 1e-6 * max(1.0, rms)
+
+
 def test_dbscan_min_pts_one_all_core(spark):
     """min_pts=1: every point is core (self counts); isolated points form
     singleton clusters labeled by their own id."""
