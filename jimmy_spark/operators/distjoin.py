@@ -197,6 +197,79 @@ def distance_join_grid(
     )
 
 
+def distance_join_grid_incremental(
+    new: DataFrame,
+    old: DataFrame,
+    d: int,
+    width: int | None = None,
+    id_col: str = "image_id",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Pairs within distance ``d`` touching at least one NEW point —
+    exactly the delta ``pairs(old ∪ new) - pairs(old)`` — each pair once,
+    output ordered (a_id < b_id). The incremental kernel behind the
+    streaming proximity maintenance (streaming/spatial.py): per
+    micro-batch, only new x (new ∪ old) work is done; the old x old pair
+    mass is never recomputed.
+
+    Construction (exactly-once without distinct, extending
+    ``distance_join_grid``'s argument): the LEFT side explodes NEW points
+    to their 3x3 grid neighborhoods; the RIGHT side holds ALL points at
+    home cells, flagged ``_new``. A new-new pair is accepted only under
+    the a < b total order (it would otherwise match from both sides); a
+    new-old pair matches exactly once (old points never appear on the
+    left), so it is always accepted.
+    """
+    w = int(width if width is not None else d)
+    if w < int(d):
+        raise ValueError(f"grid width {w} must be >= d {d}")
+    gx = F.expr(f"({lon_col} + {_GRID_OFF}) div {w}")
+    gy = F.expr(f"({lat_col} + {_GRID_OFF}) div {w}")
+
+    def _base(df: DataFrame, is_new: bool) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("b_id"),
+            F.col(lat_col).alias("b_lat"),
+            F.col(lon_col).alias("b_lon"),
+            gx.alias("gx"),
+            gy.alias("gy"),
+            F.lit(is_new).alias("_new"),
+        )
+
+    left = new.select(
+        F.col(id_col).alias("a_id"),
+        F.col(lat_col).alias("a_lat"),
+        F.col(lon_col).alias("a_lon"),
+        gx.alias("_gx"),
+        gy.alias("_gy"),
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dx"),
+    ).select(
+        "a_id", "a_lat", "a_lon",
+        (F.col("_gx") + F.col("_dx")).alias("gx"),
+        "_gy",
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dy"),
+    ).select(
+        "a_id", "a_lat", "a_lon", "gx",
+        (F.col("_gy") + F.col("_dy")).alias("gy"),
+    )
+    right = _base(new, True).unionByName(_base(old, False))
+    dx = (F.col("a_lon") - F.col("b_lon")).cast("long")
+    dy = (F.col("a_lat") - F.col("b_lat")).cast("long")
+    dist2 = dx * dx + dy * dy
+    return (
+        left.join(right, ["gx", "gy"])
+        .filter(~F.col("_new") | (F.col("a_id") < F.col("b_id")))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(dist2 <= F.lit(int(d) * int(d)))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            dist2.alias("dist2"),
+        )
+    )
+
+
 def duckdb_dist_sql(points_sql: str, d: int, id_col: str = "image_id") -> str:
     """Oracle twin: brute-force self theta-join. Squares go through HUGEINT
     (full-span e7 deltas overflow int64 — DuckDB reorders predicates, so a

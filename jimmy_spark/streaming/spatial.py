@@ -80,3 +80,70 @@ def run_spatial_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+POINTS_SCHEMA = "image_id string, lat_e7 long, lon_e7 long"
+
+
+def run_proximity_stream(
+    spark: SparkSession,
+    points_dir: str,
+    d: int,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous within-distance pair maintenance: as point files arrive,
+    emit exactly the NEW pairs (new x new ∪ new x old) via
+    ``distance_join_grid_incremental`` — after any number of batches the
+    union of emitted pairs equals the batch ``distance_join_grid`` over
+    all points, each pair exactly once. Old x old mass is never
+    recomputed: per-batch work is proportional to the new points' own
+    neighborhoods (the streaming analogue of the grid join's
+    output-proportional candidate bound).
+
+    Exactly-once across restarts WITHOUT a sink transaction log:
+    ``foreachBatch`` is at-least-once, so both writes are keyed by the
+    deterministic batch id and use overwrite — a replayed batch (same
+    source offsets -> same rows) overwrites itself byte-identically:
+
+    - ``<out_dir>/b=<id>``   new pairs of this batch
+    - ``<state_dir>/b=<id>`` this batch's points (the OLD side of later
+      batches; a replayed batch reads only ids < its own, so its own
+      half-written state never leaks into its OLD side)
+
+    Reference analogue: jimmy's idempotent re-run naming
+    (common.py:171-202) — here idempotence comes from source offsets +
+    deterministic batch-keyed overwrite.
+    """
+    import os
+
+    from jimmy_spark.operators.distjoin import distance_join_grid_incremental
+
+    def _process(batch_df, batch_id: int) -> None:
+        pts = batch_df.select("image_id", "lat_e7", "lon_e7")
+        older = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(state_dir)
+            if e.startswith("b=") and int(e.split("=", 1)[1]) < batch_id
+        ) if os.path.isdir(state_dir) else []
+        if older:
+            old = spark.read.parquet(*[f"{state_dir}/b={i}" for i in older])
+        else:
+            old = spark.createDataFrame([], POINTS_SCHEMA)
+        pairs = distance_join_grid_incremental(pts, old, d=d)
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/b={batch_id}")
+        pts.write.mode("overwrite").parquet(f"{state_dir}/b={batch_id}")
+
+    reader = spark.readStream.schema(POINTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(points_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

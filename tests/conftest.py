@@ -26,6 +26,13 @@ def t1_dir():
 
 
 @pytest.fixture(scope="session")
+def t2_dir():
+    from jimmy_spark.datagen import ensure_dataset
+
+    return str(ensure_dataset("t2"))
+
+
+@pytest.fixture(scope="session")
 def t2err_dir():
     from jimmy_spark.datagen import ensure_dataset
 

@@ -149,3 +149,79 @@ class TestSpatialIngest:
         a = self._norm_fused(spark.read.parquet(out_a).toPandas())
         b = self._norm_fused(spark.read.parquet(out_b).toPandas())
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestProximityStream:
+    """Incremental within-distance pair maintenance
+    (streaming/spatial.py run_proximity_stream)."""
+
+    D = 20_000
+
+    @staticmethod
+    def _pts_table(spark, t2_dir):
+        from jimmy_spark.operators import cells
+
+        imgs = spark.read.parquet(f"{t2_dir}/images.parquet")
+        return cells.with_georef(imgs.select("image_id", "phash")).select(
+            "image_id", "lat_e7", "lon_e7"
+        )
+
+    @staticmethod
+    def _pairs(spark, out):
+        return {
+            (r.a_id, r.b_id, r.dist2)
+            for r in spark.read.parquet(f"{out}/b=*").collect()
+        }
+
+    def test_incremental_kernel_is_exact_delta(self, spark, t2_dir):
+        """incremental(new, old) == pairs(all) - pairs(old), exactly."""
+        from jimmy_spark.operators import distjoin
+
+        pts = self._pts_table(spark, t2_dir)
+        old = pts.filter("image_id < 'img_000000001300'")
+        new = pts.subtract(old)
+        inc = {
+            (r.a_id, r.b_id, r.dist2)
+            for r in distjoin.distance_join_grid_incremental(new, old, d=self.D).collect()
+        }
+        all_p = {
+            (r.a_id, r.b_id, r.dist2)
+            for r in distjoin.distance_join_grid(pts, d=self.D).collect()
+        }
+        old_p = {
+            (r.a_id, r.b_id, r.dist2)
+            for r in distjoin.distance_join_grid(old, d=self.D).collect()
+        }
+        assert inc == all_p - old_p
+        assert inc and old_p  # both waves carry real pair mass
+
+    def test_stream_two_waves_equals_batch(self, spark, t2_dir, tmp_path):
+        from jimmy_spark.operators import distjoin
+        from jimmy_spark.streaming import spatial
+
+        pts = self._pts_table(spark, t2_dir).toPandas()
+        src = tmp_path / "pts"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("pairs", "state", "cp"))
+
+        pts.iloc[:1200].to_parquet(src / "w0.parquet")
+        spatial.run_proximity_stream(spark, str(src), self.D, out, st, cp)
+        first = self._pairs(spark, out)
+
+        # drain again with nothing new: no-op (exactly-once across runs)
+        spatial.run_proximity_stream(spark, str(src), self.D, out, st, cp)
+        assert self._pairs(spark, out) == first
+
+        pts.iloc[1200:].to_parquet(src / "w1.parquet")
+        spatial.run_proximity_stream(spark, str(src), self.D, out, st, cp)
+
+        got = self._pairs(spark, out)
+        full = spark.createDataFrame(pts)
+        exp = {
+            (r.a_id, r.b_id, r.dist2)
+            for r in distjoin.distance_join_grid(full, d=self.D).collect()
+        }
+        assert got == exp
+        # and exactly once: row count equals set size
+        n_rows = spark.read.parquet(f"{out}/b=*").count()
+        assert n_rows == len(exp)
