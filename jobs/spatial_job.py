@@ -61,6 +61,13 @@ def main() -> int:
         "noise, min-id cluster labels) to <out>/clusters.",
     )
     ap.add_argument("--dbscan-min-pts", type=int, default=4)
+    ap.add_argument(
+        "--render-zoom",
+        type=int,
+        default=-1,
+        help="when >= 0, also render per-XYZ-tile heat PNGs at this zoom "
+        "to <out>/tiles_png (operators/raster.py).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -145,6 +152,13 @@ def main() -> int:
             min_pts=args.dbscan_min_pts,
             num_id=_F.substring("image_id", 5, 12).cast("long"),
         ).write.mode("overwrite").parquet(f"{args.out}/clusters")
+
+    if args.render_zoom >= 0:
+        from jimmy_spark.operators import raster
+
+        raster.render_heat_tiles(ok_pts, zoom=args.render_zoom).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/tiles_png")
 
     m = runner.table.read_all(spark)
     summary = m.agg(

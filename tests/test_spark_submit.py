@@ -103,9 +103,11 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         "--dist-join-d", "200000",
         "--dbscan-eps", "200000",
         "--dbscan-min-pts", "4",
+        "--render-zoom", "6",
     ]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stderr[-3000:]
+    s4 = json.loads(p.stdout.strip().splitlines()[-1])
     from jimmy_spark.operators import distjoin, geocluster
 
     pts_sql = (
@@ -134,6 +136,16 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
     ).fetchall()
     assert got_cl == exp_cl
     assert any(r[1] == "core" for r in got_cl)
+    # rendered tiles: valid PNGs through the repo decoder, points conserved
+    from jimmy_spark.codecs import png as _png
+
+    tiles_rows = duckdb.sql(
+        f"SELECT z, x, y, n_points, png FROM '{tmp_path}/out_an/tiles_png/*.parquet'"
+    ).fetchall()
+    assert tiles_rows and all(z == 6 for z, *_ in tiles_rows)
+    assert sum(r[3] for r in tiles_rows) == s4["rows_out"]
+    arr = _png.decode(bytes(tiles_rows[0][4]))
+    assert arr.shape == (256, 256, 3)
 
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
