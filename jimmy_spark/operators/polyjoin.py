@@ -145,6 +145,95 @@ def rings_intersect(ax, ay, bx, by) -> bool:
     return _segments_intersect_any(ax, ay, bx, by)
 
 
+def duckdb_poly_sql(polygons_path: str) -> str:
+    """DuckDB oracle twin of the self-join: bbox-overlapping id pairs
+    (a < b), then the same closed-region decomposition in HUGEINT —
+    vertex-in (integer ray-cast, both directions) OR segment intersection
+    (orientation signs + collinear-touch bbox test). DISTINCT where the
+    engine is exactly-once by construction."""
+    edges = f"""
+  SELECT polygon_id,
+         ring[i].lon_e7::HUGEINT AS x1, ring[i].lat_e7::HUGEINT AS y1,
+         ring[(i % len(ring)) + 1].lon_e7::HUGEINT AS x2,
+         ring[(i % len(ring)) + 1].lat_e7::HUGEINT AS y2
+  FROM polys, LATERAL (SELECT unnest(generate_series(1, len(ring))) AS i)
+"""
+    # point (px,py) vs edge set of `polygon_id`: same predicates as
+    # duckdb_pip_sql, parameterized over an arbitrary candidate frame
+    vin = """
+  SELECT c.pa, c.pb
+  FROM vcand c JOIN edges e ON e.polygon_id = c.ring_pid
+  GROUP BY c.pa, c.pb, c.px, c.py
+  HAVING bool_or(
+           ((e.x2 - e.x1) * (c.py - e.y1) - (c.px - e.x1) * (e.y2 - e.y1)) = 0
+           AND c.px BETWEEN least(e.x1, e.x2) AND greatest(e.x1, e.x2)
+           AND c.py BETWEEN least(e.y1, e.y2) AND greatest(e.y1, e.y2)
+         )
+      OR (count(*) FILTER (
+           ((e.y1 > c.py) != (e.y2 > c.py))
+           AND ( (e.y2 > e.y1 AND
+                  ((e.x2 - e.x1) * (c.py - e.y1) - (c.px - e.x1) * (e.y2 - e.y1)) > 0)
+              OR (e.y2 < e.y1 AND
+                  ((e.x2 - e.x1) * (c.py - e.y1) - (c.px - e.x1) * (e.y2 - e.y1)) < 0))
+         ) % 2) = 1
+"""
+    return f"""
+WITH polys AS (SELECT * FROM '{polygons_path}'),
+edges AS ({edges}),
+verts AS (
+  SELECT polygon_id, ring[i].lon_e7::HUGEINT AS px, ring[i].lat_e7::HUGEINT AS py
+  FROM polys, LATERAL (SELECT unnest(generate_series(1, len(ring))) AS i)
+),
+bpairs AS (
+  SELECT a.polygon_id AS pa, b.polygon_id AS pb
+  FROM polys a JOIN polys b
+    ON a.polygon_id < b.polygon_id
+   AND a.min_lon <= b.max_lon AND b.min_lon <= a.max_lon
+   AND a.min_lat <= b.max_lat AND b.min_lat <= a.max_lat
+),
+vcand AS (
+  SELECT pr.pa, pr.pb, pr.pb AS ring_pid, v.px, v.py
+  FROM bpairs pr JOIN verts v ON v.polygon_id = pr.pa
+  UNION ALL
+  SELECT pr.pa, pr.pb, pr.pa AS ring_pid, v.px, v.py
+  FROM bpairs pr JOIN verts v ON v.polygon_id = pr.pb
+),
+vhits AS ({vin}),
+seghits AS (
+  SELECT pr.pa, pr.pb
+  FROM bpairs pr
+  JOIN edges ea ON ea.polygon_id = pr.pa
+  JOIN edges eb ON eb.polygon_id = pr.pb
+  WHERE (
+    -- d1..d4: CLRS orientations, HUGEINT exact
+    ((((eb.x2-eb.x1)*(ea.y1-eb.y1) - (eb.y2-eb.y1)*(ea.x1-eb.x1)) > 0
+      AND ((eb.x2-eb.x1)*(ea.y2-eb.y1) - (eb.y2-eb.y1)*(ea.x2-eb.x1)) < 0)
+     OR (((eb.x2-eb.x1)*(ea.y1-eb.y1) - (eb.y2-eb.y1)*(ea.x1-eb.x1)) < 0
+      AND ((eb.x2-eb.x1)*(ea.y2-eb.y1) - (eb.y2-eb.y1)*(ea.x2-eb.x1)) > 0))
+    AND
+    ((((ea.x2-ea.x1)*(eb.y1-ea.y1) - (ea.y2-ea.y1)*(eb.x1-ea.x1)) > 0
+      AND ((ea.x2-ea.x1)*(eb.y2-ea.y1) - (ea.y2-ea.y1)*(eb.x2-ea.x1)) < 0)
+     OR (((ea.x2-ea.x1)*(eb.y1-ea.y1) - (ea.y2-ea.y1)*(eb.x1-ea.x1)) < 0
+      AND ((ea.x2-ea.x1)*(eb.y2-ea.y1) - (ea.y2-ea.y1)*(eb.x2-ea.x1)) > 0))
+  )
+  OR (((eb.x2-eb.x1)*(ea.y1-eb.y1) - (eb.y2-eb.y1)*(ea.x1-eb.x1)) = 0
+      AND ea.x1 BETWEEN least(eb.x1, eb.x2) AND greatest(eb.x1, eb.x2)
+      AND ea.y1 BETWEEN least(eb.y1, eb.y2) AND greatest(eb.y1, eb.y2))
+  OR (((eb.x2-eb.x1)*(ea.y2-eb.y1) - (eb.y2-eb.y1)*(ea.x2-eb.x1)) = 0
+      AND ea.x2 BETWEEN least(eb.x1, eb.x2) AND greatest(eb.x1, eb.x2)
+      AND ea.y2 BETWEEN least(eb.y1, eb.y2) AND greatest(eb.y1, eb.y2))
+  OR (((ea.x2-ea.x1)*(eb.y1-ea.y1) - (ea.y2-ea.y1)*(eb.x1-ea.x1)) = 0
+      AND eb.x1 BETWEEN least(ea.x1, ea.x2) AND greatest(ea.x1, ea.x2)
+      AND eb.y1 BETWEEN least(ea.y1, ea.y2) AND greatest(ea.y1, ea.y2))
+  OR (((ea.x2-ea.x1)*(eb.y2-ea.y1) - (ea.y2-ea.y1)*(eb.x2-ea.x1)) = 0
+      AND eb.x2 BETWEEN least(ea.x1, ea.x2) AND greatest(ea.x1, ea.x2)
+      AND eb.y2 BETWEEN least(ea.y1, ea.y2) AND greatest(ea.y1, ea.y2))
+)
+SELECT DISTINCT pa AS a_id, pb AS b_id
+FROM (SELECT pa, pb FROM vhits UNION ALL SELECT pa, pb FROM seghits)
+"""
+
+
 def poly_join_intersects(
     a: DataFrame,
     b: DataFrame | None = None,

@@ -29,6 +29,7 @@ from jimmy_spark.operators import (
     knn,
     multimodal,
     pip,
+    polyjoin,
     similarity,
     text,
     tiling,
@@ -87,8 +88,24 @@ def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon pairs (broadcast R-tree lane) PLUS (r5) the
+    polygon-polygon intersects self-join over the same t2 polygon set
+    (operators/polyjoin.py: responsibility-cell exactly-once, exact
+    integer verify) — one result, `kind` in ('pip', 'poly'); the oracle
+    mirrors both lanes in HUGEINT integer SQL."""
+    from jimmy_spark.operators import polyjoin
+
     poly_pdf = pd.read_parquet(f"{_t2()}/polygons.parquet")
-    return pip.pip_join_rtree(_points(spark), poly_pdf)
+    pp = pip.pip_join_rtree(_points(spark), poly_pdf).select(
+        F.lit("pip").alias("kind"),
+        F.col("image_id").alias("a_id"),
+        F.col("polygon_id").alias("b_id"),
+    )
+    polys = spark.read.parquet(f"{_t2()}/polygons.parquet")
+    vv = polyjoin.poly_join_intersects(polys).select(
+        F.lit("poly").alias("kind"), "a_id", "b_id"
+    )
+    return pp.unionByName(vv)
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +436,13 @@ def _oracle_spatial() -> dict[str, str]:
             f"count(*) OVER (PARTITION BY z, x, y) AS tile_cnt "
             f"FROM ({tile_union})"
         ),
-        "pip": pip.duckdb_pip_sql(g, f"{t2}/polygons.parquet"),
+        "pip": (
+            "SELECT 'pip' AS kind, image_id AS a_id, polygon_id AS b_id FROM ("
+            + pip.duckdb_pip_sql(g, f"{t2}/polygons.parquet")
+            + ") UNION ALL SELECT 'poly' AS kind, a_id, b_id FROM ("
+            + polyjoin.duckdb_poly_sql(f"{t2}/polygons.parquet")
+            + ")"
+        ),
         "knn": knn.duckdb_knn_sql(g, f"{t2}/knn_queries.parquet"),
         "dist_join": distjoin.duckdb_dist_sql(g, DIST_JOIN_D),
         "cell_counts": (

@@ -163,6 +163,30 @@ def test_random_self_join_matches_oracle_all_grids(spark, grid):
     assert len(exp) > 30  # dense enough to be a real test
 
 
+def test_duckdb_twin_matches_fraction_oracle(spark, tmp_path):
+    """The driver-gate SQL (duckdb_poly_sql) against the Fraction oracle
+    on the random star corpus — three-way agreement with the operator."""
+    import duckdb
+
+    rng = np.random.default_rng(41)
+    polys = [
+        (f"p{i:03d}", _star_poly(rng, rng.integers(-2000, 2000),
+                                 rng.integers(-2000, 2000), rng.integers(80, 600)))
+        for i in range(50)
+    ]
+    df = _to_df(spark, polys)
+    path = str(tmp_path / "polys.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = set(duckdb.sql(polyjoin.duckdb_poly_sql(f"{path}/*.parquet")).fetchall())
+    exp = _oracle_pairs(polys)
+    assert got == exp and len(exp) > 20
+    spark_pairs = {
+        (r.a_id, r.b_id)
+        for r in polyjoin.poly_join_intersects(df, grid_e7=300).collect()
+    }
+    assert spark_pairs == exp
+
+
 def test_two_set_join_matches_oracle(spark):
     rng = np.random.default_rng(7)
     pa = [(f"a{i:03d}", _star_poly(rng, rng.integers(-1500, 1500),
