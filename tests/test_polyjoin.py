@@ -45,6 +45,14 @@ def _segs_cross(p1, p2, p3, p4) -> bool:
     (x1, y1), (x2, y2), (x3, y3), (x4, y4) = p1, p2, p3, p4
     rx, ry = x2 - x1, y2 - y1
     sx, sy = x4 - x3, y4 - y3
+    # zero-length (degenerate) segments: the parametric/collinear algebra
+    # below is vacuous for them — reduce to point-on-segment
+    if (rx, ry) == (0, 0) and (sx, sy) == (0, 0):
+        return p1 == p3
+    if (rx, ry) == (0, 0):
+        return _on_segment(p1, p3, p4)
+    if (sx, sy) == (0, 0):
+        return _on_segment(p3, p1, p2)
     den = rx * sy - ry * sx
     qpx, qpy = x3 - x1, y3 - y1
     if den == 0:

@@ -246,3 +246,47 @@ def _prefix_starts(ns):
         out.append(s)
         s += n
     return out
+
+
+class TestRingsIntersectProperties:
+    """polyjoin.rings_intersect (pure numpy, the verify kernel) against
+    the Fraction-exact oracle from test_polyjoin — adversarial small
+    integer geometry where touch/collinear cases are dense."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @staticmethod
+    def _ring(rng_ints):
+        """Star-shaped simple ring from hypothesis integers: center +
+        sorted-angle offsets (guarantees a valid non-self-intersecting
+        ring for the semantics under test)."""
+        import math
+
+        cx, cy, r, k, seed = rng_ints
+        rnd = np.random.default_rng(seed)
+        angles = np.sort(rnd.uniform(0, 2 * math.pi, size=k))
+        return [
+            (int(cx + max(1, rnd.uniform(0.3, 1.0) * r) * math.cos(a)),
+             int(cy + max(1, rnd.uniform(0.3, 1.0) * r) * math.sin(a)))
+            for a in angles
+        ]
+
+    @given(
+        a=st.tuples(st.integers(-40, 40), st.integers(-40, 40),
+                    st.integers(2, 30), st.integers(3, 8), st.integers(0, 2**20)),
+        b=st.tuples(st.integers(-40, 40), st.integers(-40, 40),
+                    st.integers(2, 30), st.integers(3, 8), st.integers(0, 2**20)),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_matches_fraction_oracle(self, a, b):
+        from jimmy_spark.operators import polyjoin
+        from tests.test_polyjoin import _oracle_intersects
+
+        ring_a = self._ring(a)
+        ring_b = self._ring(b)
+        ax = np.array([x for x, _ in ring_a], dtype=np.int64)
+        ay = np.array([y for _, y in ring_a], dtype=np.int64)
+        bx = np.array([x for x, _ in ring_b], dtype=np.int64)
+        by = np.array([y for _, y in ring_b], dtype=np.int64)
+        got = polyjoin.rings_intersect(ax, ay, bx, by)
+        assert got == _oracle_intersects(ring_a, ring_b)
