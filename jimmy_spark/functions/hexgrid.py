@@ -107,9 +107,39 @@ def center(cell: np.ndarray):
     """cell id -> float64 (y=lat_e7, x=lon_e7) hex centers."""
     res, q, r = unpack(cell)
     size = np.choose(res - 5, [SIZES[r] for r in (5, 6, 7, 8, 9)])
-    x = size * (np.sqrt(3.0) * (q + r * 0.5))
+    x = size * (SQ3 * (q + r * 0.5))
     y = size * 1.5 * r
     return y, x
+
+
+# sqrt(3) as the exact decimal literal (== float(np.sqrt(3.0)); asserted in
+# tests) so the center inverse shares the float-determinism contract of the
+# forward encode: NumPy, the JVM expression, and DuckDB all evaluate the
+# same IEEE-754 expression tree from the same literals.
+SQ3 = 1.7320508075688772
+
+
+def center_lattice(cell: np.ndarray):
+    """cell id -> int64 (lat_e7, lon_e7) of the center rounded onto the
+    fixed-point lattice with the grid's floor(v + 0.5) half-rule — the
+    deterministic representative point used by polyfill and zonal stats."""
+    cy, cx = center(cell)
+    return (
+        np.floor(cy + 0.5).astype(np.int64),
+        np.floor(cx + 0.5).astype(np.int64),
+    )
+
+
+def duckdb_center_sql(cell_expr: str, res: int) -> tuple[str, str]:
+    """(lat_e7_sql, lon_e7_sql) DuckDB fragments for the lattice-rounded
+    center of a fixed-resolution cell id; identical expression tree (and
+    literal spellings) to ``center_lattice`` / ``cells.hex_center_exprs``."""
+    s = repr(SIZES[res])
+    q = f"((({cell_expr} >> 30) & {_QR_MASK}) - {_OFF})"
+    r = f"(({cell_expr} & {_QR_MASK}) - {_OFF})"
+    lat = f"floor({s} * 1.5 * {r} + 0.5)::BIGINT"
+    lon = f"floor({s} * ({SQ3!r} * ({q} + {r} * 0.5)) + 0.5)::BIGINT"
+    return lat, lon
 
 
 def hex_distance(q1, r1, q2, r2):

@@ -81,6 +81,22 @@ def hex_cell_expr(lat: Column, lon: Column, res: int) -> Column:
     )
 
 
+def hex_center_exprs(cell: Column, res: int) -> tuple[Column, Column]:
+    """(lat_e7, lon_e7) lattice-rounded center of a fixed-resolution hex
+    cell id — the JVM twin of ``hexgrid.center_lattice`` /
+    ``hexgrid.duckdb_center_sql`` (same IEEE op order, same literals)."""
+    mask = F.lit(hexgrid._QR_MASK)
+    off = F.lit(1 << 29)
+    q = (F.shiftright(cell, 30).bitwiseAND(mask) - off).cast("double")
+    r = (cell.bitwiseAND(mask) - off).cast("double")
+    size = F.lit(hexgrid.SIZES[res])
+    lat = F.floor(size * F.lit(1.5) * r + F.lit(0.5)).cast("long")
+    lon = F.floor(
+        size * (F.lit(hexgrid.SQ3) * (q + r * F.lit(0.5))) + F.lit(0.5)
+    ).cast("long")
+    return lat, lon
+
+
 def with_hex_cells(
     df: DataFrame,
     resolutions=hexgrid.RESOLUTIONS,

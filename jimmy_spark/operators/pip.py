@@ -75,11 +75,26 @@ def pip_join_rtree(
     id_col: str = "image_id",
     lat_col: str = "lat_e7",
     lon_col: str = "lon_e7",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """points (id, lat_e7, lon_e7) x broadcast STR-tree polygons ->
-    (id, polygon_id) exact PIP pairs. Narrow map, no shuffle."""
+    (id, polygon_id) exact PIP pairs. Narrow map, no shuffle.
+
+    ``carry_cols`` are passed through the map onto the matched rows (their
+    Spark types preserved) so downstream per-polygon aggregates never need
+    to re-join — and therefore never re-plan — the input subtree (Catalyst
+    plans trees, not DAGs: a self-join of this output against its own
+    input would execute the upstream scan+shuffle twice)."""
     ids, ring_x, ring_y, min_x, min_y, max_x, max_y = _polygons_to_arrays(polygons)
     tree = STRtree(min_x, min_y, max_x, max_y)
+    in_cols = [id_col, lat_col, lon_col, *carry_cols]
+    carry_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.select(*carry_cols).schema.fields
+    )
+    out_schema = f"{id_col} string, polygon_id string" + (
+        f", {carry_fields}" if carry_cols else ""
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -87,8 +102,11 @@ def pip_join_rtree(
             py = pdf[lat_col].to_numpy(np.int64)
             pi, ri = tree.query_points(px, py)
             if len(pi) == 0:
-                yield pd.DataFrame({id_col: pd.Series([], dtype=str),
-                                    "polygon_id": pd.Series([], dtype=str)})
+                out = {id_col: pd.Series([], dtype=str),
+                       "polygon_id": pd.Series([], dtype=str)}
+                for c in carry_cols:
+                    out[c] = pdf[c].iloc[:0]
+                yield pd.DataFrame(out)
                 continue
             keep_p, keep_r = [], []
             for r in np.unique(ri):
@@ -99,13 +117,12 @@ def pip_join_rtree(
                 keep_r.append(np.full(int(ok.sum()), r, dtype=np.int64))
             kp = np.concatenate(keep_p)
             kr = np.concatenate(keep_r)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[kp], "polygon_id": ids[kr]}
-            )
+            out = {id_col: pdf[id_col].to_numpy()[kp], "polygon_id": ids[kr]}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy()[kp]
+            yield pd.DataFrame(out)
 
-    return points.select(id_col, lat_col, lon_col).mapInPandas(
-        gen, f"{id_col} string, polygon_id string"
-    )
+    return points.select(*in_cols).mapInPandas(gen, out_schema)
 
 
 def pip_join_broadcast(

@@ -136,7 +136,14 @@ def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster<->vector overlay: images per (polygon, z12 tile)."""
+    """Raster<->vector overlay, two lanes in one result (`kind` column):
+    'tile' = images per (polygon, z12 tile); 'zonal' (r5) = raster zonal
+    statistics (operators/raster.py zonal_stats) — the res-9 hex raster of
+    (image count, pixel-area sum) aggregated per polygon zone by
+    lattice-rounded cell-center membership, the ray-cast running per CELL
+    rather than per point."""
+    from jimmy_spark.operators import raster
+
     pts = _points(spark)
     poly_pdf = pd.read_parquet(f"{_t2()}/polygons.parquet")
     pairs = pip.pip_join_rtree(pts, poly_pdf)
@@ -145,11 +152,26 @@ def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles.x_col(F.col("lon_e7"), 12).alias("x"),
         tiles.y_col(F.col("lat_e7"), 12).alias("y"),
     )
-    return (
+    nul = F.lit(None).cast("long")
+    tile_lane = (
         pairs.join(t12, "image_id")
         .groupBy("polygon_id", "x", "y")
         .agg(F.count("*").alias("cnt"))
+        .select(
+            F.lit("tile").alias("kind"), "polygon_id", "x", "y", "cnt",
+            nul.alias("n_pts"), nul.alias("sum_px"), nul.alias("max_cell_pts"),
+        )
     )
+    vpts = cells.with_georef(
+        _images(spark).select("image_id", "phash", "w", "h")
+    ).withColumn("px", F.col("w").cast("long") * F.col("h").cast("long"))
+    zonal_lane = raster.zonal_stats(vpts, poly_pdf, res=9, value_col="px").select(
+        F.lit("zonal").alias("kind"), "polygon_id",
+        nul.alias("x"), nul.alias("y"),
+        F.col("n_cells").alias("cnt"),
+        "n_pts", F.col("sum_v").alias("sum_px"), "max_cell_pts",
+    )
+    return tile_lane.unionByName(zonal_lane)
 
 
 def q_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,6 +441,12 @@ def _oracle_spatial() -> dict[str, str]:
         for z in tiles.ZOOMS
     )
     x12, y12 = tiles.duckdb_xy_sql("lat_e7", "lon_e7", 12)
+    from jimmy_spark.operators import raster as raster_ops
+
+    zonal_pts = (
+        f"SELECT i.w::BIGINT * i.h::BIGINT AS px, p.lat_e7, p.lon_e7 "
+        f"FROM ({g}) p JOIN '{t2}/images.parquet' i USING (image_id)"
+    )
     hex_q = hexgrid.duckdb_hex_query(
         g, "image_id, lat_e7, lon_e7", "lat_e7", "lon_e7"
     )
@@ -453,8 +481,14 @@ def _oracle_spatial() -> dict[str, str]:
         "overlay": f"""
 WITH pip AS ({pip.duckdb_pip_sql(g, f"{t2}/polygons.parquet")}),
 t AS (SELECT image_id, {x12} AS x, {y12} AS y FROM ({g}))
-SELECT pip.polygon_id, t.x, t.y, count(*) AS cnt
+SELECT 'tile' AS kind, pip.polygon_id, t.x, t.y, count(*) AS cnt,
+       NULL::BIGINT AS n_pts, NULL::BIGINT AS sum_px,
+       NULL::BIGINT AS max_cell_pts
 FROM pip JOIN t USING (image_id) GROUP BY pip.polygon_id, t.x, t.y
+UNION ALL
+SELECT 'zonal' AS kind, polygon_id, NULL::BIGINT AS x, NULL::BIGINT AS y,
+       n_cells AS cnt, n_pts, sum_v AS sum_px, max_cell_pts
+FROM ({raster_ops.duckdb_zonal_sql(zonal_pts, f"{t2}/polygons.parquet", res=9, value_col="px")})
 """,
         "dedup_exact": (
             f"SELECT phash, min(image_id) AS keep_id, count(*) AS dup_cnt "
