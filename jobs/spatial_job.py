@@ -62,6 +62,15 @@ def main() -> int:
     )
     ap.add_argument("--dbscan-min-pts", type=int, default=4)
     ap.add_argument(
+        "--zonal-res",
+        type=int,
+        default=0,
+        help="when > 0, also write raster zonal statistics per polygon "
+        "zone at this hex resolution to <out>/zonal (operators/raster.py "
+        "zonal_stats; value = decoded-pixel checksum — swap for any "
+        "per-image raster metric in a real deployment).",
+    )
+    ap.add_argument(
         "--render-zoom",
         type=int,
         default=-1,
@@ -152,6 +161,18 @@ def main() -> int:
             min_pts=args.dbscan_min_pts,
             num_id=_F.substring("image_id", 5, 12).cast("long"),
         ).write.mode("overwrite").parquet(f"{args.out}/clusters")
+
+    if args.zonal_res > 0:
+        from jimmy_spark.operators import raster
+
+        raster.zonal_stats(
+            enriched.filter(F.col("ok")).select(
+                "lat_e7", "lon_e7", "px_checksum"
+            ),
+            poly_pdf,
+            res=args.zonal_res,
+            value_col="px_checksum",
+        ).write.mode("overwrite").parquet(f"{args.out}/zonal")
 
     if args.render_zoom >= 0:
         from jimmy_spark.operators import raster

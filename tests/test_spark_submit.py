@@ -104,6 +104,7 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         "--dbscan-eps", "200000",
         "--dbscan-min-pts", "4",
         "--render-zoom", "6",
+        "--zonal-res", "8",
     ]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stderr[-3000:]
@@ -136,6 +137,26 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
     ).fetchall()
     assert got_cl == exp_cl
     assert any(r[1] == "core" for r in got_cl)
+    # zonal statistics: the job's raster zonal output against the DuckDB
+    # twin over the job's own enriched rows
+    from jimmy_spark.operators import raster as _raster
+
+    zonal_pts_sql = (
+        "SELECT px_checksum, lat_e7, lon_e7 "
+        f"FROM '{tmp_path}/out_an/enriched/*/*.parquet' WHERE ok"
+    )
+    exp_z = duckdb.sql(
+        _raster.duckdb_zonal_sql(
+            zonal_pts_sql, f"{t1_dir}/polygons.parquet",
+            res=8, value_col="px_checksum",
+        )
+        + " ORDER BY polygon_id"
+    ).fetchall()
+    got_z = duckdb.sql(
+        "SELECT polygon_id, n_cells, n_pts, sum_v, max_cell_pts "
+        f"FROM '{tmp_path}/out_an/zonal/*.parquet' ORDER BY polygon_id"
+    ).fetchall()
+    assert got_z == exp_z and len(got_z) > 0
     # rendered tiles: valid PNGs through the repo decoder, points conserved
     from jimmy_spark.codecs import png as _png
 
