@@ -59,6 +59,27 @@ def ensure_dataset(name: str) -> Path:
     return d
 
 
+def ensure_tracks(name: str = "t2", n_entities: int = 60, pings_per: int = 160) -> Path:
+    """Deterministic moving-object tracks (datagen/tracks.py) for the
+    trajectory operators; own marker so adding it never regenerates the
+    (possibly multi-GB) base dataset."""
+    from jimmy_spark.datagen.tracks import write_tracks
+
+    d = dataset_dir(name)
+    marker = d / "_MARKER_TRACKS.json"
+    recipe = {"seed": SEED, "v": 1, "n_entities": n_entities, "pings_per": pings_per}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == recipe:
+                return d
+        except Exception:
+            pass
+    d.mkdir(parents=True, exist_ok=True)
+    write_tracks(str(d / "tracks.parquet"), n_entities, pings_per, SEED)
+    marker.write_text(json.dumps(recipe))
+    return d
+
+
 def ensure_media(name: str = "t2av", n_rows: int = 400) -> Path:
     """Deterministic audio/video tables (QWAV/QVID fake containers) for
     the multimodal operators; marker-cached like every dataset."""

@@ -1,0 +1,254 @@
+"""Moving-object trajectory analytics over (entity, seq, ts, lat, lon)
+ping streams: gap/jump track segmentation, per-segment stats with an
+order-canonical integer path length, dwell (stay-point) detection, and
+the origin-destination cell matrix.
+
+This is spatial sessionization — the same lag + cumulative-flag-sum shape
+as streaming/windows.sessionize_batch, extended with a spatial break
+predicate (squared step length in exact int64) and spatial aggregates.
+The whole family is pure JVM window/aggregate expressions: no Python in
+the path, one shuffle per entity-window plus the tiny per-segment
+aggregates.
+
+Scale notes (10^12-ping design):
+
+- Every window partitions by entity (plus segment): task state is one
+  TRACK, never the table. Hot entities bound task size by track length —
+  the operator's documented contract (same class as the reference's
+  per-notebook grouping); a 10^9-ping single entity would need a
+  time-sliced pre-split upstream.
+- ``path_len`` is the sum of per-step ``floor(sqrt(step2))`` — each term
+  exact from int64 inputs, so the SUM is an integer: order-independent,
+  partitioning-invariant, and bit-identical in the DuckDB twin (a
+  double-sum path length would be order-dependent and could never sit
+  behind a hash gate).
+- Coordinates are e7 fixed-point; |coord| <= 8e8 keeps ``step2`` within
+  int64 with 10x headroom (datagen/tracks.py enforces this for the
+  engine tables; callers with global-extent data should pre-split the
+  antimeridian as with the rest of the planar operators).
+
+No reference analogue (marph91/jimmy has no trajectory surface); engine
+addition under the BASELINE.json geospatial axes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jimmy_spark.operators import cells as cells_mod
+
+GAP_S = 1_800  # time break: 30 min without a ping opens a new segment
+JUMP_E7 = 1_000_000  # spatial break: a >= ~111 km step opens a new segment
+STAY_STEP_E7 = 10_000  # dwell: consecutive steps under ~1.1 km
+STAY_MIN_S = 600  # ... lasting at least 10 minutes
+
+
+def _epoch(c):
+    # parquet naive timestamps are NTZ; under the pinned UTC session tz the
+    # NTZ->LTZ cast is the identity, ->long is epoch seconds (floors) —
+    # matching DuckDB floor(epoch(ts)) (same discipline as sessionize_batch)
+    return c.cast("timestamp_ltz").cast("long")
+
+
+def segment_tracks(
+    tracks: DataFrame, gap_s: int = GAP_S, jump_e7: int = JUMP_E7
+) -> DataFrame:
+    """Per-ping segmentation: adds ``seg_seq`` (1-based per entity) and
+    ``step_len`` (floor'd Euclidean step from the previous ping, 0 at
+    segment starts so segment path lengths never cross a break)."""
+    w = Window.partitionBy("entity_id").orderBy("seq")
+    pl_ts = F.lag("ts").over(w)
+    dx = F.col("lat_e7") - F.lag("lat_e7").over(w)
+    dy = F.col("lon_e7") - F.lag("lon_e7").over(w)
+    step2 = dx * dx + dy * dy
+    new_seg = (
+        pl_ts.isNull()
+        | ((_epoch(F.col("ts")) - _epoch(pl_ts)) > F.lit(gap_s))
+        | (step2 > F.lit(jump_e7 * jump_e7))
+    )
+    return (
+        tracks.withColumn("_new", new_seg.cast("int"))
+        .withColumn("_step2", step2)
+        .withColumn(
+            "seg_seq",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "step_len",
+            F.when(F.col("_new") == 1, F.lit(0))
+            .otherwise(F.floor(F.sqrt(F.col("_step2"))))
+            .cast("long"),
+        )
+        .drop("_new", "_step2")
+    )
+
+
+def segment_stats(segged: DataFrame, res: int = 8) -> DataFrame:
+    """Per-segment: ping count, time span, integer path length, and the
+    origin/destination hex cells (first/last ping by seq)."""
+    agg = segged.groupBy("entity_id", "seg_seq").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.sum("step_len").alias("path_len"),
+        F.min_by("lat_e7", "seq").alias("_olat"),
+        F.min_by("lon_e7", "seq").alias("_olon"),
+        F.max_by("lat_e7", "seq").alias("_dlat"),
+        F.max_by("lon_e7", "seq").alias("_dlon"),
+    )
+    return agg.select(
+        "entity_id",
+        "seg_seq",
+        "n_pings",
+        "t_start",
+        "t_end",
+        "path_len",
+        cells_mod.hex_cell_expr(F.col("_olat"), F.col("_olon"), res).alias("o_cell"),
+        cells_mod.hex_cell_expr(F.col("_dlat"), F.col("_dlon"), res).alias("d_cell"),
+    )
+
+
+def stay_points(
+    segged: DataFrame,
+    step_eps_e7: int = STAY_STEP_E7,
+    min_dur_s: int = STAY_MIN_S,
+) -> DataFrame:
+    """Dwell detection: maximal runs of consecutive small steps (arriving
+    step <= eps, within one segment) lasting >= ``min_dur_s``. A run's
+    pings are those whose ARRIVING step is small; the centroid is the
+    exact integer mean (sum div n) of those pings."""
+    small = (F.col("step_len") > F.lit(0)) & (
+        F.col("step_len") <= F.lit(step_eps_e7)
+    )
+    w = Window.partitionBy("entity_id", "seg_seq").orderBy("seq")
+    marked = segged.withColumn("_brk", (~small).cast("int")).withColumn(
+        "run_id", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = (
+        marked.filter(small)
+        .groupBy("entity_id", "seg_seq", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            F.sum("lat_e7").alias("_slat"),
+            F.sum("lon_e7").alias("_slon"),
+        )
+        .filter(
+            (_epoch(F.col("t_end")) - _epoch(F.col("t_start")))
+            >= F.lit(min_dur_s)
+        )
+    )
+    sw = Window.partitionBy("entity_id").orderBy("seg_seq", "run_id")
+    return runs.select(
+        "entity_id",
+        F.row_number().over(sw).cast("long").alias("stay_seq"),
+        "n_pings",
+        "t_start",
+        "t_end",
+        F.expr("_slat div n_pings").alias("c_lat"),
+        F.expr("_slon div n_pings").alias("c_lon"),
+    )
+
+
+def od_matrix(stats: DataFrame) -> DataFrame:
+    """Origin-destination flow counts between segment endpoint cells."""
+    return stats.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+
+
+# --- DuckDB oracle ---------------------------------------------------------
+
+
+def _duckdb_segged_sql(tracks_rel: str, gap_s: int, jump_e7: int) -> str:
+    j2 = jump_e7 * jump_e7
+    return f"""
+SELECT *,
+       CASE WHEN _new = 1 THEN 0
+            ELSE floor(sqrt(_step2))::BIGINT END AS step_len,
+       sum(_new) OVER (PARTITION BY entity_id ORDER BY seq
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS seg_seq
+FROM (
+  SELECT *,
+         CASE WHEN _pts IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(_pts))::BIGINT > {gap_s}
+                   OR _step2 > {j2}
+              THEN 1 ELSE 0 END AS _new
+  FROM (
+    SELECT *,
+           lag(ts) OVER (PARTITION BY entity_id ORDER BY seq) AS _pts,
+           (lat_e7 - lag(lat_e7) OVER (PARTITION BY entity_id ORDER BY seq))
+             * (lat_e7 - lag(lat_e7) OVER (PARTITION BY entity_id ORDER BY seq))
+           + (lon_e7 - lag(lon_e7) OVER (PARTITION BY entity_id ORDER BY seq))
+             * (lon_e7 - lag(lon_e7) OVER (PARTITION BY entity_id ORDER BY seq))
+             AS _step2
+    FROM {tracks_rel}
+  )
+)
+"""
+
+
+def duckdb_segment_stats_sql(
+    tracks_rel: str,
+    res: int = 8,
+    gap_s: int = GAP_S,
+    jump_e7: int = JUMP_E7,
+) -> str:
+    from jimmy_spark.functions import hexgrid
+
+    seg = _duckdb_segged_sql(tracks_rel, gap_s, jump_e7)
+    ends = f"""
+SELECT entity_id, seg_seq, count(*) AS n_pings,
+       min(ts) AS t_start, max(ts) AS t_end,
+       sum(step_len)::BIGINT AS path_len,
+       arg_min(lat_e7, seq) AS olat, arg_min(lon_e7, seq) AS olon,
+       arg_max(lat_e7, seq) AS dlat, arg_max(lon_e7, seq) AS dlon
+FROM ({seg}) GROUP BY entity_id, seg_seq
+"""
+    o_hex = hexgrid.duckdb_hex_query(ends, "entity_id, seg_seq", "olat", "olon", (res,))
+    d_hex = hexgrid.duckdb_hex_query(ends, "entity_id, seg_seq", "dlat", "dlon", (res,))
+    return f"""
+SELECT e.entity_id, e.seg_seq, e.n_pings, e.t_start, e.t_end, e.path_len,
+       o.hex_r{res} AS o_cell, d.hex_r{res} AS d_cell
+FROM ({ends}) e
+JOIN ({o_hex}) o USING (entity_id, seg_seq)
+JOIN ({d_hex}) d USING (entity_id, seg_seq)
+"""
+
+
+def duckdb_stay_points_sql(
+    tracks_rel: str,
+    step_eps_e7: int = STAY_STEP_E7,
+    min_dur_s: int = STAY_MIN_S,
+    gap_s: int = GAP_S,
+    jump_e7: int = JUMP_E7,
+) -> str:
+    seg = _duckdb_segged_sql(tracks_rel, gap_s, jump_e7)
+    return f"""
+WITH segged AS ({seg}),
+marked AS (
+  SELECT *,
+         sum(CASE WHEN step_len > 0 AND step_len <= {step_eps_e7}
+                  THEN 0 ELSE 1 END)
+           OVER (PARTITION BY entity_id, seg_seq ORDER BY seq
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM segged
+),
+runs AS (
+  SELECT entity_id, seg_seq, run_id, count(*) AS n_pings,
+         min(ts) AS t_start, max(ts) AS t_end,
+         sum(lat_e7) AS slat, sum(lon_e7) AS slon
+  FROM marked
+  WHERE step_len > 0 AND step_len <= {step_eps_e7}
+  GROUP BY entity_id, seg_seq, run_id
+  HAVING floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT >= {min_dur_s}
+)
+SELECT entity_id,
+       row_number() OVER (PARTITION BY entity_id ORDER BY seg_seq, run_id)::BIGINT
+         AS stay_seq,
+       n_pings, t_start, t_end,
+       (slat // n_pings)::BIGINT AS c_lat, (slon // n_pings)::BIGINT AS c_lon
+FROM runs
+"""

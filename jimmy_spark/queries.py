@@ -1844,10 +1844,46 @@ def q_markup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization, three lanes under one `kind` column: 'evt' =
+    gap-based event sessions over the driver's events table (the original
+    lane); 'track' / 'stay' (r5) = the trajectory family over the engine's
+    moving-object tracks (operators/trajectory.py) — gap/jump track
+    segments with integer path length + O/D hex cells, and dwell
+    stay-points with exact integer centroids. Trajectory segmentation IS
+    spatial sessionization (same lag + cumulative-flag-sum plan shape),
+    which is why the lanes share a row."""
+    from jimmy_spark.datagen import ensure_tracks
+    from jimmy_spark.operators import trajectory as tj
     from jimmy_spark.streaming import windows
 
+    nul = F.lit(None).cast("long")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return windows.sessionize_batch(ev)
+    evt = windows.sessionize_batch(ev).select(
+        F.lit("evt").alias("kind"),
+        F.col("user_id").alias("entity_id"),
+        "session_seq",
+        F.col("n_events").alias("n"),
+        F.col("session_start").alias("t_start"),
+        F.col("session_end").alias("t_end"),
+        nul.alias("path_len"), nul.alias("o_cell"), nul.alias("d_cell"),
+        nul.alias("c_lat"), nul.alias("c_lon"),
+    )
+    tr = spark.read.parquet(f"{ensure_tracks('t2')}/tracks.parquet")
+    segged = tj.segment_tracks(tr)
+    track = tj.segment_stats(segged).select(
+        F.lit("track").alias("kind"), "entity_id",
+        F.col("seg_seq").alias("session_seq"),
+        F.col("n_pings").alias("n"), "t_start", "t_end",
+        "path_len", "o_cell", "d_cell", nul.alias("c_lat"), nul.alias("c_lon"),
+    )
+    stay = tj.stay_points(segged).select(
+        F.lit("stay").alias("kind"), "entity_id",
+        F.col("stay_seq").alias("session_seq"),
+        F.col("n_pings").alias("n"), "t_start", "t_end",
+        nul.alias("path_len"), nul.alias("o_cell"), nul.alias("d_cell"),
+        "c_lat", "c_lon",
+    )
+    return evt.unionByName(track).unionByName(stay)
 
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,17 +1944,36 @@ FROM k
 
 
 def _oracle_kernels() -> dict[str, str]:
+    from jimmy_spark.datagen import ensure_tracks
     from jimmy_spark.functions import strings
+    from jimmy_spark.operators import trajectory
     from jimmy_spark.streaming import windows
 
     title = strings.duckdb_split_title("caption")
     tag = strings.duckdb_first_inline_tag("caption")
+    tracks_path = f"{ensure_tracks('t2')}/tracks.parquet"
     return {
         "caption_kernels": _caption_kernels_sql(title, tag),
         # the driver pre-registers every testdata table as a view at the sf
         # it evaluates, so the oracle always reads the same data as the
         # Spark side (no baked path)
-        "session_windows": windows.duckdb_sessionize_sql("events"),
+        "session_windows": f"""
+SELECT 'evt' AS kind, user_id AS entity_id, session_seq, n_events AS n,
+       session_start AS t_start, session_end AS t_end,
+       NULL::BIGINT AS path_len, NULL::BIGINT AS o_cell,
+       NULL::BIGINT AS d_cell, NULL::BIGINT AS c_lat, NULL::BIGINT AS c_lon
+FROM ({windows.duckdb_sessionize_sql("events")})
+UNION ALL
+SELECT 'track' AS kind, entity_id, seg_seq AS session_seq, n_pings AS n,
+       t_start, t_end, path_len, o_cell, d_cell,
+       NULL::BIGINT AS c_lat, NULL::BIGINT AS c_lon
+FROM ({trajectory.duckdb_segment_stats_sql(f"'{tracks_path}'")})
+UNION ALL
+SELECT 'stay' AS kind, entity_id, stay_seq AS session_seq, n_pings AS n,
+       t_start, t_end, NULL::BIGINT AS path_len, NULL::BIGINT AS o_cell,
+       NULL::BIGINT AS d_cell, c_lat, c_lon
+FROM ({trajectory.duckdb_stay_points_sql(f"'{tracks_path}'")})
+""",
         # batch and stream compute the same result by construction, so the
         # oracle states the stream columns as duplicates of the batch ones;
         # the hourly continuous-aggregate columns mirror the cascade's
