@@ -153,9 +153,12 @@ def stay_points(
 
 
 def od_matrix(stats: DataFrame) -> DataFrame:
-    """Origin-destination flow counts between segment endpoint cells."""
+    """Origin-destination flows between segment endpoint cells: trip count
+    plus the flow's observed time window (first departure, last arrival)."""
     return stats.groupBy("o_cell", "d_cell").agg(
-        F.count(F.lit(1)).alias("n_trips")
+        F.count(F.lit(1)).alias("n_trips"),
+        F.min("t_start").alias("t_first"),
+        F.max("t_end").alias("t_last"),
     )
 
 

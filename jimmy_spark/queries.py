@@ -1848,10 +1848,11 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-based event sessions over the driver's events table (the original
     lane); 'track' / 'stay' (r5) = the trajectory family over the engine's
     moving-object tracks (operators/trajectory.py) — gap/jump track
-    segments with integer path length + O/D hex cells, and dwell
-    stay-points with exact integer centroids. Trajectory segmentation IS
-    spatial sessionization (same lag + cumulative-flag-sum plan shape),
-    which is why the lanes share a row."""
+    segments with integer path length + O/D hex cells, dwell stay-points
+    with exact integer centroids, and 'od' = the origin-destination flow
+    matrix over segment endpoints. Trajectory segmentation IS spatial
+    sessionization (same lag + cumulative-flag-sum plan shape), which is
+    why the lanes share a row."""
     from jimmy_spark.datagen import ensure_tracks
     from jimmy_spark.operators import trajectory as tj
     from jimmy_spark.streaming import windows
@@ -1883,7 +1884,14 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("path_len"), nul.alias("o_cell"), nul.alias("d_cell"),
         "c_lat", "c_lon",
     )
-    return evt.unionByName(track).unionByName(stay)
+    od = tj.od_matrix(tj.segment_stats(segged)).select(
+        F.lit("od").alias("kind"), nul.alias("entity_id"),
+        nul.alias("session_seq"), F.col("n_trips").alias("n"),
+        F.col("t_first").alias("t_start"), F.col("t_last").alias("t_end"),
+        nul.alias("path_len"), "o_cell", "d_cell",
+        nul.alias("c_lat"), nul.alias("c_lon"),
+    )
+    return evt.unionByName(track).unionByName(stay).unionByName(od)
 
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1973,6 +1981,13 @@ SELECT 'stay' AS kind, entity_id, stay_seq AS session_seq, n_pings AS n,
        t_start, t_end, NULL::BIGINT AS path_len, NULL::BIGINT AS o_cell,
        NULL::BIGINT AS d_cell, c_lat, c_lon
 FROM ({trajectory.duckdb_stay_points_sql(f"'{tracks_path}'")})
+UNION ALL
+SELECT 'od' AS kind, NULL::BIGINT AS entity_id, NULL::BIGINT AS session_seq,
+       count(*)::BIGINT AS n, min(t_start) AS t_start, max(t_end) AS t_end,
+       NULL::BIGINT AS path_len, o_cell, d_cell,
+       NULL::BIGINT AS c_lat, NULL::BIGINT AS c_lon
+FROM ({trajectory.duckdb_segment_stats_sql(f"'{tracks_path}'")})
+GROUP BY o_cell, d_cell
 """,
         # batch and stream compute the same result by construction, so the
         # oracle states the stream columns as duplicates of the batch ones;

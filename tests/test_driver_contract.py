@@ -36,6 +36,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in cols:
         if out[c].dtype == object:
             out[c] = out[c].astype(str)
+        elif out[c].dtype.kind == "M":
+            # Spark hands back ns-resolution datetimes, DuckDB us; with NaT
+            # present pandas compares raw int64s, so unify the unit (the
+            # driver's gate stringifies and never sees the difference)
+            out[c] = out[c].astype("datetime64[us]")
     return out.sort_values(cols, kind="stable").reset_index(drop=True)
 
 
