@@ -369,6 +369,53 @@ def _convert_job_bench() -> dict[str, float]:
         _sh.rmtree(tmp, ignore_errors=True)
 
 
+def _trajectory_bench() -> dict[str, float]:
+    """Trajectory family at bench scale: 1M pings / 4k entities (the
+    registry's session_windows row uses the tiny 9.6k-ping t2 tracks, too
+    small to say anything about the operator's cost). One action computes
+    all three lanes — segment stats, stay points, OD matrix — the same
+    union shape as the registry row; segmentation windows recompute per
+    lane exactly as there. Generation is marker-cached and excluded."""
+    from pyspark.sql import functions as F
+
+    from jimmy_spark.datagen import ensure_tracks
+    from jimmy_spark.operators import trajectory as tj
+    from jimmy_spark.session import get_spark
+
+    path = f"{ensure_tracks('t2trkbench', 4000, 250)}/tracks.parquet"
+    spark = get_spark(
+        "bench-trajectory", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    try:
+        spark.read.parquet(path).limit(100).count()  # warm session
+        best = None
+        for _ in range(3):
+            tr = spark.read.parquet(path)
+            segged = tj.segment_tracks(tr)
+            fam = (
+                tj.segment_stats(segged)
+                .select("entity_id", F.col("n_pings").alias("n"))
+                .unionByName(
+                    tj.stay_points(segged).select(
+                        "entity_id", F.col("n_pings").alias("n")
+                    )
+                )
+                .unionByName(
+                    tj.od_matrix(tj.segment_stats(segged)).select(
+                        F.col("o_cell").alias("entity_id"),
+                        F.col("n_trips").alias("n"),
+                    )
+                )
+            )
+            t = time.monotonic()
+            fam.count()
+            dt = time.monotonic() - t
+            best = dt if best is None else min(best, dt)
+        return {"trajectory_family": round(best, 3)}
+    finally:
+        spark.stop()
+
+
 def _worker(cores: int, lean: bool = False) -> None:
     print(json.dumps(_pipeline_bench(cores, lean)))
 
@@ -587,6 +634,7 @@ def main() -> None:
 
     probe = _host_cpu_probe()
     generic = _generic_bench()
+    generic.update(_trajectory_bench())
     generic.update(_dedup_job_bench())
     generic.update(_convert_job_bench())
     if r_lo is not None:
