@@ -162,6 +162,81 @@ def od_matrix(stats: DataFrame) -> DataFrame:
     )
 
 
+SIMPLIFY_EPS_E7 = 20_000  # simplification tolerance (~2.2 km)
+
+
+def _pt_seg_dist2(px, py, ax, ay, bx, by, dx, dy, chord2):
+    """Exact squared point-to-segment distance as a rational (num, den):
+    endpoint distance (den 1) when P projects outside AB, else cross²/|AB|²."""
+    ux, uy = px - ax, py - ay
+    if chord2 == 0:
+        return ux * ux + uy * uy, 1
+    t = ux * dx + uy * dy
+    if t <= 0:
+        return ux * ux + uy * uy, 1
+    if t >= chord2:
+        vx, vy = px - bx, py - by
+        return vx * vx + vy * vy, 1
+    cr = ux * dy - uy * dx
+    return cr * cr, chord2
+
+
+def simplify_tracks(segged: DataFrame, eps_e7: int = SIMPLIFY_EPS_E7) -> DataFrame:
+    """Douglas-Peucker polyline simplification per (entity, segment):
+    keeps segment endpoints plus every ping whose perpendicular deviation
+    from the current chord exceeds ``eps_e7``, guaranteeing every dropped
+    ping lies within eps of the simplified polyline.
+
+    DP's recursion splits on a data-dependent farthest point, so this is
+    the documented custom-operator path (applyInPandas per segment group
+    — task state is one segment, the family's standard contract). The
+    farthest-point metric is true point-to-SEGMENT distance — NOT the
+    textbook perpendicular-to-infinite-line shortcut, which silently
+    forfeits the within-eps guarantee for points projecting beyond the
+    chord (the tests' exact verifier catches exactly that). Distances are
+    EXACT rationals ``(num, den)`` compared by cross-multiplication in
+    arbitrary-precision Python ints (cross² overflows int64 at planar
+    coordinate spans), ties broken toward the lowest seq — deterministic
+    and partitioning-invariant, like everything else behind the hash
+    gates. Pure-Python recursive oracle + exact within-eps verifier in
+    tests/test_trajectory.py."""
+
+    def _dp(pdf):
+        pdf = pdf.sort_values("seq").reset_index(drop=True)
+        xs = [int(v) for v in pdf["lat_e7"]]
+        ys = [int(v) for v in pdf["lon_e7"]]
+        n = len(xs)
+        keep = [False] * n
+        keep[0] = keep[n - 1] = True
+        eps2 = eps_e7 * eps_e7
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            ax, ay = xs[a], ys[a]
+            dx, dy = xs[b] - ax, ys[b] - ay
+            chord2 = dx * dx + dy * dy
+            bn, bd, bi = -1, 1, -1  # best dist² as num/den
+            for i in range(a + 1, b):
+                num, den = _pt_seg_dist2(
+                    xs[i], ys[i], ax, ay, xs[b], ys[b], dx, dy, chord2
+                )
+                if num * bd > bn * den:
+                    bn, bd, bi = num, den, i
+            if bn > eps2 * bd:
+                keep[bi] = True
+                stack.append((a, bi))
+                stack.append((bi, b))
+        return pdf[keep]
+
+    cols = ["entity_id", "seg_seq", "seq", "ts", "lat_e7", "lon_e7"]
+    src = segged.select(*cols)
+    return src.groupBy("entity_id", "seg_seq").applyInPandas(
+        lambda pdf: _dp(pdf), schema=src.schema
+    )
+
+
 # --- DuckDB oracle ---------------------------------------------------------
 
 

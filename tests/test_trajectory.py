@@ -140,3 +140,132 @@ class TestScaleInvariance:
             assert total == stats.count()
         finally:
             stats.unpersist()
+
+
+def _dp_oracle(pts: list[tuple[int, int]], eps: int) -> list[bool]:
+    """Independent recursive Douglas-Peucker over exact Fraction
+    point-to-segment distances (the operator is an explicit stack over
+    cross-multiplied integer rationals — disjoint formulations)."""
+    from fractions import Fraction
+
+    n = len(pts)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+
+    def d2(p, a, b) -> Fraction:
+        (px, py), (ax, ay), (bx, by) = p, a, b
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        ux, uy = px - ax, py - ay
+        if l2 == 0 or ux * dx + uy * dy <= 0:
+            return Fraction(ux * ux + uy * uy)
+        if ux * dx + uy * dy >= l2:
+            return Fraction((px - bx) ** 2 + (py - by) ** 2)
+        return Fraction((ux * dy - uy * dx) ** 2, l2)
+
+    def rec(a: int, b: int) -> None:
+        if b - a < 2:
+            return
+        best, bi = Fraction(-1), -1
+        for i in range(a + 1, b):
+            s = d2(pts[i], pts[a], pts[b])
+            if s > best:
+                best, bi = s, i
+        if best > eps * eps:
+            keep[bi] = True
+            rec(a, bi)
+            rec(bi, b)
+
+    rec(0, n - 1)
+    return keep
+
+
+def _point_seg_within(px, py, ax, ay, bx, by, eps) -> bool:
+    """Exact-int: is P within eps of segment AB? Projection parameter via
+    dot products, perpendicular via cross — all arbitrary-precision."""
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    ux, uy = px - ax, py - ay
+    if l2 == 0:
+        return ux * ux + uy * uy <= eps * eps
+    t = ux * dx + uy * dy
+    if t <= 0:
+        return ux * ux + uy * uy <= eps * eps
+    if t >= l2:
+        vx, vy = px - bx, py - by
+        return vx * vx + vy * vy <= eps * eps
+    cr = ux * dy - uy * dx
+    return cr * cr <= eps * eps * l2
+
+
+class TestSimplify:
+    EPS = 20_000
+
+    def test_matches_recursive_oracle(self, segged):
+        got = (
+            tj.simplify_tracks(segged, self.EPS)
+            .select("entity_id", "seg_seq", "seq")
+            .toPandas()
+        )
+        raw = (
+            segged.select("entity_id", "seg_seq", "seq", "lat_e7", "lon_e7")
+            .toPandas()
+            .sort_values(["entity_id", "seg_seq", "seq"])
+        )
+        kept = set()
+        for (e, s), grp in raw.groupby(["entity_id", "seg_seq"]):
+            pts = list(zip(grp["lat_e7"].astype(int), grp["lon_e7"].astype(int)))
+            flags = _dp_oracle(pts, self.EPS)
+            kept.update(
+                (e, s, q) for q, f in zip(grp["seq"], flags) if f
+            )
+        assert set(map(tuple, got.itertuples(index=False))) == kept
+
+    def test_every_dropped_point_within_eps(self, segged):
+        # the DP guarantee, checked with exact integer arithmetic: each
+        # original ping is within eps of SOME retained chord of its segment
+        simp = (
+            tj.simplify_tracks(segged, self.EPS)
+            .toPandas()
+            .sort_values(["entity_id", "seg_seq", "seq"])
+        )
+        raw = (
+            segged.select("entity_id", "seg_seq", "seq", "lat_e7", "lon_e7")
+            .toPandas()
+            .sort_values(["entity_id", "seg_seq", "seq"])
+        )
+        simp_g = {
+            k: list(zip(g["lat_e7"].astype(int), g["lon_e7"].astype(int)))
+            for k, g in simp.groupby(["entity_id", "seg_seq"])
+        }
+        checked = 0
+        for k, grp in raw.groupby(["entity_id", "seg_seq"]):
+            chain = simp_g[k]
+            for px, py in zip(grp["lat_e7"].astype(int), grp["lon_e7"].astype(int)):
+                ok = any(
+                    _point_seg_within(px, py, *chain[i], *chain[i + 1], self.EPS)
+                    for i in range(len(chain) - 1)
+                ) or (len(chain) == 1 and (px, py) == chain[0])
+                assert ok, (k, px, py)
+                checked += 1
+        assert checked > 0
+
+    def test_compresses_and_is_partitioning_invariant(self, spark, tracks_path):
+        tr = spark.read.parquet(tracks_path)
+        a = (
+            tj.simplify_tracks(tj.segment_tracks(tr.repartition(1)), self.EPS)
+            .toPandas()
+        )
+        b = (
+            tj.simplify_tracks(
+                tj.segment_tracks(tr.repartition(13, "seq")), self.EPS
+            ).toPandas()
+        )
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            _norm(a), _norm(b), check_dtype=False, check_exact=True
+        )
+        # planted stays (2k jitter) + 40k walk steps at eps 20k: real
+        # compression must happen, but endpoints force >= 2 per segment
+        n_raw = tr.count()
+        assert 2 * 2 <= len(a) < 0.8 * n_raw
