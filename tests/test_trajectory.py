@@ -269,3 +269,62 @@ class TestSimplify:
         # compression must happen, but endpoints force >= 2 per segment
         n_raw = tr.count()
         assert 2 * 2 <= len(a) < 0.8 * n_raw
+
+
+class TestSegmentStream:
+    """Streaming segmentation (streaming/tracks.py) == batch twin across
+    micro-batch boundaries, with O(1)-per-entity state."""
+
+    def test_stream_matches_batch(self, spark, tracks_path, tmp_path):
+        from jimmy_spark.streaming import tracks as st
+
+        tr = spark.read.parquet(tracks_path).toPandas()
+        # ns timestamps land in parquet as raw INT64 (Spark can't read
+        # NANOS as ntz); write the waves at us like the source table
+        tr["ts"] = tr["ts"].astype("datetime64[us]")
+        d = tmp_path / "pings"
+        d.mkdir()
+        # three in-order waves; boundaries deliberately cut through planted
+        # gap/jump positions so the break predicate must consult the state
+        # ping, not just the batch-internal lag
+        for i, hi in enumerate((50, 110, 10_000)):
+            lo = 0 if i == 0 else (50, 110)[i - 1]
+            wave = tr[(tr["seq"] >= lo) & (tr["seq"] < hi)]
+            wave.to_parquet(d / f"wave{i}.parquet")
+
+        got = st.run_segment_stream(spark, str(d)).toPandas()
+        exp = (
+            tj.segment_tracks(spark.read.parquet(tracks_path))
+            .select(*got.columns)
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            _norm(got), _norm(exp), check_dtype=False, check_exact=True
+        )
+
+    def test_out_of_order_rows_dropped_not_corrupting(self, spark, tracks_path, tmp_path):
+        from jimmy_spark.streaming import tracks as st
+
+        tr = spark.read.parquet(tracks_path).toPandas()
+        tr["ts"] = tr["ts"].astype("datetime64[us]")
+        one = tr[tr["entity_id"] == 0]
+        d = tmp_path / "pings"
+        d.mkdir()
+        one[one["seq"] < 80].to_parquet(d / "wave0.parquet")
+        # wave 1 replays stale seqs [60,80) plus the genuinely new tail
+        one[one["seq"] >= 60].to_parquet(d / "wave1.parquet")
+
+        got = st.run_segment_stream(spark, str(d)).toPandas()
+        exp = (
+            tj.segment_tracks(
+                spark.read.parquet(tracks_path).filter("entity_id = 0")
+            )
+            .select(*got.columns)
+            .toPandas()
+        )
+        # each ping emitted exactly once (replay dropped), segmentation
+        # identical to the batch over the deduplicated feed
+        assert got["seq"].is_unique
+        pd.testing.assert_frame_equal(
+            _norm(got), _norm(exp), check_dtype=False, check_exact=True
+        )
