@@ -77,6 +77,14 @@ def main() -> int:
         help="when >= 0, also render per-XYZ-tile heat PNGs at this zoom "
         "to <out>/tiles_png (operators/raster.py).",
     )
+    ap.add_argument(
+        "--tracks",
+        default="",
+        help="when set, a moving-object ping table (entity_id, seq, ts, "
+        "lat_e7, lon_e7): run the trajectory family and write segment "
+        "stats, stay points, the OD matrix, and Douglas-Peucker simplified "
+        "pings under <out>/trajectory/ (operators/trajectory.py).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -180,6 +188,22 @@ def main() -> int:
         raster.render_heat_tiles(ok_pts, zoom=args.render_zoom).write.mode(
             "overwrite"
         ).parquet(f"{args.out}/tiles_png")
+
+    if args.tracks:
+        from jimmy_spark.operators import trajectory as tj
+
+        segged = tj.segment_tracks(spark.read.parquet(args.tracks))
+        stats = tj.segment_stats(segged)
+        stats.write.mode("overwrite").parquet(f"{args.out}/trajectory/segments")
+        tj.stay_points(segged).write.mode("overwrite").parquet(
+            f"{args.out}/trajectory/stays"
+        )
+        tj.od_matrix(stats).write.mode("overwrite").parquet(
+            f"{args.out}/trajectory/od"
+        )
+        tj.simplify_tracks(segged).write.mode("overwrite").parquet(
+            f"{args.out}/trajectory/simplified"
+        )
 
     m = runner.table.read_all(spark)
     summary = m.agg(

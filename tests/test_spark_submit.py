@@ -106,6 +106,10 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         "--render-zoom", "6",
         "--zonal-res", "8",
     ]
+    from jimmy_spark.datagen import ensure_tracks
+
+    tracks_path = f"{ensure_tracks('t2')}/tracks.parquet"
+    cmd += ["--tracks", tracks_path]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stderr[-3000:]
     s4 = json.loads(p.stdout.strip().splitlines()[-1])
@@ -167,6 +171,38 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
     assert sum(r[3] for r in tiles_rows) == s4["rows_out"]
     arr = _png.decode(bytes(tiles_rows[0][4]))
     assert arr.shape == (256, 256, 3)
+    # trajectory family through the same deployment shape, vs DuckDB twins
+    from jimmy_spark.operators import trajectory as _tj
+
+    exp_seg = duckdb.sql(
+        _tj.duckdb_segment_stats_sql(f"'{tracks_path}'")
+        + " ORDER BY entity_id, seg_seq"
+    ).fetchall()
+    got_seg = duckdb.sql(
+        "SELECT entity_id, seg_seq, n_pings, t_start, t_end, path_len, "
+        f"o_cell, d_cell FROM '{tmp_path}/out_an/trajectory/segments/*.parquet' "
+        "ORDER BY entity_id, seg_seq"
+    ).fetchall()
+    assert got_seg == exp_seg and len(got_seg) > 0
+    exp_stay = duckdb.sql(
+        _tj.duckdb_stay_points_sql(f"'{tracks_path}'")
+        + " ORDER BY entity_id, stay_seq"
+    ).fetchall()
+    got_stay = duckdb.sql(
+        "SELECT entity_id, stay_seq, n_pings, t_start, t_end, c_lat, c_lon "
+        f"FROM '{tmp_path}/out_an/trajectory/stays/*.parquet' "
+        "ORDER BY entity_id, stay_seq"
+    ).fetchall()
+    assert got_stay == exp_stay and len(got_stay) > 0
+    n_od = duckdb.sql(
+        f"SELECT sum(n_trips) FROM '{tmp_path}/out_an/trajectory/od/*.parquet'"
+    ).fetchone()[0]
+    assert n_od == len(got_seg)  # trips conserved through the OD rollup
+    n_simp, n_raw = duckdb.sql(
+        f"SELECT (SELECT count(*) FROM '{tmp_path}/out_an/trajectory/simplified/*.parquet'), "
+        f"(SELECT count(*) FROM '{tracks_path}')"
+    ).fetchone()
+    assert 0 < n_simp < n_raw
 
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
