@@ -237,6 +237,38 @@ def simplify_tracks(segged: DataFrame, eps_e7: int = SIMPLIFY_EPS_E7) -> DataFra
     )
 
 
+def route_signatures(segged: DataFrame, res: int = 8) -> DataFrame:
+    """Per-segment route signature: the ordered sequence of DISTINCT
+    CONSECUTIVE hex cells the track traverses (map-matching to the cell
+    lattice). Change points come from a lag over the same (entity, seq)
+    window the segmenter already established — no new shuffle shape —
+    and the ordered array is built shuffle-safely as
+    ``array_sort(collect_list(struct(seq, cell)))`` then projected
+    (collect_list alone is not order-deterministic). Pure JVM."""
+    cell = cells_mod.hex_cell_expr(F.col("lat_e7"), F.col("lon_e7"), res)
+    w = Window.partitionBy("entity_id", "seg_seq").orderBy("seq")
+    marked = segged.select("entity_id", "seg_seq", "seq", cell.alias("cell"))
+    prev = F.lag("cell").over(w)
+    changes = marked.withColumn("_prev", prev).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("cell"))
+    )
+    return changes.groupBy("entity_id", "seg_seq").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "cell"))),
+            lambda x: x["cell"],
+        ).alias("route"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+def route_frequency(routes: DataFrame) -> DataFrame:
+    """Route mining: how many segments traverse each exact cell sequence.
+    One shuffle keyed by the route array itself."""
+    return routes.groupBy("route").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments")
+    )
+
+
 # --- DuckDB oracle ---------------------------------------------------------
 
 
@@ -293,6 +325,42 @@ SELECT e.entity_id, e.seg_seq, e.n_pings, e.t_start, e.t_end, e.path_len,
 FROM ({ends}) e
 JOIN ({o_hex}) o USING (entity_id, seg_seq)
 JOIN ({d_hex}) d USING (entity_id, seg_seq)
+"""
+
+
+def duckdb_route_signatures_sql(
+    tracks_rel: str,
+    res: int = 8,
+    gap_s: int = GAP_S,
+    jump_e7: int = JUMP_E7,
+) -> str:
+    from jimmy_spark.functions import hexgrid
+
+    seg = _duckdb_segged_sql(tracks_rel, gap_s, jump_e7)
+    cells = hexgrid.duckdb_hex_query(
+        seg, "entity_id, seg_seq, seq", "lat_e7", "lon_e7", (res,)
+    )
+    return f"""
+WITH cells AS ({cells}),
+marked AS (
+  SELECT *, lag(hex_r{res}) OVER (PARTITION BY entity_id, seg_seq
+                                  ORDER BY seq) AS _prev
+  FROM cells
+)
+SELECT entity_id, seg_seq,
+       list(hex_r{res} ORDER BY seq) AS route,
+       count(*)::BIGINT AS n_cells
+FROM marked
+WHERE _prev IS NULL OR _prev != hex_r{res}
+GROUP BY entity_id, seg_seq
+"""
+
+
+def duckdb_route_frequency_sql(tracks_rel: str, res: int = 8) -> str:
+    return f"""
+SELECT route, count(*)::BIGINT AS n_segments
+FROM ({duckdb_route_signatures_sql(tracks_rel, res)})
+GROUP BY route
 """
 
 

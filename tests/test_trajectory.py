@@ -271,6 +271,42 @@ class TestSimplify:
         assert 2 * 2 <= len(a) < 0.8 * n_raw
 
 
+class TestRoutes:
+    def test_matches_duckdb(self, tracks_path, segged):
+        got = tj.route_signatures(segged).toPandas()
+        exp = duckdb.sql(
+            tj.duckdb_route_signatures_sql(f"'{tracks_path}'")
+        ).df()
+        got["route"] = got["route"].map(tuple)
+        exp["route"] = exp["route"].map(tuple)
+        pd.testing.assert_frame_equal(
+            _norm(got), _norm(exp), check_dtype=False, check_exact=True
+        )
+
+    def test_frequency_matches_duckdb_and_conserves(self, tracks_path, segged):
+        routes = tj.route_signatures(segged).cache()
+        try:
+            got = tj.route_frequency(routes).toPandas()
+            exp = duckdb.sql(
+                tj.duckdb_route_frequency_sql(f"'{tracks_path}'")
+            ).df()
+            got["route"] = got["route"].map(tuple)
+            exp["route"] = exp["route"].map(tuple)
+            pd.testing.assert_frame_equal(
+                _norm(got), _norm(exp), check_dtype=False, check_exact=True
+            )
+            assert got["n_segments"].sum() == routes.count()
+        finally:
+            routes.unpersist()
+
+    def test_no_consecutive_duplicates_and_order(self, segged):
+        rows = tj.route_signatures(segged).collect()
+        assert rows
+        for r in rows:
+            assert len(r.route) == r.n_cells
+            assert all(a != b for a, b in zip(r.route, r.route[1:]))
+
+
 class TestSegmentStream:
     """Streaming segmentation (streaming/tracks.py) == batch twin across
     micro-batch boundaries, with O(1)-per-entity state."""
