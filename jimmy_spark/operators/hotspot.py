@@ -1,0 +1,138 @@
+"""Getis-Ord Gi* hotspot detection over hex cell counts.
+
+The reference's per-notebook statistics (jimmy converter.py stats counters)
+have no spatial analogue; this is an r5 engine addition from the geospatial
+tier's standard toolbox: given per-cell point counts, score every occupied
+cell with the Gi* z-statistic over its radius-1 hex disk (self + 6
+neighbors — the "star" in Gi*), flagging statistically hot/cold cells.
+
+Study region = the OCCUPIED cells (cells with >=1 point); binary weights
+w_ij = 1 iff cell j lies in disk(i, 1) and is occupied. With x_j the count
+in cell j, n the number of occupied cells:
+
+    xbar = (SUM x) / n          s = sqrt((SUM x^2)/n - xbar^2)
+    W_i  = #{occupied j in disk(i)}      S_i = SUM_{j in disk(i)} x_j
+    Gi*  = (S_i - xbar*W_i) / (s * sqrt((n*W_i - W_i^2)/(n - 1)))
+
+Scale shape: the neighbor sum needs NO join against the point table — each
+occupied cell broadcasts its count to the 7 home cells of its disk via a
+compile-time packed-delta literal array (same trick as the distance join,
+operators/distjoin.py), then one groupBy(home) + one equality join back to
+the counts frame. Everything runs on the already-aggregated counts frame
+(|cells| << |points|); the global moments are one tiny auxiliary aggregate
+broadcast by AQE. No Python stage anywhere.
+
+Float determinism contract: n, SUM x, SUM x^2, W_i, S_i are exact int64;
+the z-score is ONE fixed tree of IEEE-754 double ops (div/mul/sub/sqrt are
+all correctly rounded) evaluated in the same order by the JVM expression
+and the DuckDB twin (``duckdb_gi_sql``), so ``gi_e6 = floor(z * 1e6)`` is
+bit-identical across engines — the driver hash gate rides on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jimmy_spark.functions import hexgrid
+
+#: packed int64 cell-id deltas of the radius-1 disk (7 cells incl. home);
+#: bit layout per functions/hexgrid.py — neighbor = home + (dq<<30) + dr.
+DISK1_DELTAS = [int((dq << 30) + dr) for dq, dr in hexgrid.disk_offsets(1)]
+
+
+def _gi_e6_expr(n: Column, sumx: Column, sumx2: Column, w: Column, s: Column) -> Column:
+    """The fixed IEEE double tree; mirrored token-for-token in the SQL twin.
+
+    Degenerate regions are CASE-guarded BEFORE any division (Spark 4 ANSI
+    mode errors on /0 even for doubles; CASE WHEN short-circuits per row):
+    n < 2 (no variance), s2v <= 0 (uniform counts — mathematically
+    variance >= 0, and near-uniform rounding can only land <= 0), or
+    w = n (one disk covers the whole region, second sqrt arg 0). Outside
+    those, both sqrt args are > 0 and the denominator is > 0.
+    """
+    nd = n.cast("double")
+    xbar = sumx.cast("double") / nd
+    s2v = sumx2.cast("double") / nd - xbar * xbar
+    sd = F.sqrt(s2v)
+    num = s.cast("double") - xbar * w.cast("double")
+    den = sd * F.sqrt((n * w - w * w).cast("double") / (n - F.lit(1)).cast("double"))
+    ok = (n >= 2) & (s2v > 0) & (n * w - w * w > 0)
+    return F.when(ok, F.floor(num / den * F.lit(1000000.0))).otherwise(
+        F.lit(None).cast("long")
+    )
+
+
+def gi_star(counts: DataFrame, cell_col: str, cnt_col: str = "cnt") -> DataFrame:
+    """Widen a (cell, cnt) frame with Gi* columns.
+
+    Output: input columns + ``nbr_w`` (occupied disk cells, incl. self),
+    ``nbr_sum`` (disk count sum) — both exact int64 — and ``gi_e6``
+    (floor(Gi* * 1e6), null when n < 2 or the denominator is 0).
+    """
+    deltas = F.array(*[F.lit(x) for x in DISK1_DELTAS])
+    # generators can't nest inside expressions (same shape as distjoin):
+    # explode to a column first, then add the delta
+    contrib = counts.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(cnt_col).alias("_x"),
+        F.explode(deltas).alias("_delta"),
+    ).select((F.col("_cell") + F.col("_delta")).alias("_home"), "_x")
+    nbr = contrib.groupBy("_home").agg(
+        F.count("*").alias("nbr_w"), F.sum("_x").alias("nbr_sum")
+    )
+    glob = counts.agg(
+        F.count("*").alias("_n"),
+        F.sum(cnt_col).alias("_sumx"),
+        F.sum(F.col(cnt_col) * F.col(cnt_col)).alias("_sumx2"),
+    )
+    gi_e6 = _gi_e6_expr(
+        F.col("_n"), F.col("_sumx"), F.col("_sumx2"),
+        F.col("nbr_w"), F.col("nbr_sum"),
+    )
+    return (
+        counts.join(nbr, F.col(cell_col) == F.col("_home"))
+        .crossJoin(F.broadcast(glob))
+        .withColumn("gi_e6", gi_e6)
+        .drop("_home", "_n", "_sumx", "_sumx2")
+    )
+
+
+def duckdb_gi_sql(counts_sql: str, cell_col: str, cnt_col: str = "cnt") -> str:
+    """DuckDB twin: same disk deltas, same exact int64 moments, same IEEE
+    double tree (div/mul/sub/sqrt all correctly rounded in both engines)."""
+    deltas = ", ".join(f"({d})" for d in DISK1_DELTAS)
+    return f"""
+WITH c AS ({counts_sql}),
+contrib AS (
+  SELECT c.{cell_col} + d.delta AS home, c.{cnt_col} AS x
+  FROM c CROSS JOIN (VALUES {deltas}) d(delta)
+),
+nbr AS (
+  SELECT home, COUNT(*)::BIGINT AS nbr_w, SUM(x)::BIGINT AS nbr_sum
+  FROM contrib GROUP BY home
+),
+g AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM({cnt_col})::BIGINT AS sumx,
+         SUM({cnt_col} * {cnt_col})::BIGINT AS sumx2
+  FROM c
+),
+m AS (
+  SELECT c.*, nbr.nbr_w, nbr.nbr_sum, g.n AS _n, g.sumx AS _sx, g.sumx2 AS _sx2,
+    CAST(g.sumx2 AS DOUBLE) / CAST(g.n AS DOUBLE)
+      - (CAST(g.sumx AS DOUBLE) / CAST(g.n AS DOUBLE))
+        * (CAST(g.sumx AS DOUBLE) / CAST(g.n AS DOUBLE)) AS _s2v
+  FROM c JOIN nbr ON nbr.home = c.{cell_col} CROSS JOIN g
+)
+SELECT * EXCLUDE (_n, _sx, _sx2, _s2v),
+  CASE WHEN _n >= 2 AND _s2v > 0 AND _n * nbr_w - nbr_w * nbr_w > 0 THEN
+    CAST(floor(
+      (CAST(nbr_sum AS DOUBLE)
+         - (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) * CAST(nbr_w AS DOUBLE))
+      / (sqrt(_s2v)
+         * sqrt(CAST(_n * nbr_w - nbr_w * nbr_w AS DOUBLE)
+                / CAST(_n - 1 AS DOUBLE)))
+      * 1000000.0) AS BIGINT)
+  ELSE NULL END AS gi_e6
+FROM m
+"""

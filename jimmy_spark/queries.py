@@ -26,6 +26,7 @@ from jimmy_spark.operators import (
     decode,
     dedup,
     distjoin,
+    hotspot as hotspot_ops,
     knn,
     multimodal,
     pip,
@@ -131,8 +132,14 @@ DIST_JOIN_D = 20_000
 
 
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted per-cell counts widened with Getis-Ord Gi* hotspot scores
+    (operators/hotspot.py, r5): nbr_w / nbr_sum exact int64, gi_e6 under
+    the fixed-IEEE-tree contract so the hash gate covers the z-scores."""
+    from jimmy_spark.operators import hotspot
+
     pts = cells.with_hex_cells(_points(spark), (8,), use_arrow_udf=False)
-    return tiling.salted_counts(pts, ["hex_r8"])
+    counts = tiling.salted_counts(pts, ["hex_r8"])
+    return hotspot.gi_star(counts, "hex_r8")
 
 
 def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,10 +480,11 @@ def _oracle_spatial() -> dict[str, str]:
         ),
         "knn": knn.duckdb_knn_sql(g, f"{t2}/knn_queries.parquet"),
         "dist_join": distjoin.duckdb_dist_sql(g, DIST_JOIN_D),
-        "cell_counts": (
+        "cell_counts": hotspot_ops.duckdb_gi_sql(
             "SELECT hex_r8, count(*) AS cnt FROM ("
             + hexgrid.duckdb_hex_query(g, "image_id", "lat_e7", "lon_e7", (8,))
-            + ") GROUP BY hex_r8"
+            + ") GROUP BY hex_r8",
+            "hex_r8",
         ),
         "overlay": f"""
 WITH pip AS ({pip.duckdb_pip_sql(g, f"{t2}/polygons.parquet")}),
