@@ -5,5 +5,6 @@ from jimmy_spark.datagen.datasets import (  # noqa: F401
     ensure_dataset,
     ensure_exports,
     ensure_media,
+    ensure_roads,
     ensure_tracks,
 )

@@ -80,6 +80,26 @@ def ensure_tracks(name: str = "t2", n_entities: int = 60, pings_per: int = 160) 
     return d
 
 
+def ensure_roads(name: str = "t2") -> Path:
+    """Deterministic road-segment network (datagen/roads.py) for the
+    map-matching operator; own marker like the tracks table."""
+    from jimmy_spark.datagen.roads import write_roads
+
+    d = dataset_dir(name)
+    marker = d / "_MARKER_ROADS.json"
+    recipe = {"seed": SEED, "v": 1}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == recipe:
+                return d
+        except Exception:
+            pass
+    d.mkdir(parents=True, exist_ok=True)
+    write_roads(str(d / "roads.parquet"), SEED)
+    marker.write_text(json.dumps(recipe))
+    return d
+
+
 def ensure_media(name: str = "t2av", n_rows: int = 400) -> Path:
     """Deterministic audio/video tables (QWAV/QVID fake containers) for
     the multimodal operators; marker-cached like every dataset."""

@@ -1860,8 +1860,14 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact integer centroids, and 'od' = the origin-destination flow
     matrix over segment endpoints. Trajectory segmentation IS spatial
     sessionization (same lag + cumulative-flag-sum plan shape), which is
-    why the lanes share a row."""
-    from jimmy_spark.datagen import ensure_tracks
+    why the lanes share a row. 'match' (r5) = map matching
+    (operators/mapmatch.py): every ping snapped to its nearest road
+    segment within D_MAX via the grid-blocked point-to-segment join —
+    o_cell/d_cell carry road_id/seg_id, path_len the floored squared
+    snap distance, c_lat the e6 projection parameter, n the within-range
+    candidate count (0 = off-network lane)."""
+    from jimmy_spark.datagen import ensure_roads, ensure_tracks
+    from jimmy_spark.operators import mapmatch
     from jimmy_spark.operators import trajectory as tj
     from jimmy_spark.streaming import windows
 
@@ -1899,7 +1905,19 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("path_len"), "o_cell", "d_cell",
         nul.alias("c_lat"), nul.alias("c_lon"),
     )
-    return evt.unionByName(track).unionByName(stay).unionByName(od)
+    segs = spark.read.parquet(f"{ensure_roads('t2')}/roads.parquet")
+    match = mapmatch.map_match(tr, segs).select(
+        F.lit("match").alias("kind"), "entity_id",
+        F.col("seq").alias("session_seq"), F.col("n_cand").alias("n"),
+        F.col("ts").alias("t_start"), F.col("ts").alias("t_end"),
+        F.col("d2_floor").alias("path_len"),
+        F.col("road_id").alias("o_cell"), F.col("seg_id").alias("d_cell"),
+        F.col("t_e6").alias("c_lat"), nul.alias("c_lon"),
+    )
+    return (
+        evt.unionByName(track).unionByName(stay).unionByName(od)
+        .unionByName(match)
+    )
 
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1960,14 +1978,15 @@ FROM k
 
 
 def _oracle_kernels() -> dict[str, str]:
-    from jimmy_spark.datagen import ensure_tracks
+    from jimmy_spark.datagen import ensure_roads, ensure_tracks
     from jimmy_spark.functions import strings
-    from jimmy_spark.operators import trajectory
+    from jimmy_spark.operators import mapmatch, trajectory
     from jimmy_spark.streaming import windows
 
     title = strings.duckdb_split_title("caption")
     tag = strings.duckdb_first_inline_tag("caption")
     tracks_path = f"{ensure_tracks('t2')}/tracks.parquet"
+    roads_path = f"{ensure_roads('t2')}/roads.parquet"
     return {
         "caption_kernels": _caption_kernels_sql(title, tag),
         # the driver pre-registers every testdata table as a view at the sf
@@ -1996,6 +2015,12 @@ SELECT 'od' AS kind, NULL::BIGINT AS entity_id, NULL::BIGINT AS session_seq,
        NULL::BIGINT AS c_lat, NULL::BIGINT AS c_lon
 FROM ({trajectory.duckdb_segment_stats_sql(f"'{tracks_path}'")})
 GROUP BY o_cell, d_cell
+UNION ALL
+SELECT 'match' AS kind, entity_id, seq AS session_seq, n_cand AS n,
+       ts AS t_start, ts AS t_end, d2_floor AS path_len,
+       road_id AS o_cell, seg_id AS d_cell,
+       t_e6 AS c_lat, NULL::BIGINT AS c_lon
+FROM ({mapmatch.duckdb_match_sql(f"'{tracks_path}'", f"'{roads_path}'")})
 """,
         # batch and stream compute the same result by construction, so the
         # oracle states the stream columns as duplicates of the batch ones;
