@@ -215,3 +215,114 @@ SELECT polygon_id, count(*) AS n_cells, sum(n_pts)::BIGINT AS n_pts,
 FROM zpairs JOIN centers USING (cell_s)
 GROUP BY polygon_id
 """
+
+
+# --- image mosaic tiles ------------------------------------------------------
+
+THUMB_PX = 16  # thumbnail edge; 16x16 thumbs on a 256px tile
+MOSAIC_CAP = 64  # max thumbnails composited per tile
+
+_MOSAIC_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("n_imgs", T.LongType()),
+        T.StructField("n_drawn", T.LongType()),
+        T.StructField("png", T.BinaryType()),
+    ]
+)
+
+
+def thumb_nn(arr: "np.ndarray", s: int = THUMB_PX) -> "np.ndarray":
+    """Exact nearest-neighbor downsample to (s, s, 3): source index for
+    output index i is (i * src_extent) // s — pure integer math, so thumbs
+    are deterministic across partitionings and re-implementable in tests."""
+    h, w = arr.shape[:2]
+    ri = (np.arange(s, dtype=np.int64) * h) // s
+    ci = (np.arange(s, dtype=np.int64) * w) // s
+    return arr[ri][:, ci]
+
+
+def render_mosaic_tiles(
+    images: DataFrame,
+    zoom: int,
+    cap: int = MOSAIC_CAP,
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """The geo x image fusion write lane: each XYZ tile becomes a mosaic
+    PNG of the ACTUAL decoded thumbnails of the images georeferenced into
+    it — heat tiles show density, mosaic tiles show content.
+
+    ``images`` needs (image_id, bytes, fmt, lat_col, lon_col). Output one
+    row per non-empty tile: (z, x, y, n_imgs, n_drawn, png).
+
+    Scale shape: a per-tile row_number caps Python-side state at ``cap``
+    decoded images per tile regardless of tile population (the window
+    shuffle carries each image's bytes exactly once — the same volume a
+    select-then-join plan would move, with one fewer shuffle). Thumbnails
+    blit in ascending image_id order (later ids overdraw), centered at the
+    image's zoom+8 pixel and clipped at tile edges, onto a black canvas —
+    one fixed rule, so tile bytes are partitioning-invariant and the tests
+    re-render them byte-for-byte from an independent implementation.
+    Decode failures are skipped deterministically (n_drawn < selected).
+    """
+    from pyspark.sql import Window
+
+    from jimmy_spark.codecs import decode_image
+
+    fine = zoom + 8
+    fx = tiles.x_col(F.col(lon_col), fine)
+    fy = tiles.y_col(F.col(lat_col), fine)
+    tx = tiles.x_col(F.col(lon_col), zoom)
+    ty = tiles.y_col(F.col(lat_col), zoom)
+    placed = images.select(
+        "image_id", "bytes", "fmt",
+        tx.alias("x"), ty.alias("y"),
+        (fx - tx * TILE_PX).alias("px"),
+        (fy - ty * TILE_PX).alias("py"),
+    )
+    w = Window.partitionBy("x", "y")
+    sel = (
+        placed.withColumn(
+            "_rn", F.row_number().over(w.orderBy("image_id"))
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rn") <= cap)
+    )
+
+    half = THUMB_PX // 2
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id")
+        x, y = int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+        canvas = np.zeros((TILE_PX, TILE_PX, 3), dtype=np.uint8)
+        drawn = 0
+        for blob, fmt, px, py in zip(
+            pdf["bytes"], pdf["fmt"], pdf["px"], pdf["py"]
+        ):
+            try:
+                arr = decode_image(blob, fmt)
+            except ValueError:
+                continue
+            th = thumb_nn(arr)
+            r0, c0 = int(py) - half, int(px) - half
+            rs, cs = max(r0, 0), max(c0, 0)
+            re_, ce = min(r0 + THUMB_PX, TILE_PX), min(c0 + THUMB_PX, TILE_PX)
+            if rs < re_ and cs < ce:
+                canvas[rs:re_, cs:ce] = th[rs - r0 : re_ - r0, cs - c0 : ce - c0]
+                drawn += 1
+        data = png.encode(canvas)
+        return pd.DataFrame(
+            {
+                "z": [zoom],
+                "x": [x],
+                "y": [y],
+                "n_imgs": [int(pdf["_n"].iloc[0])],
+                "n_drawn": [drawn],
+                "png": [data],
+            }
+        )
+
+    return sel.groupBy("x", "y").applyInPandas(render, _MOSAIC_SCHEMA)

@@ -78,12 +78,27 @@ def main() -> int:
         "to <out>/tiles_png (operators/raster.py).",
     )
     ap.add_argument(
+        "--mosaic-zoom",
+        type=int,
+        default=-1,
+        help="when >= 0, also render per-XYZ-tile thumbnail-mosaic PNGs "
+        "at this zoom to <out>/mosaic_png (operators/raster.py "
+        "render_mosaic_tiles; decodes only the per-tile capped selection).",
+    )
+    ap.add_argument(
         "--tracks",
         default="",
         help="when set, a moving-object ping table (entity_id, seq, ts, "
         "lat_e7, lon_e7): run the trajectory family and write segment "
         "stats, stay points, the OD matrix, and Douglas-Peucker simplified "
         "pings under <out>/trajectory/ (operators/trajectory.py).",
+    )
+    ap.add_argument(
+        "--roads",
+        default="",
+        help="with --tracks, a road-segment table (road_id, seg_id, ax, "
+        "ay, bx, by): map-match every ping to its nearest segment and "
+        "write <out>/trajectory/matched (operators/mapmatch.py).",
     )
     args = ap.parse_args()
 
@@ -189,9 +204,26 @@ def main() -> int:
             "overwrite"
         ).parquet(f"{args.out}/tiles_png")
 
+    if args.mosaic_zoom >= 0:
+        from jimmy_spark.operators import raster
+
+        mos_in = cells.with_georef(
+            images.select("image_id", "bytes", "fmt", "phash")
+        ).select("image_id", "bytes", "fmt", "lat_e7", "lon_e7")
+        raster.render_mosaic_tiles(mos_in, zoom=args.mosaic_zoom).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/mosaic_png")
+
     if args.tracks:
         from jimmy_spark.operators import trajectory as tj
 
+        if args.roads:
+            from jimmy_spark.operators import mapmatch
+
+            mapmatch.map_match(
+                spark.read.parquet(args.tracks),
+                spark.read.parquet(args.roads),
+            ).write.mode("overwrite").parquet(f"{args.out}/trajectory/matched")
         segged = tj.segment_tracks(spark.read.parquet(args.tracks))
         stats = tj.segment_stats(segged)
         stats.write.mode("overwrite").parquet(f"{args.out}/trajectory/segments")

@@ -105,11 +105,13 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         "--dbscan-min-pts", "4",
         "--render-zoom", "6",
         "--zonal-res", "8",
+        "--mosaic-zoom", "4",
     ]
-    from jimmy_spark.datagen import ensure_tracks
+    from jimmy_spark.datagen import ensure_roads, ensure_tracks
 
     tracks_path = f"{ensure_tracks('t2')}/tracks.parquet"
-    cmd += ["--tracks", tracks_path]
+    roads_path = f"{ensure_roads('t2')}/roads.parquet"
+    cmd += ["--tracks", tracks_path, "--roads", roads_path]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stderr[-3000:]
     s4 = json.loads(p.stdout.strip().splitlines()[-1])
@@ -203,6 +205,27 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         f"(SELECT count(*) FROM '{tracks_path}')"
     ).fetchone()
     assert 0 < n_simp < n_raw
+    # mosaic tiles: valid PNGs, every image placed exactly once
+    mos_rows = duckdb.sql(
+        f"SELECT z, n_imgs, n_drawn, png FROM '{tmp_path}/out_an/mosaic_png/*.parquet'"
+    ).fetchall()
+    assert mos_rows and all(z == 4 for z, *_ in mos_rows)
+    assert sum(r[1] for r in mos_rows) == s4["rows_in"]
+    assert _png.decode(bytes(mos_rows[0][3])).shape == (256, 256, 3)
+    # map matching vs the blocking-independent DuckDB twin
+    from jimmy_spark.operators import mapmatch as _mm
+
+    exp_mm = duckdb.sql(
+        _mm.duckdb_match_sql(f"'{tracks_path}'", f"'{roads_path}'")
+        + " ORDER BY entity_id, seq"
+    ).fetchall()
+    got_mm = duckdb.sql(
+        "SELECT entity_id, seq, ts, n_cand, road_id, seg_id, d2_floor, t_e6 "
+        f"FROM '{tmp_path}/out_an/trajectory/matched/*.parquet' "
+        "ORDER BY entity_id, seq"
+    ).fetchall()
+    assert got_mm == exp_mm and len(got_mm) > 0
+    assert any(r[3] == 0 for r in got_mm)  # off-network lane present
 
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
