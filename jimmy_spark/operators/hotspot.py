@@ -63,12 +63,38 @@ def _gi_e6_expr(n: Column, sumx: Column, sumx2: Column, w: Column, s: Column) ->
     )
 
 
+def _moran_e6_expr(n, sumx, sumx2, a, b, c, d) -> Column:
+    """Global Moran's I from exact integer cross-sums; one fixed tree.
+
+    I = (n / W_tot) * sum_i x'_i (s_i - xbar w_i) / sum_i x'^2 with the
+    numerator expanded to A - xbar B - xbar C + xbar^2 D so every SUM is
+    an order-independent exact int64 and only this final scalar tree runs
+    in doubles. Null when n < 2, no neighbor pairs (D = 0), or zero
+    variance (den <= 0).
+    """
+    nd = n.cast("double")
+    xbar = sumx.cast("double") / nd
+    num = (
+        a.cast("double") - xbar * b.cast("double") - xbar * c.cast("double")
+        + xbar * xbar * d.cast("double")
+    )
+    den = sumx2.cast("double") - xbar * sumx.cast("double")
+    i_val = nd / d.cast("double") * (num / den)
+    ok = (n >= 2) & (d > 0) & (den > 0)
+    return F.when(ok, F.floor(i_val * F.lit(1000000.0))).otherwise(
+        F.lit(None).cast("long")
+    )
+
+
 def gi_star(counts: DataFrame, cell_col: str, cnt_col: str = "cnt") -> DataFrame:
-    """Widen a (cell, cnt) frame with Gi* columns.
+    """Widen a (cell, cnt) frame with Gi* columns + global Moran's I.
 
     Output: input columns + ``nbr_w`` (occupied disk cells, incl. self),
-    ``nbr_sum`` (disk count sum) — both exact int64 — and ``gi_e6``
-    (floor(Gi* * 1e6), null when n < 2 or the denominator is 0).
+    ``nbr_sum`` (disk count sum) — both exact int64 — ``gi_e6``
+    (floor(Gi* * 1e6), null when n < 2 or the denominator is 0), and
+    ``moran_e6`` (floor(global Moran's I * 1e6), binary disk-1 weights
+    EXCLUDING self, constant across rows — the spatial-autocorrelation
+    summary of the whole count surface under the same hash gate).
     """
     deltas = F.array(*[F.lit(x) for x in DISK1_DELTAS])
     # generators can't nest inside expressions (same shape as distjoin):
@@ -86,15 +112,33 @@ def gi_star(counts: DataFrame, cell_col: str, cnt_col: str = "cnt") -> DataFrame
         F.sum(cnt_col).alias("_sumx"),
         F.sum(F.col(cnt_col) * F.col(cnt_col)).alias("_sumx2"),
     )
+    joined = counts.join(nbr, F.col(cell_col) == F.col("_home"))
+    # Moran cross-sums over the same joined frame (self excluded); the
+    # nbr shuffle is shared between both consumers via ReusedExchange
+    x = F.col(cnt_col)
+    s_ex = F.col("nbr_sum") - x
+    w_ex = F.col("nbr_w") - F.lit(1)
+    mor = joined.agg(
+        F.sum(x * s_ex).alias("_ma"),
+        F.sum(x * w_ex).alias("_mb"),
+        F.sum(s_ex).alias("_mc"),
+        F.sum(w_ex).alias("_md"),
+    )
     gi_e6 = _gi_e6_expr(
         F.col("_n"), F.col("_sumx"), F.col("_sumx2"),
         F.col("nbr_w"), F.col("nbr_sum"),
     )
+    moran_e6 = _moran_e6_expr(
+        F.col("_n"), F.col("_sumx"), F.col("_sumx2"),
+        F.col("_ma"), F.col("_mb"), F.col("_mc"), F.col("_md"),
+    )
     return (
-        counts.join(nbr, F.col(cell_col) == F.col("_home"))
+        joined
         .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(mor))
         .withColumn("gi_e6", gi_e6)
-        .drop("_home", "_n", "_sumx", "_sumx2")
+        .withColumn("moran_e6", moran_e6)
+        .drop("_home", "_n", "_sumx", "_sumx2", "_ma", "_mb", "_mc", "_md")
     )
 
 
@@ -117,14 +161,25 @@ g AS (
          SUM({cnt_col} * {cnt_col})::BIGINT AS sumx2
   FROM c
 ),
+mor AS (
+  SELECT SUM(c.{cnt_col} * (nbr.nbr_sum - c.{cnt_col}))::BIGINT AS ma,
+         SUM(c.{cnt_col} * (nbr.nbr_w - 1))::BIGINT AS mb,
+         SUM(nbr.nbr_sum - c.{cnt_col})::BIGINT AS mc,
+         SUM(nbr.nbr_w - 1)::BIGINT AS md
+  FROM c JOIN nbr ON nbr.home = c.{cell_col}
+),
 m AS (
   SELECT c.*, nbr.nbr_w, nbr.nbr_sum, g.n AS _n, g.sumx AS _sx, g.sumx2 AS _sx2,
+    mor.ma AS _ma, mor.mb AS _mb, mor.mc AS _mc, mor.md AS _md,
     CAST(g.sumx2 AS DOUBLE) / CAST(g.n AS DOUBLE)
       - (CAST(g.sumx AS DOUBLE) / CAST(g.n AS DOUBLE))
-        * (CAST(g.sumx AS DOUBLE) / CAST(g.n AS DOUBLE)) AS _s2v
-  FROM c JOIN nbr ON nbr.home = c.{cell_col} CROSS JOIN g
+        * (CAST(g.sumx AS DOUBLE) / CAST(g.n AS DOUBLE)) AS _s2v,
+    CAST(g.sumx2 AS DOUBLE)
+      - (CAST(g.sumx AS DOUBLE) / CAST(g.n AS DOUBLE))
+        * CAST(g.sumx AS DOUBLE) AS _mden
+  FROM c JOIN nbr ON nbr.home = c.{cell_col} CROSS JOIN g CROSS JOIN mor
 )
-SELECT * EXCLUDE (_n, _sx, _sx2, _s2v),
+SELECT * EXCLUDE (_n, _sx, _sx2, _s2v, _ma, _mb, _mc, _md, _mden),
   CASE WHEN _n >= 2 AND _s2v > 0 AND _n * nbr_w - nbr_w * nbr_w > 0 THEN
     CAST(floor(
       (CAST(nbr_sum AS DOUBLE)
@@ -133,6 +188,17 @@ SELECT * EXCLUDE (_n, _sx, _sx2, _s2v),
          * sqrt(CAST(_n * nbr_w - nbr_w * nbr_w AS DOUBLE)
                 / CAST(_n - 1 AS DOUBLE)))
       * 1000000.0) AS BIGINT)
-  ELSE NULL END AS gi_e6
+  ELSE NULL END AS gi_e6,
+  CASE WHEN _n >= 2 AND _md > 0 AND _mden > 0 THEN
+    CAST(floor(
+      CAST(_n AS DOUBLE) / CAST(_md AS DOUBLE)
+      * ((CAST(_ma AS DOUBLE)
+          - (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) * CAST(_mb AS DOUBLE)
+          - (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) * CAST(_mc AS DOUBLE)
+          + (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE))
+            * (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) * CAST(_md AS DOUBLE))
+         / _mden)
+      * 1000000.0) AS BIGINT)
+  ELSE NULL END AS moran_e6
 FROM m
 """

@@ -133,8 +133,9 @@ DIST_JOIN_D = 20_000
 
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted per-cell counts widened with Getis-Ord Gi* hotspot scores
-    (operators/hotspot.py, r5): nbr_w / nbr_sum exact int64, gi_e6 under
-    the fixed-IEEE-tree contract so the hash gate covers the z-scores."""
+    and the global Moran's I autocorrelation index (operators/hotspot.py,
+    r5): nbr_w / nbr_sum exact int64, gi_e6 / moran_e6 under the
+    fixed-IEEE-tree contract so the hash gate covers both statistics."""
     from jimmy_spark.operators import hotspot
 
     pts = cells.with_hex_cells(_points(spark), (8,), use_arrow_udf=False)

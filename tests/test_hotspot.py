@@ -50,6 +50,31 @@ def py_gi_star(counts: dict[int, int]) -> dict[int, tuple[int, int, int | None]]
     return out
 
 
+def py_moran(counts: dict[int, int]) -> int | None:
+    """Pure-Python global Moran's I (disk-1 binary weights, self excluded),
+    same fixed double tree as the engine/SQL."""
+    ref = py_gi_star(counts)
+    n = len(counts)
+    sumx = sum(counts.values())
+    sumx2 = sum(x * x for x in counts.values())
+    A = B = C = D = 0
+    for cell, x in counts.items():
+        w_all, s_all, _ = ref[cell]
+        s_ex, w_ex = s_all - x, w_all - 1
+        A += x * s_ex
+        B += x * w_ex
+        C += s_ex
+        D += w_ex
+    if n < 2 or D <= 0:
+        return None
+    xbar = float(sumx) / float(n)
+    num = float(A) - xbar * float(B) - xbar * float(C) + xbar * xbar * float(D)
+    den = float(sumx2) - xbar * float(sumx)
+    if den <= 0:
+        return None
+    return math.floor(float(n) / float(D) * (num / den) * 1000000.0)
+
+
 def _spark_gi(spark, counts: dict[int, int]) -> pd.DataFrame:
     pdf = pd.DataFrame(
         {"cell": list(counts), "cnt": [counts[c] for c in counts]}
@@ -73,6 +98,13 @@ def _check_all_twins(spark, counts: dict[int, int]) -> pd.DataFrame:
         assert int(s_g) == s
         got_gi = None if pd.isna(gi_g) else int(gi_g)
         assert got_gi == gi, (int(cell), got_gi, gi)
+    # Moran's I: a constant column matching the Python twin
+    exp_m = py_moran(counts)
+    got_m = got["moran_e6"]
+    if exp_m is None:
+        assert got_m.isna().all()
+    else:
+        assert (got_m == exp_m).all()
     # DuckDB twin on the same counts
     con = duckdb.connect()
     pdf = pd.DataFrame(
@@ -82,7 +114,7 @@ def _check_all_twins(spark, counts: dict[int, int]) -> pd.DataFrame:
     odf = con.sql(
         hotspot.duckdb_gi_sql("SELECT cell, cnt FROM counts_in", "cell")
     ).df().sort_values("cell").reset_index(drop=True)
-    for c in ("cell", "cnt", "nbr_w", "nbr_sum", "gi_e6"):
+    for c in ("cell", "cnt", "nbr_w", "nbr_sum", "gi_e6", "moran_e6"):
         a = got[c].astype("Int64")
         b = odf[c].astype("Int64")
         assert a.equals(b), c
@@ -106,6 +138,8 @@ class TestGiStar:
         counts = _mk_counts(lat, lon)
         got = _check_all_twins(spark, counts)
         assert got["gi_e6"].max() > 2_000_000  # blob cells are hot (z > 2)
+        # the blob makes the surface positively autocorrelated
+        assert int(got["moran_e6"].iloc[0]) > 0
 
     def test_hot_cell_scores_highest(self, spark):
         # a dense blob inside sparse noise: the blob's center cell must
