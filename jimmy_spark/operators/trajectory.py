@@ -33,6 +33,9 @@ addition under the BASELINE.json geospatial axes.
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -398,3 +401,80 @@ SELECT entity_id,
        (slat // n_pings)::BIGINT AS c_lat, (slon // n_pings)::BIGINT AS c_lon
 FROM runs
 """
+
+
+def segment_hulls(segged: DataFrame) -> DataFrame:
+    """Convex hull per (entity, segment): the footprint summary of a
+    track segment — hull vertex count, doubled shoelace area, and the
+    floor'd-integer hull perimeter (same order-canonical discipline as
+    ``path_len``).
+
+    Monotone chain on exact integer coordinates: orientation tests and
+    the shoelace sum run in arbitrary-precision Python ints (a cross
+    product of e7 deltas already needs 62 bits; the shoelace SUM would
+    overflow int64 at continental extents), then ``area2`` is emitted as
+    int64 — valid while footprint_extent^2 * hull_size < 2^63, true for
+    any physically moving entity (a 1000 km x 1000 km footprint with a
+    100-vertex hull is ~1e16). Collinear segments degrade to a 2-vertex
+    hull with area 0; single-ping segments to 1 vertex. applyInPandas
+    per segment group (task state = one segment, the family's standard
+    contract); deterministic for any partitioning since the hull is a
+    pure function of the point SET. Independent gift-wrapping oracle +
+    exact all-points-inside verifier in tests/test_trajectory.py.
+    """
+
+    def _hull(pts):
+        # Andrew's monotone chain over the deduplicated sorted point set;
+        # strict turns only, so collinear boundary points drop out
+        pts = sorted(set(pts))
+        if len(pts) <= 2:
+            return pts
+        def half(seq):
+            out = []
+            for p in seq:
+                while len(out) >= 2:
+                    ox, oy = out[-2]
+                    ax, ay = out[-1]
+                    if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                        out.pop()
+                    else:
+                        break
+                out.append(p)
+            return out
+        lower = half(pts)
+        upper = half(pts[::-1])
+        return lower[:-1] + upper[:-1]
+
+    def _stats(pdf):
+        hull = _hull(
+            list(zip((int(v) for v in pdf["lon_e7"]), (int(v) for v in pdf["lat_e7"])))
+        )
+        m = len(hull)
+        area2 = 0
+        perim = 0
+        if m >= 2:
+            for i in range(m):
+                x1, y1 = hull[i]
+                x2, y2 = hull[(i + 1) % m]
+                area2 += x1 * y2 - x2 * y1
+                perim += math.isqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+            if m == 2:
+                perim //= 2  # the 2-vertex "ring" walks the chord twice
+        return pd.DataFrame(
+            {
+                "entity_id": [int(pdf["entity_id"].iloc[0])],
+                "seg_seq": [int(pdf["seg_seq"].iloc[0])],
+                "n_pings": [len(pdf)],
+                "hull_n": [m],
+                "area2": [abs(area2)],
+                "perim_len": [perim],
+            }
+        )
+
+    return segged.select("entity_id", "seg_seq", "lat_e7", "lon_e7").groupBy(
+        "entity_id", "seg_seq"
+    ).applyInPandas(
+        _stats,
+        "entity_id long, seg_seq long, n_pings long, hull_n long, "
+        "area2 long, perim_len long",
+    )

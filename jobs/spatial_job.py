@@ -236,6 +236,9 @@ def main() -> int:
         tj.simplify_tracks(segged).write.mode("overwrite").parquet(
             f"{args.out}/trajectory/simplified"
         )
+        tj.segment_hulls(segged).write.mode("overwrite").parquet(
+            f"{args.out}/trajectory/hulls"
+        )
 
     m = runner.table.read_all(spark)
     summary = m.agg(

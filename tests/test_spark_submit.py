@@ -205,6 +205,15 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         f"(SELECT count(*) FROM '{tracks_path}')"
     ).fetchone()
     assert 0 < n_simp < n_raw
+    # hulls: one row per segment, pings conserved, hull bounded by pings
+    n_hull_pings, n_hull_rows = duckdb.sql(
+        f"SELECT sum(n_pings), count(*) FROM '{tmp_path}/out_an/trajectory/hulls/*.parquet'"
+    ).fetchone()
+    assert n_hull_rows == len(got_seg) and n_hull_pings == n_raw
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/out_an/trajectory/hulls/*.parquet' "
+        "WHERE hull_n > n_pings OR area2 < 0"
+    ).fetchone()[0] == 0
     # mosaic tiles: valid PNGs, every image placed exactly once
     mos_rows = duckdb.sql(
         f"SELECT z, n_imgs, n_drawn, png FROM '{tmp_path}/out_an/mosaic_png/*.parquet'"

@@ -364,3 +364,109 @@ class TestSegmentStream:
         pd.testing.assert_frame_equal(
             _norm(got), _norm(exp), check_dtype=False, check_exact=True
         )
+
+
+class TestSegmentHulls:
+    @staticmethod
+    def _gift_wrap(pts):
+        """Independent O(nh) gift-wrapping hull (Jarvis march) on exact
+        ints — a disjoint algorithm from the engine's monotone chain."""
+        pts = sorted(set(pts))
+        if len(pts) <= 2:
+            return pts
+        hull = []
+        start = min(pts)
+        p = start
+        while True:
+            hull.append(p)
+            q = pts[0] if pts[0] != p else pts[1]
+            for r in pts:
+                if r == p:
+                    continue
+                cross = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+                if cross < 0 or (
+                    cross == 0
+                    and (r[0] - p[0]) ** 2 + (r[1] - p[1]) ** 2
+                    > (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+                ):
+                    q = r
+            p = q
+            if p == start:
+                break
+        return hull
+
+    def test_matches_gift_wrapping(self, spark, segged):
+        import math as _math
+
+        got = (
+            tj.segment_hulls(segged)
+            .toPandas().sort_values(["entity_id", "seg_seq"]).reset_index(drop=True)
+        )
+        pdf = segged.select("entity_id", "seg_seq", "lat_e7", "lon_e7").toPandas()
+        assert len(got) == pdf.groupby(["entity_id", "seg_seq"]).ngroups
+        by_key = {
+            (int(r.entity_id), int(r.seg_seq)): r for r in got.itertuples()
+        }
+        checked_interior = 0
+        for (e, s), grp in pdf.groupby(["entity_id", "seg_seq"]):
+            pts = list(zip((int(v) for v in grp["lon_e7"]), (int(v) for v in grp["lat_e7"])))
+            hull = self._gift_wrap(pts)
+            r = by_key[(int(e), int(s))]
+            assert r.n_pings == len(grp)
+            assert r.hull_n == len(hull), (e, s)
+            m = len(hull)
+            area2 = sum(
+                hull[i][0] * hull[(i + 1) % m][1] - hull[(i + 1) % m][0] * hull[i][1]
+                for i in range(m)
+            ) if m >= 3 else 0
+            assert r.area2 == abs(area2), (e, s)
+            if m >= 3:
+                perim = sum(
+                    _math.isqrt(
+                        (hull[(i + 1) % m][0] - hull[i][0]) ** 2
+                        + (hull[(i + 1) % m][1] - hull[i][1]) ** 2
+                    )
+                    for i in range(m)
+                )
+                assert r.perim_len == perim
+                # exact containment: every ping on or inside the CCW hull
+                for x, y in set(pts):
+                    for i in range(m):
+                        x1, y1 = hull[i]
+                        x2, y2 = hull[(i + 1) % m]
+                        assert (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) >= 0, (e, s)
+                checked_interior += 1
+        assert checked_interior > 10  # real hulls exercised, not all degenerate
+
+    def test_collinear_and_single(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "entity_id": [1] * 4 + [2],
+                "seg_seq": [1] * 4 + [1],
+                "lat_e7": [0, 10, 20, 30, 5],
+                "lon_e7": [0, 20, 40, 60, 7],
+            }
+        ).astype("int64")
+        got = (
+            tj.segment_hulls(spark.createDataFrame(pdf))
+            .toPandas().sort_values("entity_id").reset_index(drop=True)
+        )
+        # collinear: 2-vertex hull, zero area, perimeter = one chord length
+        import math as _math
+
+        assert got.loc[0, "hull_n"] == 2 and got.loc[0, "area2"] == 0
+        assert got.loc[0, "perim_len"] == _math.isqrt(30 * 30 + 60 * 60)
+        # single point: 1 vertex, zero everything
+        assert got.loc[1, "hull_n"] == 1 and got.loc[1, "area2"] == 0
+        assert got.loc[1, "perim_len"] == 0
+
+    def test_partitioning_invariance(self, spark, segged):
+        a = (
+            tj.segment_hulls(segged.repartition(1))
+            .toPandas().sort_values(["entity_id", "seg_seq"]).reset_index(drop=True)
+        )
+        b = (
+            tj.segment_hulls(segged.repartition(19))
+            .toPandas().sort_values(["entity_id", "seg_seq"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
