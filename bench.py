@@ -411,7 +411,30 @@ def _trajectory_bench() -> dict[str, float]:
             fam.count()
             dt = time.monotonic() - t
             best = dt if best is None else min(best, dt)
-        return {"trajectory_family": round(best, 3)}
+        # map matching over the same 1M pings against the deterministic
+        # road network (~8k segments; ~9 within-range candidates/ping)
+        from jimmy_spark.datagen import ensure_roads
+        from jimmy_spark.operators import mapmatch
+
+        rpath = f"{ensure_roads('t2trkbench')}/roads.parquet"
+        best_mm = None
+        for _ in range(3):
+            out = mapmatch.map_match(
+                spark.read.parquet(path), spark.read.parquet(rpath)
+            )
+            t = time.monotonic()
+            # aggregate over the match columns — a bare count() lets the
+            # optimizer eliminate the provably-unique-key left join and
+            # time nothing but the parquet row count
+            out.agg(
+                F.sum("n_cand").alias("c"), F.count("d2_floor").alias("d")
+            ).collect()
+            dt = time.monotonic() - t
+            best_mm = dt if best_mm is None else min(best_mm, dt)
+        return {
+            "trajectory_family": round(best, 3),
+            "map_match": round(best_mm, 3),
+        }
     finally:
         spark.stop()
 
