@@ -140,3 +140,47 @@ def run_segment_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_match_stream(
+    spark: SparkSession,
+    pings_dir: str,
+    roads_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    d_max: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous map matching: ping files arrive as micro-batches and
+    each batch runs the SAME batch kernel (operators/mapmatch.map_match)
+    against the static road network — matching is per-ping stateless, so
+    the stream needs no state store at all and the union of batch outputs
+    equals the one-shot batch match over all pings, each ping exactly
+    once.
+
+    map_match ends in a groupBy, which append-mode streaming would treat
+    as a stateful aggregation — but the aggregation is per input row, so
+    it runs inside ``foreachBatch`` instead: at-least-once replays are
+    made idempotent by the deterministic batch-id-keyed overwrite
+    (``<out_dir>/b=<id>``), the proximity stream's discipline
+    (run_proximity_stream)."""
+    from jimmy_spark.operators import mapmatch
+
+    segs = spark.read.parquet(roads_path)
+    d = int(d_max if d_max is not None else mapmatch.D_MAX)
+
+    def _process(batch_df, batch_id: int) -> None:
+        out = mapmatch.map_match(batch_df, segs, d_max=d)
+        out.write.mode("overwrite").parquet(f"{out_dir}/b={batch_id}")
+
+    reader = spark.readStream.schema(PING_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pings_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -470,3 +470,57 @@ class TestSegmentHulls:
             .toPandas().sort_values(["entity_id", "seg_seq"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestMatchStream:
+    """Streaming map matching (streaming/tracks.py run_match_stream):
+    two-wave stream union == one-shot batch match, rows exactly once;
+    restart with no new files is a no-op."""
+
+    def test_stream_matches_batch(self, spark, tracks_path, tmp_path):
+        from jimmy_spark.datagen import ensure_roads
+        from jimmy_spark.operators import mapmatch
+        from jimmy_spark.streaming import tracks as st
+
+        roads_path = f"{ensure_roads('t2')}/roads.parquet"
+        tr = spark.read.parquet(tracks_path).toPandas()
+        tr["ts"] = tr["ts"].astype("datetime64[us]")
+        d = tmp_path / "pings"
+        d.mkdir()
+        for i, (lo, hi) in enumerate(((0, 80), (80, 10_000))):
+            tr[(tr["seq"] >= lo) & (tr["seq"] < hi)].to_parquet(
+                d / f"wave{i}.parquet"
+            )
+        out = tmp_path / "out"
+        cp = tmp_path / "cp"
+        st.run_match_stream(
+            spark, str(d), roads_path, str(out), str(cp),
+            max_files_per_trigger=1,
+        )
+        got = spark.read.parquet(f"{out}/b=*").toPandas()
+        exp = mapmatch.map_match(
+            spark.read.parquet(tracks_path),
+            spark.read.parquet(roads_path),
+        ).toPandas()
+        assert len(got) == len(exp)  # exactly once, no dupes across batches
+        key = ["entity_id", "seq"]
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(key).reset_index(drop=True)
+        b = exp[cols].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        # drain with no new files: a no-op, nothing rewritten or added
+        import os
+
+        before = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(out) for f in fs
+        )
+        st.run_match_stream(
+            spark, str(d), roads_path, str(out), str(cp),
+            max_files_per_trigger=1,
+        )
+        after = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(out) for f in fs
+        )
+        assert before == after
