@@ -113,6 +113,81 @@ def render_heat_tiles(
     return px_counts.groupBy("x", "y").applyInPandas(render, _TILE_SCHEMA)
 
 
+def render_heat_pyramid(
+    points: DataFrame,
+    z_max: int,
+    z_min: int = 0,
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Rendered heat tiles for EVERY zoom in [z_min, z_max] from ONE scan
+    of the points — the write-side twin of tiling.pyramid_counts.
+
+    The data is aggregated once into the finest pixel-count frame (pixel
+    coords at z_max + 8); every zoom's (tile, pixel) counts derive from
+    that persisted frame by the exact nested-floor identity (a right
+    shift per level — tiles and pixels are both power-of-two grids, and
+    the pole clamp commutes with the shift). One union + one shuffled
+    (z, tile, pixel) rollup + one applyInPandas render serves the whole
+    pyramid; the naive plan re-scans and re-shuffles the full point table
+    once per zoom. Bit-identical to per-zoom ``render_heat_tiles`` by
+    construction — the tests compare tile BYTES per level.
+    """
+    from pyspark import StorageLevel
+
+    fine = z_max + 8
+    finest = (
+        points.select(
+            tiles.x_col(F.col(lon_col), fine).alias("fx"),
+            tiles.y_col(F.col(lat_col), fine).alias("fy"),
+        )
+        .groupBy("fx", "fy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # every zoom branch reads this frame; without persist each Union
+        # branch re-runs the full scan+agg (same finding as pyramid_counts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    branches = []
+    for z in range(z_min, z_max + 1):
+        k = z_max - z
+        branches.append(
+            finest.select(
+                F.lit(z).cast("int").alias("z"),
+                F.shiftright("fx", k + 8).alias("x"),
+                F.shiftright("fy", k + 8).alias("y"),
+                (F.shiftright("fx", k) - F.shiftright("fx", k + 8) * TILE_PX).alias("px"),
+                (F.shiftright("fy", k) - F.shiftright("fy", k + 8) * TILE_PX).alias("py"),
+                "cnt",
+            )
+        )
+    un = branches[0]
+    for b in branches[1:]:
+        un = un.unionByName(b)
+    px_counts = un.groupBy("z", "x", "y", "px", "py").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(pdf["z"].iloc[0])
+        x, y = int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+        grid = np.zeros((TILE_PX, TILE_PX), dtype=np.int64)
+        grid[pdf["py"].to_numpy(np.int64), pdf["px"].to_numpy(np.int64)] = (
+            pdf["cnt"].to_numpy(np.int64)
+        )
+        mx = int(grid.max())
+        data = png.encode(tone_map(grid, mx))
+        return pd.DataFrame(
+            {
+                "z": [z], "x": [x], "y": [y],
+                "n_points": [int(pdf["cnt"].sum())],
+                "max_count": [mx],
+                "png": [data],
+            }
+        )
+
+    return px_counts.groupBy("z", "x", "y").applyInPandas(render, _TILE_SCHEMA)
+
+
 # --- zonal statistics ------------------------------------------------------
 
 

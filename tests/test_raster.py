@@ -86,3 +86,26 @@ def test_tone_map_bounds():
     assert rgb[0, 0, 0] == 64 + 191 // 100  # floor ramp
     assert rgb[1, 1, 0] == 255
     assert rgb[2, 2].tolist() == [0, 0, 0]  # empty stays black
+
+
+class TestHeatPyramid:
+    def test_pyramid_levels_byte_equal_single_zoom(self, spark, pts):
+        """Every pyramid level's tile bytes == the per-zoom renderer's
+        (which test_tiles_match_independent_render pins to the
+        independent re-render)."""
+        got = {
+            (r.z, r.x, r.y): (r.n_points, r.max_count, bytes(r.png))
+            for r in raster.render_heat_pyramid(pts, z_max=6, z_min=3).collect()
+        }
+        total = None
+        for z in range(3, 7):
+            exp = {
+                (r.z, r.x, r.y): (r.n_points, r.max_count, bytes(r.png))
+                for r in raster.render_heat_tiles(pts, zoom=z).collect()
+            }
+            lvl = {k: v for k, v in got.items() if k[0] == z}
+            assert lvl == exp, f"zoom {z}"
+            n = sum(v[0] for v in lvl.values())
+            if total is None:
+                total = n
+            assert n == total  # every level conserves the point count
