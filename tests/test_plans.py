@@ -405,3 +405,59 @@ def test_two_stage_ranks_equal_naive_windows(spark):
         .filter(F.col("rk") <= 5).collect()
     )
     assert got2 == exp2
+
+
+def test_map_match_plan_jvm_only_single_cell_join(spark):
+    """Map matching (operators/mapmatch.py): no Python stage anywhere
+    (candidate generation, distance, argmin are all JVM expressions) and
+    exactly one equality join on the grid cell — the blocking contract."""
+    from jimmy_spark.datagen import ensure_roads, ensure_tracks
+    from jimmy_spark.operators import mapmatch
+
+    pings = spark.read.parquet(f"{ensure_tracks('t2')}/tracks.parquet")
+    segs = spark.read.parquet(f"{ensure_roads('t2')}/roads.parquet")
+    plan = _plan(mapmatch.map_match(pings, segs))
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # one cell join + the final per-ping left join back to the ping set
+    n_joins = plan.count("Join")
+    assert n_joins == 2, plan[:500]
+    # the argmin is an aggregate (map-side combinable), not a window sort
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_gi_star_reuses_neighbor_shuffle(spark):
+    """Gi* + Moran's I (operators/hotspot.py): the Moran cross-sums read
+    the SAME neighbor aggregation as the per-cell branch — the plan must
+    reuse that exchange, not recompute the disk explode twice; and the
+    whole operator is JVM-only."""
+    import pandas as pd
+
+    from jimmy_spark.operators import hotspot
+
+    pdf = pd.DataFrame({"cell": list(range(100, 200)), "cnt": [2] * 100}).astype(
+        "int64"
+    )
+    df = hotspot.gi_star(spark.createDataFrame(pdf).repartition(4), "cell")
+    plan = _plan(df)
+    assert "Python" not in plan
+    df.collect()  # AQE only stamps exchange reuse into the FINAL plan
+    final = _plan(df)
+    assert "ReusedExchange" in final, final[:800]
+
+
+def test_heat_pyramid_materializes_finest_frame_once(spark, images):
+    """render_heat_pyramid: every zoom branch must read the persisted
+    finest pixel-count frame (InMemoryTableScan), never re-run the
+    point scan per level."""
+    from jimmy_spark.operators import cells as _cells
+    from jimmy_spark.operators import raster
+
+    pts = _cells.with_georef(images.select("image_id", "phash"))
+    df = raster.render_heat_pyramid(pts, z_max=5, z_min=3)
+    plan = _plan(df)
+    # one cached read per zoom branch; the parquet scan lines visible in
+    # the plan text are the InMemoryRelation's stored BUILD plan (printed
+    # once per reference), not independent executions — persist()
+    # guarantees the build runs once
+    assert plan.count("InMemoryTableScan") == 3
