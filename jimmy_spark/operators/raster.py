@@ -401,3 +401,118 @@ def render_mosaic_tiles(
         )
 
     return sel.groupBy("x", "y").applyInPandas(render, _MOSAIC_SCHEMA)
+
+
+# --- inverse-distance-weighted interpolation --------------------------------
+
+IDW_W0 = 10**12  # weight numerator
+IDW_D0 = 10**8  # softening: w = W0 div (D0 + d2) — max weight 10^4 at d2=0
+
+
+def idw_raster(
+    samples: DataFrame,
+    res: int = 8,
+    k: int = 2,
+    value_col: str = "v",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation onto the res-``res`` hex
+    raster: every cell within ``k`` rings of a sample gets the weighted
+    value of the samples around it.
+
+    FULLY INTEGER semantics — the reason this can sit behind the exact
+    hash gate: cell centers are the lattice-rounded int64 representative
+    points (the polyfill/zonal contract), so sample->center squared
+    distance is exact int64, the weight is the integer division
+    ``W0 div (D0 + d2)`` (a quantized 1/d^2 kernel: D0 softens the
+    singularity at d2 = 0 and sets max weight W0/D0 = 10^4), and the
+    interpolated value is ``(1000 * sum(w*v)) div sum(w)`` — every sum
+    order-independent exact int64, no IEEE contract required anywhere.
+
+    Scale shape: each sample explodes to its 3k(k+1)+1 packed-delta disk
+    (compile-time literals, codegen'd Generate) and ONE shuffled groupBy
+    per target cell aggregates (count, sum w, sum w*v) — map-side
+    combinable, output bounded by occupied-dilated cells. No Python.
+
+    Output: (cell long, n_samples long, sum_w long, val_e3 long) where
+    val_e3 is the interpolated value scaled by 1000.
+    """
+    from jimmy_spark.functions import hexgrid
+    from jimmy_spark.operators.cells import hex_cell_expr, hex_center_exprs
+
+    deltas = [
+        int((int(dq) << 30) + int(dr)) for dq, dr in hexgrid.disk_offsets(k)
+    ]
+    home = hex_cell_expr(F.col(lat_col), F.col(lon_col), res)
+    contrib = samples.select(
+        F.col(value_col).alias("_v"),
+        F.col(lat_col).alias("_py"),
+        F.col(lon_col).alias("_px"),
+        home.alias("_home"),
+        F.explode(F.array(*[F.lit(x) for x in deltas])).alias("_delta"),
+    ).select(
+        "_v", "_py", "_px", (F.col("_home") + F.col("_delta")).alias("cell")
+    )
+    clat, clon = hex_center_exprs(F.col("cell"), res)
+    d2 = (F.col("_px") - clon) * (F.col("_px") - clon) + (
+        F.col("_py") - clat
+    ) * (F.col("_py") - clat)
+    weighted = contrib.withColumn("_d2", d2).withColumn(
+        "_w", F.expr(f"{IDW_W0} div ({IDW_D0} + _d2)")
+    )
+    agg = weighted.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("_w").alias("sum_w"),
+        F.sum(F.col("_w") * F.col("_v")).alias("_swv"),
+    )
+    return agg.select(
+        "cell", "n_samples", "sum_w",
+        F.when(
+            F.col("sum_w") > 0, F.expr("(1000 * _swv) div sum_w")
+        ).otherwise(F.lit(None).cast("long")).alias("val_e3"),
+    )
+
+
+def duckdb_idw_sql(
+    samples_sql: str,
+    res: int = 8,
+    k: int = 2,
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin: same hex encode, same packed deltas, same lattice
+    centers, same integer divisions. ``samples_sql`` must yield
+    (lat_e7, lon_e7, ``value_col``)."""
+    from jimmy_spark.functions import hexgrid
+
+    deltas = ", ".join(
+        f"({int((int(dq) << 30) + int(dr))})"
+        for dq, dr in hexgrid.disk_offsets(k)
+    )
+    hexed = hexgrid.duckdb_hex_query(
+        samples_sql, f"{value_col}, lat_e7, lon_e7", "lat_e7", "lon_e7", (res,)
+    )
+    clat, clon = hexgrid.duckdb_center_sql("cell", res)
+    return f"""
+WITH s AS ({hexed}),
+contrib AS (
+  SELECT s.{value_col} AS v, s.lat_e7 AS py, s.lon_e7 AS px,
+         s.hex_r{res} + d.delta AS cell
+  FROM s CROSS JOIN (VALUES {deltas}) d(delta)
+),
+wtd AS (
+  SELECT cell, v,
+         {IDW_W0} // ({IDW_D0} + (px - {clon}) * (px - {clon})
+                      + (py - {clat}) * (py - {clat})) AS w
+  FROM contrib
+),
+agg AS (
+  SELECT cell, COUNT(*)::BIGINT AS n_samples, SUM(w)::BIGINT AS sum_w,
+         SUM(w * v)::BIGINT AS swv
+  FROM wtd GROUP BY cell
+)
+SELECT cell, n_samples, sum_w,
+       CASE WHEN sum_w > 0 THEN (1000 * swv) // sum_w
+            ELSE NULL END AS val_e3
+FROM agg
+"""

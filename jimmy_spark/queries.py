@@ -144,12 +144,15 @@ def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster<->vector overlay, two lanes in one result (`kind` column):
-    'tile' = images per (polygon, z12 tile); 'zonal' (r5) = raster zonal
-    statistics (operators/raster.py zonal_stats) — the res-9 hex raster of
-    (image count, pixel-area sum) aggregated per polygon zone by
-    lattice-rounded cell-center membership, the ray-cast running per CELL
-    rather than per point."""
+    """Raster<->vector overlay, three lanes in one result (`kind`
+    column): 'tile' = images per (polygon, z12 tile); 'zonal' (r5) =
+    raster zonal statistics (operators/raster.py zonal_stats) — the res-9
+    hex raster of (image count, pixel-area sum) aggregated per polygon
+    zone by lattice-rounded cell-center membership, the ray-cast running
+    per CELL rather than per point; 'idw' (r5) = inverse-distance
+    interpolation of the pixel-area field onto the res-8 raster
+    (idw_raster) — fully integer semantics (x carries the cell id,
+    n_pts the total weight, sum_px the e3-scaled interpolated value)."""
     from jimmy_spark.operators import raster
 
     pts = _points(spark)
@@ -179,7 +182,14 @@ def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cells").alias("cnt"),
         "n_pts", F.col("sum_v").alias("sum_px"), "max_cell_pts",
     )
-    return tile_lane.unionByName(zonal_lane)
+    idw_lane = raster.idw_raster(vpts, res=8, k=2, value_col="px").select(
+        F.lit("idw").alias("kind"), F.lit(None).cast("string").alias("polygon_id"),
+        F.col("cell").alias("x"), nul.alias("y"),
+        F.col("n_samples").alias("cnt"),
+        F.col("sum_w").alias("n_pts"), F.col("val_e3").alias("sum_px"),
+        nul.alias("max_cell_pts"),
+    )
+    return tile_lane.unionByName(zonal_lane).unionByName(idw_lane)
 
 
 def q_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,6 +508,11 @@ UNION ALL
 SELECT 'zonal' AS kind, polygon_id, NULL::BIGINT AS x, NULL::BIGINT AS y,
        n_cells AS cnt, n_pts, sum_v AS sum_px, max_cell_pts
 FROM ({raster_ops.duckdb_zonal_sql(zonal_pts, f"{t2}/polygons.parquet", res=9, value_col="px")})
+UNION ALL
+SELECT 'idw' AS kind, NULL::VARCHAR AS polygon_id, cell AS x,
+       NULL::BIGINT AS y, n_samples AS cnt, sum_w AS n_pts,
+       val_e3 AS sum_px, NULL::BIGINT AS max_cell_pts
+FROM ({raster_ops.duckdb_idw_sql(zonal_pts, res=8, k=2, value_col="px")})
 """,
         "dedup_exact": (
             f"SELECT phash, min(image_id) AS keep_id, count(*) AS dup_cnt "
