@@ -95,6 +95,13 @@ def gi_star(counts: DataFrame, cell_col: str, cnt_col: str = "cnt") -> DataFrame
     ``moran_e6`` (floor(global Moran's I * 1e6), binary disk-1 weights
     EXCLUDING self, constant across rows — the spatial-autocorrelation
     summary of the whole count surface under the same hash gate).
+
+    int64 bound: the second moment SUM(cnt^2) (and the Moran cross-sum
+    SUM(cnt * disk_sum), ~49x larger) must stay under 2^63 — holds while
+    the hottest cell stays below ~1e9 points at any surface size (ANSI
+    mode turns a violation into an error, never a silent wrap); beyond
+    that, lift the moment aggregates to decimal(38,0) to match the
+    oracle's HUGEINT sums.
     """
     deltas = F.array(*[F.lit(x) for x in DISK1_DELTAS])
     # generators can't nest inside expressions (same shape as distjoin):

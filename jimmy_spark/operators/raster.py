@@ -135,6 +135,8 @@ def render_heat_pyramid(
     """
     from pyspark import StorageLevel
 
+    if not 0 <= z_min <= z_max:
+        raise ValueError(f"need 0 <= z_min <= z_max, got [{z_min}, {z_max}]")
     fine = z_max + 8
     finest = (
         points.select(
@@ -437,6 +439,11 @@ def idw_raster(
 
     Output: (cell long, n_samples long, sum_w long, val_e3 long) where
     val_e3 is the interpolated value scaled by 1000.
+
+    int64 bound: values must be non-negative (both engines' integer
+    divisions then agree; a negative v would split floor-vs-truncate)
+    and (W0/D0) * SUM(v over any disk) * 1000 must stay under 2^63 —
+    ANSI mode errors rather than wrapping if violated.
     """
     from jimmy_spark.functions import hexgrid
     from jimmy_spark.operators.cells import hex_cell_expr, hex_center_exprs
