@@ -242,7 +242,11 @@ def _generic_bench() -> dict[str, float]:
     # queries 3x and report the best
     reps = {"two_hop": 3, "topk_per_group": 3, "rollup_concat": 3,
             "linkres": 3, "unique_names": 3, "stats_agg": 3,
-            "asof_join": 3, "range_join": 3, "corpus_prep": 3}
+            "asof_join": 3, "range_join": 3, "corpus_prep": 3,
+            # first run pays one-time streaming-query checkpoint/sink
+            # setup (~10s); steady state is ~2.6s — reps report the
+            # operator's cost, not the setup (measured 10.5/2.57/2.58)
+            "windowed_counts": 3}
     for name in ("two_hop", "topk_per_group", "rollup_concat", "linkres",
                  "unique_names", "stats_agg",
                  # training-data ladder at sf0.1 (minhash emits 7.5M
