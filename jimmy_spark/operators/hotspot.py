@@ -86,6 +86,26 @@ def _moran_e6_expr(n, sumx, sumx2, a, b, c, d) -> Column:
     )
 
 
+def _lisa_e6_expr(n, sumx, sumx2, x, w_ex, s_ex) -> Column:
+    """Per-cell local Moran (LISA); one fixed tree on exact int inputs.
+
+    I_i = x'_i * (SUM_j w_ij x'_j) / m2 with x' = x - xbar, binary disk-1
+    weights excluding self (SUM_j w_ij x'_j = s_ex - xbar*w_ex), and
+    m2 = SUM x'^2 / n the biased variance — the local decomposition whose
+    weight-total-scaled sum reproduces the global Moran numerator (the
+    tests assert that identity). Null under the same degenerate guards
+    as the global index.
+    """
+    nd = n.cast("double")
+    xbar = sumx.cast("double") / nd
+    m2 = sumx2.cast("double") / nd - xbar * xbar
+    num = (x.cast("double") - xbar) * (s_ex.cast("double") - xbar * w_ex.cast("double"))
+    ok = (n >= 2) & (m2 > 0)
+    return F.when(ok, F.floor(num / m2 * F.lit(1000000.0))).otherwise(
+        F.lit(None).cast("long")
+    )
+
+
 def gi_star(counts: DataFrame, cell_col: str, cnt_col: str = "cnt") -> DataFrame:
     """Widen a (cell, cnt) frame with Gi* columns + global Moran's I.
 
@@ -139,12 +159,17 @@ def gi_star(counts: DataFrame, cell_col: str, cnt_col: str = "cnt") -> DataFrame
         F.col("_n"), F.col("_sumx"), F.col("_sumx2"),
         F.col("_ma"), F.col("_mb"), F.col("_mc"), F.col("_md"),
     )
+    lisa_e6 = _lisa_e6_expr(
+        F.col("_n"), F.col("_sumx"), F.col("_sumx2"),
+        x, w_ex, s_ex,
+    )
     return (
         joined
         .crossJoin(F.broadcast(glob))
         .crossJoin(F.broadcast(mor))
         .withColumn("gi_e6", gi_e6)
         .withColumn("moran_e6", moran_e6)
+        .withColumn("lisa_e6", lisa_e6)
         .drop("_home", "_n", "_sumx", "_sumx2", "_ma", "_mb", "_mc", "_md")
     )
 
@@ -206,6 +231,14 @@ SELECT * EXCLUDE (_n, _sx, _sx2, _s2v, _ma, _mb, _mc, _md, _mden),
             * (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) * CAST(_md AS DOUBLE))
          / _mden)
       * 1000000.0) AS BIGINT)
-  ELSE NULL END AS moran_e6
+  ELSE NULL END AS moran_e6,
+  CASE WHEN _n >= 2 AND _s2v > 0 THEN
+    CAST(floor(
+      (CAST({cnt_col} AS DOUBLE) - (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)))
+      * (CAST(nbr_sum - {cnt_col} AS DOUBLE)
+         - (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE))
+           * CAST(nbr_w - 1 AS DOUBLE))
+      / _s2v * 1000000.0) AS BIGINT)
+  ELSE NULL END AS lisa_e6
 FROM m
 """

@@ -75,6 +75,27 @@ def py_moran(counts: dict[int, int]) -> int | None:
     return math.floor(float(n) / float(D) * (num / den) * 1000000.0)
 
 
+def py_lisa(counts: dict[int, int]) -> dict[int, int | None]:
+    """Pure-Python local Moran per cell, same fixed tree."""
+    ref = py_gi_star(counts)
+    n = len(counts)
+    sumx = sum(counts.values())
+    sumx2 = sum(x * x for x in counts.values())
+    xbar = float(sumx) / float(n) if n else 0.0
+    m2 = float(sumx2) / float(n) - xbar * xbar if n else 0.0
+    out: dict[int, int | None] = {}
+    for cell, x in counts.items():
+        w_all, s_all, _ = ref[cell]
+        if n < 2 or m2 <= 0:
+            out[cell] = None
+            continue
+        num = (float(x) - xbar) * (
+            float(s_all - x) - xbar * float(w_all - 1)
+        )
+        out[cell] = math.floor(num / m2 * 1000000.0)
+    return out
+
+
 def _spark_gi(spark, counts: dict[int, int]) -> pd.DataFrame:
     pdf = pd.DataFrame(
         {"cell": list(counts), "cnt": [counts[c] for c in counts]}
@@ -105,6 +126,11 @@ def _check_all_twins(spark, counts: dict[int, int]) -> pd.DataFrame:
         assert got_m.isna().all()
     else:
         assert (got_m == exp_m).all()
+    # LISA per cell
+    exp_l = py_lisa(counts)
+    for cell, l_g in zip(got["cell"], got["lisa_e6"]):
+        got_l = None if pd.isna(l_g) else int(l_g)
+        assert got_l == exp_l[int(cell)], int(cell)
     # DuckDB twin on the same counts
     con = duckdb.connect()
     pdf = pd.DataFrame(
@@ -114,7 +140,7 @@ def _check_all_twins(spark, counts: dict[int, int]) -> pd.DataFrame:
     odf = con.sql(
         hotspot.duckdb_gi_sql("SELECT cell, cnt FROM counts_in", "cell")
     ).df().sort_values("cell").reset_index(drop=True)
-    for c in ("cell", "cnt", "nbr_w", "nbr_sum", "gi_e6", "moran_e6"):
+    for c in ("cell", "cnt", "nbr_w", "nbr_sum", "gi_e6", "moran_e6", "lisa_e6"):
         a = got[c].astype("Int64")
         b = odf[c].astype("Int64")
         assert a.equals(b), c
@@ -199,3 +225,30 @@ class TestGiStar:
             .toPandas().sort_values("cell").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_lisa_decomposes_global_moran(spark):
+    """The LISA numerators sum (exactly, in rational arithmetic) to the
+    global Moran numerator: sum_i x'_i * (s_ex_i - xbar*w_ex_i) equals
+    A - xbar(B + C) + xbar^2 D — verified here with Fractions so the
+    identity is exact, not approximate."""
+    from fractions import Fraction
+
+    rng = np.random.default_rng(9)
+    counts = _mk_counts(
+        rng.integers(0, 150_000_000, 2500), rng.integers(0, 150_000_000, 2500)
+    )
+    ref = py_gi_star(counts)
+    n = len(counts)
+    xbar = Fraction(sum(counts.values()), n)
+    lhs = sum(
+        (Fraction(x) - xbar)
+        * (Fraction(ref[c][1] - x) - xbar * Fraction(ref[c][0] - 1))
+        for c, x in counts.items()
+    )
+    A = sum(x * (ref[c][1] - x) for c, x in counts.items())
+    B = sum(x * (ref[c][0] - 1) for c, x in counts.items())
+    C = sum(ref[c][1] - x for c, x in counts.items())
+    D = sum(ref[c][0] - 1 for c in counts)
+    rhs = Fraction(A) - xbar * (B + C) + xbar * xbar * D
+    assert lhs == rhs
