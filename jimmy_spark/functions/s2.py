@@ -148,3 +148,85 @@ def level_of(cell_id: np.ndarray) -> np.ndarray:
         lvl[m] += 1
         b = np.where(m, b >> np.uint64(2), b)
     return MAX_LEVEL - lvl
+
+
+def face_ij_from_cell_id(cell_id: np.ndarray):
+    """Inverse Hilbert decode: cell id -> (face, i, j) of a leaf inside
+    the cell (the standard ToFaceIJ iteration with the inverse lookup
+    table). For a level-L id the trailing lsb bits decode to a leaf in
+    the cell's interior; align with ``>> (30-L) << (30-L)`` for bounds."""
+    u = cell_id.view(np.uint64)
+    face = (u >> np.uint64(POS_BITS)).astype(np.int64)
+    bits = (face & np.int64(SWAP_MASK)).astype(np.int64)
+    i = np.zeros(len(face), dtype=np.int64)
+    j = np.zeros(len(face), dtype=np.int64)
+    mask4 = (1 << LOOKUP_BITS) - 1
+    for k in range(7, -1, -1):
+        # top chunk holds only 2 bits per axis (i,j are 30-bit): mask to
+        # 4 pos bits or the face bits (id bits 61-63) leak into the lookup
+        cmask = np.uint64(0xF if k == 7 else 0xFF)
+        chunk = ((u >> np.uint64(k * 2 * LOOKUP_BITS + 1)) & cmask).astype(
+            np.int64
+        )
+        bits = bits + (chunk << 2)
+        bits = _LOOKUP_IJ[bits]
+        i = i + ((bits >> (LOOKUP_BITS + 2)) << (k * LOOKUP_BITS))
+        j = j + (((bits >> 2) & mask4) << (k * LOOKUP_BITS))
+        bits = bits & (SWAP_MASK | INVERT_MASK)
+    return face, i, j
+
+
+def uv_from_st(st: np.ndarray) -> np.ndarray:
+    """Inverse of ``st_from_uv`` (the quadratic projection)."""
+    return np.where(
+        st >= 0.5,
+        (1.0 / 3.0) * (4.0 * st * st - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - st) * (1.0 - st)),
+    )
+
+
+def xyz_from_face_uv(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Standard S2 face frame: unit-cube point for (face, u, v)."""
+    one = np.ones_like(u)
+    xs = [one, -u, -u, -one, v, v]
+    ys = [u, one, -v, -v, -one, u]
+    zs = [v, v, one, -u, -u, -one]
+    x = np.choose(face, xs)
+    y = np.choose(face, ys)
+    z = np.choose(face, zs)
+    return x, y, z
+
+
+def center_latlon_e7(cell_id: np.ndarray):
+    """cell id -> lattice-rounded (lat_e7, lon_e7) of the cell center
+    (the center of its aligned ij block, exact ij arithmetic, then the
+    inverse projections; the e7 rounding uses the grid's floor(v + 0.5)
+    half-rule like hexgrid.center_lattice)."""
+    lvl = level_of(cell_id)
+    face, i, j = face_ij_from_cell_id(cell_id)
+    s = (MAX_LEVEL - lvl).astype(np.int64)
+    half = np.where(s > 0, np.int64(1) << np.maximum(s - 1, 0), 0)
+    ic = ((i >> s) << s) + half
+    jc = ((j >> s) << s) + half
+    st_i = ic.astype(np.float64) / float(1 << MAX_LEVEL)
+    st_j = jc.astype(np.float64) / float(1 << MAX_LEVEL)
+    u = uv_from_st(st_i)
+    v = uv_from_st(st_j)
+    x, y, z = xyz_from_face_uv(face, u, v)
+    lat = np.arctan2(z, np.hypot(x, y)) * (180.0 / np.pi)
+    lon = np.arctan2(y, x) * (180.0 / np.pi)
+    return (
+        np.floor(lat * 1e7 + 0.5).astype(np.int64),
+        np.floor(lon * 1e7 + 0.5).astype(np.int64),
+    )
+
+
+def children(cell_id: np.ndarray) -> np.ndarray:
+    """(n, 4) int64: the four child ids one level down (standard lsb
+    arithmetic: child_k = id - lsb + (2k + 1) * (lsb >> 2))."""
+    u = cell_id.view(np.uint64)
+    lsb = u & (~u + np.uint64(1))
+    child = lsb >> np.uint64(2)
+    ks = np.arange(4, dtype=np.uint64)
+    out = (u[:, None] - lsb[:, None]) + (np.uint64(2) * ks[None, :] + np.uint64(1)) * child[:, None]
+    return out.view(np.int64)
