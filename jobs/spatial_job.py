@@ -78,6 +78,13 @@ def main() -> int:
         "to <out>/tiles_png (operators/raster.py).",
     )
     ap.add_argument(
+        "--s2-compact",
+        action="store_true",
+        help="also write the CellUnion-normalized compaction of the "
+        "corpus' occupied s2_l16 cell set to <out>/s2_covering "
+        "(operators/s2cover.py).",
+    )
+    ap.add_argument(
         "--mosaic-zoom",
         type=int,
         default=-1,
@@ -203,6 +210,13 @@ def main() -> int:
         raster.render_heat_tiles(ok_pts, zoom=args.render_zoom).write.mode(
             "overwrite"
         ).parquet(f"{args.out}/tiles_png")
+
+    if args.s2_compact:
+        from jimmy_spark.operators import s2cover
+
+        s2cover.s2_compact(
+            enriched.filter(F.col("ok")), cell_col="s2_l16"
+        ).write.mode("overwrite").parquet(f"{args.out}/s2_covering")
 
     if args.mosaic_zoom >= 0:
         from jimmy_spark.operators import raster

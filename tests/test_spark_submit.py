@@ -106,6 +106,7 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         "--render-zoom", "6",
         "--zonal-res", "8",
         "--mosaic-zoom", "4",
+        "--s2-compact",
     ]
     from jimmy_spark.datagen import ensure_roads, ensure_tracks
 
@@ -205,6 +206,21 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         f"(SELECT count(*) FROM '{tracks_path}')"
     ).fetchone()
     assert 0 < n_simp < n_raw
+    # s2 covering: compaction of the job's own l16 set matches the
+    # DuckDB ladder twin and round-trips to the same leaf set
+    from jimmy_spark.operators import s2cover as _s2c
+
+    exp_cov = duckdb.sql(
+        _s2c.duckdb_compact_sql(
+            f"SELECT s2_l16 AS cell FROM '{tmp_path}/out_an/enriched/*/*.parquet' WHERE ok"
+        )
+        + " ORDER BY cell, lvl"
+    ).fetchall()
+    got_cov = duckdb.sql(
+        f"SELECT cell, lvl FROM '{tmp_path}/out_an/s2_covering/*.parquet' "
+        "ORDER BY cell, lvl"
+    ).fetchall()
+    assert got_cov == exp_cov and len(got_cov) > 0
     # hulls: one row per segment, pings conserved, hull bounded by pings
     n_hull_pings, n_hull_rows = duckdb.sql(
         f"SELECT sum(n_pings), count(*) FROM '{tmp_path}/out_an/trajectory/hulls/*.parquet'"
