@@ -80,6 +80,28 @@ def ensure_tracks(name: str = "t2", n_entities: int = 60, pings_per: int = 160) 
     return d
 
 
+def ensure_contacts(
+    name: str = "t2", n_entities: int = 36, pings_per: int = 120
+) -> Path:
+    """Deterministic co-moving entity tracks (datagen/contacts.py) for the
+    spatio-temporal contact join; own marker like the tracks table."""
+    from jimmy_spark.datagen.contacts import write_contacts
+
+    d = dataset_dir(name)
+    marker = d / "_MARKER_CONTACTS.json"
+    recipe = {"seed": SEED, "v": 1, "n_entities": n_entities, "pings_per": pings_per}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == recipe:
+                return d
+        except Exception:
+            pass
+    d.mkdir(parents=True, exist_ok=True)
+    write_contacts(str(d / "contacts.parquet"), n_entities, pings_per, SEED)
+    marker.write_text(json.dumps(recipe))
+    return d
+
+
 def ensure_roads(name: str = "t2") -> Path:
     """Deterministic road-segment network (datagen/roads.py) for the
     map-matching operator; own marker like the tracks table."""

@@ -1881,9 +1881,15 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment within D_MAX via the grid-blocked point-to-segment join —
     o_cell/d_cell carry road_id/seg_id, path_len the floored squared
     snap distance, c_lat the e6 projection parameter, n the within-range
-    candidate count (0 = off-network lane)."""
-    from jimmy_spark.datagen import ensure_roads, ensure_tracks
-    from jimmy_spark.operators import mapmatch
+    candidate count (0 = off-network lane). 'st' / 'convoy' (r5) = the
+    spatio-temporal contact join + convoy miner (operators/stjoin.py)
+    over the planted co-travel table: 'st' rows are per-(pair, bucket)
+    contact aggregates (entity_id/session_seq = the ordered pair, n =
+    contacts, path_len = min dist2, o_cell = time bucket); 'convoy' rows
+    are maximal consecutive-bucket runs (n = run length, path_len = total
+    contacts, o_cell/d_cell = first/last bucket)."""
+    from jimmy_spark.datagen import ensure_contacts, ensure_roads, ensure_tracks
+    from jimmy_spark.operators import mapmatch, stjoin
     from jimmy_spark.operators import trajectory as tj
     from jimmy_spark.streaming import windows
 
@@ -1930,10 +1936,39 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("road_id").alias("o_cell"), F.col("seg_id").alias("d_cell"),
         F.col("t_e6").alias("c_lat"), nul.alias("c_lon"),
     )
+    ct = spark.read.parquet(f"{ensure_contacts('t2')}/contacts.parquet")
+    buckets = stjoin.contact_buckets(
+        stjoin.contact_join(ct, d=ST_CONTACT_D, tau=ST_CONTACT_TAU)
+    )
+    st = buckets.select(
+        F.lit("st").alias("kind"),
+        F.col("a_id").alias("entity_id"),
+        F.col("b_id").alias("session_seq"),
+        F.col("n_contacts").alias("n"), "t_start", "t_end",
+        F.col("min_dist2").alias("path_len"),
+        F.col("tb").alias("o_cell"), nul.alias("d_cell"),
+        nul.alias("c_lat"), nul.alias("c_lon"),
+    )
+    convoy = stjoin.convoys(buckets, k_min=ST_CONVOY_KMIN).select(
+        F.lit("convoy").alias("kind"),
+        F.col("a_id").alias("entity_id"),
+        F.col("b_id").alias("session_seq"),
+        F.col("n_buckets").alias("n"), "t_start", "t_end",
+        F.col("n_contacts").alias("path_len"),
+        F.col("tb_first").alias("o_cell"), F.col("tb_last").alias("d_cell"),
+        nul.alias("c_lat"), nul.alias("c_lon"),
+    )
     return (
         evt.unionByName(track).unionByName(stay).unionByName(od)
-        .unionByName(match)
+        .unionByName(match).unionByName(st).unionByName(convoy)
     )
+
+
+# contact join: ~4.4 km planar distance, 2-minute tolerance, convoys >= 5
+# consecutive buckets (datagen/contacts.py plants runs of ~18-20)
+ST_CONTACT_D = 40_000
+ST_CONTACT_TAU = 120
+ST_CONVOY_KMIN = 5
 
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1994,15 +2029,16 @@ FROM k
 
 
 def _oracle_kernels() -> dict[str, str]:
-    from jimmy_spark.datagen import ensure_roads, ensure_tracks
+    from jimmy_spark.datagen import ensure_contacts, ensure_roads, ensure_tracks
     from jimmy_spark.functions import strings
-    from jimmy_spark.operators import mapmatch, trajectory
+    from jimmy_spark.operators import mapmatch, stjoin, trajectory
     from jimmy_spark.streaming import windows
 
     title = strings.duckdb_split_title("caption")
     tag = strings.duckdb_first_inline_tag("caption")
     tracks_path = f"{ensure_tracks('t2')}/tracks.parquet"
     roads_path = f"{ensure_roads('t2')}/roads.parquet"
+    contacts_path = f"{ensure_contacts('t2')}/contacts.parquet"
     return {
         "caption_kernels": _caption_kernels_sql(title, tag),
         # the driver pre-registers every testdata table as a view at the sf
@@ -2037,6 +2073,18 @@ SELECT 'match' AS kind, entity_id, seq AS session_seq, n_cand AS n,
        road_id AS o_cell, seg_id AS d_cell,
        t_e6 AS c_lat, NULL::BIGINT AS c_lon
 FROM ({mapmatch.duckdb_match_sql(f"'{tracks_path}'", f"'{roads_path}'")})
+UNION ALL
+SELECT 'st' AS kind, a_id AS entity_id, b_id AS session_seq,
+       n_contacts AS n, t_start, t_end, min_dist2 AS path_len,
+       tb AS o_cell, NULL::BIGINT AS d_cell,
+       NULL::BIGINT AS c_lat, NULL::BIGINT AS c_lon
+FROM ({stjoin.duckdb_buckets_sql(f"'{contacts_path}'", ST_CONTACT_D, ST_CONTACT_TAU)})
+UNION ALL
+SELECT 'convoy' AS kind, a_id AS entity_id, b_id AS session_seq,
+       n_buckets AS n, t_start, t_end, n_contacts AS path_len,
+       tb_first AS o_cell, tb_last AS d_cell,
+       NULL::BIGINT AS c_lat, NULL::BIGINT AS c_lon
+FROM ({stjoin.duckdb_convoys_sql(f"'{contacts_path}'", ST_CONTACT_D, ST_CONTACT_TAU, ST_CONVOY_KMIN)})
 """,
         # batch and stream compute the same result by construction, so the
         # oracle states the stream columns as duplicates of the batch ones;
