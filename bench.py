@@ -435,9 +435,33 @@ def _trajectory_bench() -> dict[str, float]:
             ).collect()
             dt = time.monotonic() - t
             best_mm = dt if best_mm is None else min(best_mm, dt)
+        # spatio-temporal contact join + convoy mining over 1M co-moving
+        # pings (4k entities sharing the contacts fixture's city square —
+        # real cross-entity contact mass, unlike the dispersed tracks)
+        from jimmy_spark.datagen import ensure_contacts
+        from jimmy_spark.operators import stjoin
+
+        cpath = f"{ensure_contacts('t2ctbench', 4000, 250)}/contacts.parquet"
+        best_st = None
+        for _ in range(3):
+            runs = stjoin.convoys(
+                stjoin.contact_buckets(
+                    stjoin.contact_join(
+                        spark.read.parquet(cpath), d=40_000, tau=120
+                    )
+                ),
+                k_min=5,
+            )
+            t = time.monotonic()
+            runs.agg(
+                F.sum("n_contacts").alias("c"), F.count("n_buckets").alias("n")
+            ).collect()
+            dt = time.monotonic() - t
+            best_st = dt if best_st is None else min(best_st, dt)
         return {
             "trajectory_family": round(best, 3),
             "map_match": round(best_mm, 3),
+            "st_contact": round(best_st, 3),
         }
     finally:
         spark.stop()

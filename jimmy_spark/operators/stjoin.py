@@ -21,24 +21,32 @@ Plan shape (10^12-ping design point)
 ------------------------------------
 1. Key = (gx, gy, tb): square grid of width ``w >= d`` (the same
    output-proportional blocking as distance_join_grid — candidates scale
-   with density * d^2 * tau, never all-pairs) plus time bucket
-   ``tb = epoch div tau``.
-2. LEFT explodes each ping to its 3x3x3 key neighborhood (27 rows, a
-   narrow codegen'd Generate); RIGHT keeps each ping at its home key.
-   ONE shuffled equality join on the composite key; exact int64 verify.
+   with density * d^2 * tau, never all-pairs) plus a time-bucket axis of
+   width ``2 * tau``.
+2. LEFT explodes each ping to its exact reachable key BOX — per axis a
+   codegen'd ``sequence(floor((x - d) / w), floor((x + d) / w))``, the
+   precise set of blocking keys a qualifying partner's home can occupy.
+   At the default ``w = 2d`` / bucket ``2*tau`` the expected fanout is
+   2 x 2 x 2 = 8 rows per ping (a fixed ±1 neighborhood at ``w = d``
+   would be 27 — the adaptive cover shuffles ~3.4x fewer rows and pays
+   for it with a slightly larger verify set, which is a codegen'd int64
+   filter, not shuffle). RIGHT keeps each ping at its home key. ONE
+   shuffled equality join on the composite key; exact int64 verify.
 3. Bucket aggregation is one map-side-combinable groupBy; convoy mining
    is the gaps-and-islands window over the (already tiny) per-pair bucket
    frame — the window partitions by pair, and a pair's bucket count is
    bounded by the feed's time span / tau, never by ping volume.
 
-Exactly-once BY CONSTRUCTION (no distinct), extending the
-distance_join_grid argument to three axes: with ``w >= d`` a qualifying
-partner's home (gx, gy) differs by at most 1 per axis, and with bucket
-width tau, |Δepoch| <= tau forces |Δtb| <= 1 (floor(x/tau) of values tau
-apart differ by at most 1). The 27 exploded keys are distinct and a ping
-has exactly one home key, so each qualifying ordered pair matches exactly
-one (neighbor-key, home-key) row pair. The ``a.entity < b.entity`` filter
-keeps one orientation and drops same-entity pairs.
+Exactly-once BY CONSTRUCTION (no distinct): the per-axis sequence bounds
+are monotone floors, so a qualifying partner's home key lies inside the
+left ping's enumerated box (per axis: x' in [x-d, x+d] implies
+floor(x'/w) in [floor((x-d)/w), floor((x+d)/w)]); the box keys are
+consecutive integers per axis — all distinct — and a ping has exactly one
+home key, so each qualifying ordered pair matches exactly one
+(box-key, home-key) row pair. The ``a.entity < b.entity`` filter keeps
+one orientation and drops same-entity pairs. The aggregation bucket
+``tb = epoch div tau`` is decoupled from the blocking bucket (``2*tau``),
+so tuning the blocking never changes result semantics.
 
 Skew: hot (cell, bucket) keys ride AQE skew-join splitting; true output
 over a crowd is inherently quadratic in its instantaneous population —
@@ -70,45 +78,44 @@ def contact_join(
     — the deterministic bucket key the aggregation and the DuckDB twin
     both use. ``d`` is in e7 fixed-point units, ``tau`` in seconds.
     """
-    w = int(width if width is not None else d)
+    w = int(width if width is not None else 2 * d)
     if w < int(d):
         raise ValueError(f"grid width {w} must be >= d {d}")
     if tau <= 0:
         raise ValueError(f"tau must be positive, got {tau}")
-    gx = F.expr(f"({lon_col} + {_GRID_OFF}) div {w}")
-    gy = F.expr(f"({lat_col} + {_GRID_OFF}) div {w}")
+    d, tau = int(d), int(tau)
+    tb_w = 2 * tau  # blocking bucket; decoupled from the output tb
     # parquet naive timestamps are NTZ; under the pinned UTC session tz the
     # NTZ->LTZ cast is the identity, ->long is epoch seconds — matching
     # DuckDB floor(epoch(ts)) (same discipline as trajectory._epoch)
-    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
-    tb = F.expr(
-        f"cast(cast({ts_col} as timestamp_ltz) as long) div {int(tau)}"
-    )
+    ep_sql = f"cast(cast({ts_col} as timestamp_ltz) as long)"
+    epoch = F.expr(ep_sql)
+    gx = F.expr(f"({lon_col} + {_GRID_OFF}) div {w}")
+    gy = F.expr(f"({lat_col} + {_GRID_OFF}) div {w}")
+    tb = F.expr(f"{ep_sql} div {tb_w}")
 
-    near = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    def _span(expr: str, reach: int, width_: int):
+        # the exact per-axis key range a partner within `reach` can home in
+        return F.expr(
+            f"sequence(({expr} - {reach}) div {width_}, "
+            f"({expr} + {reach}) div {width_})"
+        )
+
     left = pings.select(
         F.col(id_col).alias("a_id"),
         epoch.alias("a_ep"),
         F.col(ts_col).alias("a_ts"),
         F.col(lat_col).alias("a_lat"),
         F.col(lon_col).alias("a_lon"),
-        gx.alias("_gx"),
-        gy.alias("_gy"),
-        tb.alias("_tb"),
-        F.explode(near).alias("_dx"),
+        _span(f"{lat_col} + {_GRID_OFF}", d, w).alias("_gys"),
+        _span(ep_sql, tau, tb_w).alias("_tbs"),
+        F.explode(_span(f"{lon_col} + {_GRID_OFF}", d, w)).alias("gx"),
     ).select(
-        "a_id", "a_ep", "a_ts", "a_lat", "a_lon",
-        (F.col("_gx") + F.col("_dx")).alias("gx"),
-        "_gy", "_tb",
-        F.explode(near).alias("_dy"),
-    ).select(
-        "a_id", "a_ep", "a_ts", "a_lat", "a_lon", "gx",
-        (F.col("_gy") + F.col("_dy")).alias("gy"),
-        "_tb",
-        F.explode(near).alias("_dt"),
+        "a_id", "a_ep", "a_ts", "a_lat", "a_lon", "gx", "_tbs",
+        F.explode("_gys").alias("gy"),
     ).select(
         "a_id", "a_ep", "a_ts", "a_lat", "a_lon", "gx", "gy",
-        (F.col("_tb") + F.col("_dt")).alias("tb"),
+        F.explode("_tbs").alias("tb"),
     )
     right = pings.select(
         F.col(id_col).alias("b_id"),

@@ -107,6 +107,24 @@ def main() -> int:
         "ay, bx, by): map-match every ping to its nearest segment and "
         "write <out>/trajectory/matched (operators/mapmatch.py).",
     )
+    ap.add_argument(
+        "--contact-d",
+        type=int,
+        default=0,
+        help="when > 0, run the spatio-temporal contact join at this "
+        "distance (e7 units) over --contacts (falling back to --tracks) "
+        "and write per-(pair, bucket) contacts to "
+        "<out>/trajectory/contacts plus convoy runs to "
+        "<out>/trajectory/convoys (operators/stjoin.py).",
+    )
+    ap.add_argument(
+        "--contacts",
+        default="",
+        help="ping table for the contact stage when it differs from "
+        "--tracks (e.g. a co-travel feed).",
+    )
+    ap.add_argument("--contact-tau", type=int, default=120)
+    ap.add_argument("--convoy-kmin", type=int, default=5)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -253,6 +271,21 @@ def main() -> int:
         tj.segment_hulls(segged).write.mode("overwrite").parquet(
             f"{args.out}/trajectory/hulls"
         )
+
+    if args.contact_d > 0 and (args.contacts or args.tracks):
+        from jimmy_spark.operators import stjoin
+
+        pings = spark.read.parquet(args.contacts or args.tracks)
+        buckets = stjoin.contact_buckets(
+            stjoin.contact_join(pings, d=args.contact_d, tau=args.contact_tau)
+        )
+        buckets.write.mode("overwrite").parquet(
+            f"{args.out}/trajectory/contacts"
+        )
+        stjoin.convoys(
+            spark.read.parquet(f"{args.out}/trajectory/contacts"),
+            k_min=args.convoy_kmin,
+        ).write.mode("overwrite").parquet(f"{args.out}/trajectory/convoys")
 
     m = runner.table.read_all(spark)
     summary = m.agg(

@@ -113,6 +113,14 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
     tracks_path = f"{ensure_tracks('t2')}/tracks.parquet"
     roads_path = f"{ensure_roads('t2')}/roads.parquet"
     cmd += ["--tracks", tracks_path, "--roads", roads_path]
+    from jimmy_spark.datagen import ensure_contacts
+
+    contacts_path = f"{ensure_contacts('t2')}/contacts.parquet"
+    cmd += [
+        "--contacts", contacts_path,
+        "--contact-d", "40000", "--contact-tau", "120",
+        "--convoy-kmin", "5",
+    ]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stderr[-3000:]
     s4 = json.loads(p.stdout.strip().splitlines()[-1])
@@ -251,6 +259,31 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
     ).fetchall()
     assert got_mm == exp_mm and len(got_mm) > 0
     assert any(r[3] == 0 for r in got_mm)  # off-network lane present
+    # contact stage vs the brute-force theta-join twins
+    from jimmy_spark.operators import stjoin as _st
+
+    exp_ct = duckdb.sql(
+        _st.duckdb_buckets_sql(f"'{contacts_path}'", 40_000, 120)
+        + " ORDER BY a_id, b_id, tb"
+    ).fetchall()
+    got_ct = duckdb.sql(
+        "SELECT a_id, b_id, tb, n_contacts, t_start, t_end, min_dist2 "
+        f"FROM '{tmp_path}/out_an/trajectory/contacts/*.parquet' "
+        "ORDER BY a_id, b_id, tb"
+    ).fetchall()
+    assert got_ct == exp_ct and len(got_ct) > 0
+    exp_cv = duckdb.sql(
+        "SELECT a_id, b_id, n_buckets FROM ("
+        + _st.duckdb_convoys_sql(f"'{contacts_path}'", 40_000, 120, 5)
+        + ") ORDER BY a_id, b_id, n_buckets"
+    ).fetchall()
+    got_cv = duckdb.sql(
+        "SELECT a_id, b_id, n_buckets "
+        f"FROM '{tmp_path}/out_an/trajectory/convoys/*.parquet' "
+        "ORDER BY a_id, b_id, n_buckets"
+    ).fetchall()
+    assert got_cv == exp_cv
+    assert {(r[0], r[1]) for r in got_cv} >= {(0, 1), (2, 3), (2, 4), (3, 4)}
 
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
