@@ -8,4 +8,5 @@ from jimmy_spark.datagen.datasets import (  # noqa: F401
     ensure_media,
     ensure_roads,
     ensure_tracks,
+    ensure_zones,
 )

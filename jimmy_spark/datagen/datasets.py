@@ -102,6 +102,25 @@ def ensure_contacts(
     return d
 
 
+def ensure_zones(name: str = "t2") -> Path:
+    """Deterministic geofence zones (datagen/zones.py) anchored to the
+    contacts table's actual track positions; own marker."""
+    from jimmy_spark.datagen.zones import write_zones
+
+    d = ensure_contacts(name)
+    marker = d / "_MARKER_ZONES.json"
+    recipe = {"seed": SEED, "v": 1}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == recipe:
+                return d
+        except Exception:
+            pass
+    write_zones(str(d / "zones.parquet"), str(d / "contacts.parquet"))
+    marker.write_text(json.dumps(recipe))
+    return d
+
+
 def ensure_roads(name: str = "t2") -> Path:
     """Deterministic road-segment network (datagen/roads.py) for the
     map-matching operator; own marker like the tracks table."""

@@ -1887,9 +1887,19 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     contact aggregates (entity_id/session_seq = the ordered pair, n =
     contacts, path_len = min dist2, o_cell = time bucket); 'convoy' rows
     are maximal consecutive-bucket runs (n = run length, path_len = total
-    contacts, o_cell/d_cell = first/last bucket)."""
-    from jimmy_spark.datagen import ensure_contacts, ensure_roads, ensure_tracks
-    from jimmy_spark.operators import mapmatch, stjoin
+    contacts, o_cell/d_cell = first/last bucket). 'fence' (r5) = geofence
+    zone visits (operators/geofence.py) over the same co-travel table vs
+    the anchored zone set: n = pings in the visit, t_start/t_end =
+    enter/exit, path_len = dwell seconds, o_cell = numeric zone id,
+    d_cell = first in-zone seq, c_lat = last in-zone seq, session_seq =
+    the per-(entity, zone) visit ordinal."""
+    from jimmy_spark.datagen import (
+        ensure_contacts,
+        ensure_roads,
+        ensure_tracks,
+        ensure_zones,
+    )
+    from jimmy_spark.operators import geofence, mapmatch, stjoin
     from jimmy_spark.operators import trajectory as tj
     from jimmy_spark.streaming import windows
 
@@ -1958,9 +1968,28 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tb_first").alias("o_cell"), F.col("tb_last").alias("d_cell"),
         nul.alias("c_lat"), nul.alias("c_lon"),
     )
+    zdir = ensure_zones("t2")
+    visits = geofence.zone_visits(
+        spark.read.parquet(f"{zdir}/contacts.parquet"),
+        pd.read_parquet(f"{zdir}/zones.parquet"),
+    )
+    fence = visits.select(
+        F.lit("fence").alias("kind"),
+        "entity_id",
+        F.col("visit_seq").alias("session_seq"),
+        F.col("n_pings").alias("n"),
+        F.col("t_enter").alias("t_start"),
+        F.col("t_exit").alias("t_end"),
+        F.col("dwell_s").alias("path_len"),
+        F.regexp_extract("zone_id", r"(\d+)$", 1).cast("long").alias("o_cell"),
+        F.col("seq_first").alias("d_cell"),
+        F.col("seq_last").alias("c_lat"),
+        nul.alias("c_lon"),
+    )
     return (
         evt.unionByName(track).unionByName(stay).unionByName(od)
         .unionByName(match).unionByName(st).unionByName(convoy)
+        .unionByName(fence)
     )
 
 
@@ -2029,9 +2058,14 @@ FROM k
 
 
 def _oracle_kernels() -> dict[str, str]:
-    from jimmy_spark.datagen import ensure_contacts, ensure_roads, ensure_tracks
+    from jimmy_spark.datagen import (
+        ensure_contacts,
+        ensure_roads,
+        ensure_tracks,
+        ensure_zones,
+    )
     from jimmy_spark.functions import strings
-    from jimmy_spark.operators import mapmatch, stjoin, trajectory
+    from jimmy_spark.operators import geofence, mapmatch, stjoin, trajectory
     from jimmy_spark.streaming import windows
 
     title = strings.duckdb_split_title("caption")
@@ -2039,6 +2073,7 @@ def _oracle_kernels() -> dict[str, str]:
     tracks_path = f"{ensure_tracks('t2')}/tracks.parquet"
     roads_path = f"{ensure_roads('t2')}/roads.parquet"
     contacts_path = f"{ensure_contacts('t2')}/contacts.parquet"
+    zones_path = f"{ensure_zones('t2')}/zones.parquet"
     return {
         "caption_kernels": _caption_kernels_sql(title, tag),
         # the driver pre-registers every testdata table as a view at the sf
@@ -2085,6 +2120,13 @@ SELECT 'convoy' AS kind, a_id AS entity_id, b_id AS session_seq,
        tb_first AS o_cell, tb_last AS d_cell,
        NULL::BIGINT AS c_lat, NULL::BIGINT AS c_lon
 FROM ({stjoin.duckdb_convoys_sql(f"'{contacts_path}'", ST_CONTACT_D, ST_CONTACT_TAU, ST_CONVOY_KMIN)})
+UNION ALL
+SELECT 'fence' AS kind, entity_id, visit_seq AS session_seq,
+       n_pings AS n, t_enter AS t_start, t_exit AS t_end,
+       dwell_s AS path_len,
+       CAST(regexp_extract(zone_id, '([0-9]+)$', 1) AS BIGINT) AS o_cell,
+       seq_first AS d_cell, seq_last AS c_lat, NULL::BIGINT AS c_lon
+FROM ({geofence.duckdb_visits_sql(f"'{contacts_path}'", zones_path)})
 """,
         # batch and stream compute the same result by construction, so the
         # oracle states the stream columns as duplicates of the batch ones;

@@ -125,6 +125,14 @@ def main() -> int:
     )
     ap.add_argument("--contact-tau", type=int, default=120)
     ap.add_argument("--convoy-kmin", type=int, default=5)
+    ap.add_argument(
+        "--zones",
+        default="",
+        help="geofence zone polygon table (the PIP polygon schema): run "
+        "zone-visit detection over --contacts (falling back to --tracks) "
+        "and write visits (enter/exit/dwell per entity x zone) to "
+        "<out>/trajectory/visits (operators/geofence.py).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -286,6 +294,14 @@ def main() -> int:
             spark.read.parquet(f"{args.out}/trajectory/contacts"),
             k_min=args.convoy_kmin,
         ).write.mode("overwrite").parquet(f"{args.out}/trajectory/convoys")
+
+    if args.zones and (args.contacts or args.tracks):
+        from jimmy_spark.operators import geofence
+
+        geofence.zone_visits(
+            spark.read.parquet(args.contacts or args.tracks),
+            pd.read_parquet(args.zones),
+        ).write.mode("overwrite").parquet(f"{args.out}/trajectory/visits")
 
     m = runner.table.read_all(spark)
     summary = m.agg(

@@ -121,6 +121,10 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         "--contact-d", "40000", "--contact-tau", "120",
         "--convoy-kmin", "5",
     ]
+    from jimmy_spark.datagen import ensure_zones
+
+    zones_path = f"{ensure_zones('t2')}/zones.parquet"
+    cmd += ["--zones", zones_path]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stderr[-3000:]
     s4 = json.loads(p.stdout.strip().splitlines()[-1])
@@ -284,6 +288,20 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
     ).fetchall()
     assert got_cv == exp_cv
     assert {(r[0], r[1]) for r in got_cv} >= {(0, 1), (2, 3), (2, 4), (3, 4)}
+    # geofence stage vs the integer ray-cast + islands twin
+    from jimmy_spark.operators import geofence as _gf
+
+    exp_v = duckdb.sql(
+        _gf.duckdb_visits_sql(f"'{contacts_path}'", zones_path)
+        + " ORDER BY entity_id, zone_id, visit_seq"
+    ).fetchall()
+    got_v = duckdb.sql(
+        "SELECT entity_id, zone_id, visit_seq, seq_first, seq_last, "
+        "n_pings, t_enter, t_exit, dwell_s "
+        f"FROM '{tmp_path}/out_an/trajectory/visits/*.parquet' "
+        "ORDER BY entity_id, zone_id, visit_seq"
+    ).fetchall()
+    assert got_v == exp_v and len(got_v) > 0
 
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
