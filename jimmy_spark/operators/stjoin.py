@@ -186,6 +186,109 @@ def convoys(buckets: DataFrame, k_min: int) -> DataFrame:
     )
 
 
+def contact_join_incremental(
+    new: DataFrame,
+    old: DataFrame,
+    d: int,
+    tau: int,
+    width: int | None = None,
+    id_col: str = "entity_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Contacts touching at least one NEW ping — exactly the delta
+    ``contacts(old ∪ new) - contacts(old)``, each pair once, normalized
+    to the ``contact_join`` output contract (a_id < b_id, tb = the
+    lower-entity ping's ``epoch div tau``). The incremental kernel behind
+    the streaming contact maintenance (streaming/spatial.py
+    run_contact_stream): per micro-batch only new x (new ∪ old) work
+    runs; old x old contact mass is never recomputed.
+
+    Construction mirrors ``distance_join_grid_incremental`` on the 3-axis
+    box cover: the LEFT side box-explodes NEW pings only; the RIGHT side
+    holds all pings at home keys, flagged ``_new``. A new-new pair would
+    match from both orientations, so it is accepted only under the
+    entity order; a new-old pair matches exactly once (old pings never
+    appear on the left) and is accepted in whichever orientation it
+    arrived, then normalized.
+    """
+    w = int(width if width is not None else 2 * d)
+    if w < int(d):
+        raise ValueError(f"grid width {w} must be >= d {d}")
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    d, tau = int(d), int(tau)
+    tb_w = 2 * tau
+    ep_sql = f"cast(cast({ts_col} as timestamp_ltz) as long)"
+    epoch = F.expr(ep_sql)
+    gx = F.expr(f"({lon_col} + {_GRID_OFF}) div {w}")
+    gy = F.expr(f"({lat_col} + {_GRID_OFF}) div {w}")
+    tb = F.expr(f"{ep_sql} div {tb_w}")
+
+    def _span(expr: str, reach: int, width_: int):
+        return F.expr(
+            f"sequence(({expr} - {reach}) div {width_}, "
+            f"({expr} + {reach}) div {width_})"
+        )
+
+    left = new.select(
+        F.col(id_col).alias("a_id"),
+        epoch.alias("a_ep"),
+        F.col(ts_col).alias("a_ts"),
+        F.col(lat_col).alias("a_lat"),
+        F.col(lon_col).alias("a_lon"),
+        _span(f"{lat_col} + {_GRID_OFF}", d, w).alias("_gys"),
+        _span(ep_sql, tau, tb_w).alias("_tbs"),
+        F.explode(_span(f"{lon_col} + {_GRID_OFF}", d, w)).alias("gx"),
+    ).select(
+        "a_id", "a_ep", "a_ts", "a_lat", "a_lon", "gx", "_tbs",
+        F.explode("_gys").alias("gy"),
+    ).select(
+        "a_id", "a_ep", "a_ts", "a_lat", "a_lon", "gx", "gy",
+        F.explode("_tbs").alias("tb"),
+    )
+
+    def _base(df: DataFrame, is_new: bool) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("b_id"),
+            epoch.alias("b_ep"),
+            F.col(ts_col).alias("b_ts"),
+            F.col(lat_col).alias("b_lat"),
+            F.col(lon_col).alias("b_lon"),
+            gx.alias("gx"),
+            gy.alias("gy"),
+            tb.alias("tb"),
+            F.lit(is_new).alias("_new"),
+        )
+
+    right = _base(new, True).unionByName(_base(old, False))
+    dx = (F.col("a_lon") - F.col("b_lon")).cast("long")
+    dy = (F.col("a_lat") - F.col("b_lat")).cast("long")
+    dist2 = dx * dx + dy * dy
+    dt = F.col("a_ep") - F.col("b_ep")
+    swap = F.col("a_id") > F.col("b_id")
+    lo_ep = F.when(swap, F.col("b_ep")).otherwise(F.col("a_ep"))
+    return (
+        left.join(right, ["gx", "gy", "tb"])
+        .filter(~F.col("_new") | (F.col("a_id") < F.col("b_id")))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.abs(dt) <= F.lit(tau))
+        .filter(dist2 <= F.lit(d * d))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            lo_ep.alias("_lo_ep"),
+            F.when(swap, F.col("b_ts")).otherwise(F.col("a_ts")).alias("a_ts"),
+            F.when(swap, F.col("a_ts")).otherwise(F.col("b_ts")).alias("b_ts"),
+            dist2.alias("dist2"),
+        )
+        .withColumn("tb", F.expr(f"_lo_ep div {tau}"))
+        .drop("_lo_ep")
+        .select("a_id", "b_id", "tb", "a_ts", "b_ts", "dist2")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle twins: brute-force theta join (no blocking), same
 # aggregation / islands arithmetic — an independent formulation.

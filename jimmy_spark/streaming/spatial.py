@@ -147,3 +147,110 @@ def run_proximity_stream(
         .start()
     )
     q.awaitTermination()
+
+
+PINGS_SCHEMA = "entity_id long, seq long, ts timestamp, lat_e7 long, lon_e7 long"
+
+
+def retained_state_batches(state_dir: str, batch_id: int, cutoff_ep: int):
+    """Older state batches that can still contact the current batch:
+    ids < ``batch_id`` whose recorded max event time is >= ``cutoff_ep``
+    (current batch's min event time - tau). Deterministic given the same
+    source offsets, so replays read identical state. Returns (paths,
+    skipped_count) — the skip count is what makes state BOUNDED: at a
+    steady event-time rate the retained set is O(tau / batch-span)
+    batches, independent of stream lifetime."""
+    import json
+    import os
+
+    if not os.path.isdir(state_dir):
+        return [], 0
+    keep, skipped = [], 0
+    for e in sorted(os.listdir(state_dir)):
+        if not e.startswith("b="):
+            continue
+        bid = int(e.split("=", 1)[1])
+        if bid >= batch_id:
+            continue
+        meta_path = os.path.join(state_dir, e, "_max_ts.json")
+        try:
+            with open(meta_path) as f:
+                max_ep = json.load(f)["max_ep"]
+        except Exception:
+            max_ep = None  # unreadable meta: keep (correctness first)
+        if max_ep is not None and max_ep < cutoff_ep:
+            skipped += 1
+            continue
+        keep.append(os.path.join(state_dir, e))
+    return keep, skipped
+
+
+def run_contact_stream(
+    spark: SparkSession,
+    pings_dir: str,
+    d: int,
+    tau: int,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous spatio-temporal contact maintenance: as ping files
+    arrive, emit exactly the NEW contacts (new x new ∪ new x old) via
+    ``stjoin.contact_join_incremental`` — after any number of batches the
+    union of emitted contacts equals the batch ``contact_join`` over all
+    pings, each pair exactly once.
+
+    BOUNDED STATE — the improvement over ``run_proximity_stream`` (whose
+    static points stay relevant forever): a contact needs |Δt| <= tau, so
+    an old ping whose event time is more than tau below the current
+    batch's minimum can never pair with it or anything later, PROVIDED
+    event time is non-decreasing across batches (the file-source contract
+    here; an out-of-order feed would set the cutoff from a watermark
+    rather than the batch minimum — same pruning, extra slack). Each
+    state batch records its max event time; ``retained_state_batches``
+    skips expired ones, so per-batch reads are O(tau / batch-span)
+    regardless of stream lifetime.
+
+    Exactly-once across restarts by the proximity stream's discipline:
+    ``foreachBatch`` is at-least-once, both writes are keyed by the
+    deterministic batch id and overwrite — a replayed batch rewrites
+    itself byte-identically and reads only state ids < its own.
+    """
+    import json
+    import os
+
+    from jimmy_spark.operators.stjoin import contact_join_incremental
+
+    def _process(batch_df, batch_id: int) -> None:
+        pings = batch_df.select("entity_id", "seq", "ts", "lat_e7", "lon_e7")
+        bounds = pings.selectExpr(
+            "min(cast(cast(ts as timestamp_ltz) as long)) AS lo",
+            "max(cast(cast(ts as timestamp_ltz) as long)) AS hi",
+        ).first()
+        if bounds["lo"] is None:
+            return  # empty batch: nothing to emit, no state to record
+        keep, _ = retained_state_batches(
+            state_dir, batch_id, int(bounds["lo"]) - int(tau)
+        )
+        if keep:
+            old = spark.read.parquet(*keep)
+        else:
+            old = spark.createDataFrame([], PINGS_SCHEMA)
+        delta = contact_join_incremental(pings, old, d=d, tau=tau)
+        delta.write.mode("overwrite").parquet(f"{out_dir}/b={batch_id}")
+        pings.write.mode("overwrite").parquet(f"{state_dir}/b={batch_id}")
+        with open(f"{state_dir}/b={batch_id}/_max_ts.json", "w") as f:
+            json.dump({"max_ep": int(bounds["hi"])}, f)
+
+    reader = spark.readStream.schema(PINGS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pings_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

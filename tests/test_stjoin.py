@@ -270,3 +270,128 @@ class TestScaleShape:
         assert len(join_lines) == 1
         for key in ("gx", "gy", "tb"):
             assert key in join_lines[0]
+
+
+class TestContactStream:
+    """Incremental contact maintenance (stjoin.contact_join_incremental +
+    streaming/spatial.py run_contact_stream) with tau-bounded state."""
+
+    @staticmethod
+    def _set(df_or_rows):
+        rows = df_or_rows.collect() if hasattr(df_or_rows, "collect") else df_or_rows
+        return {
+            (r.a_id, r.b_id, r.tb, r.a_ts, r.b_ts, r.dist2) for r in rows
+        }
+
+    def test_incremental_kernel_is_exact_delta(self, spark, contacts_path):
+        df = spark.read.parquet(contacts_path)
+        # split by TIME (the streaming arrival order), not by entity
+        old = df.filter("seq < 60")
+        new = df.subtract(old)
+        inc = self._set(
+            stjoin.contact_join_incremental(new, old, d=D_CT, tau=TAU)
+        )
+        all_c = self._set(stjoin.contact_join(df, d=D_CT, tau=TAU))
+        old_c = self._set(stjoin.contact_join(old, d=D_CT, tau=TAU))
+        assert inc == all_c - old_c
+        assert inc and old_c  # both waves carry real contact mass
+
+    def test_stream_two_waves_equals_batch(self, spark, contacts_path, tmp_path):
+        from jimmy_spark.streaming import spatial
+
+        pdf = pd.read_parquet(contacts_path).sort_values(["ts", "entity_id"])
+        src = tmp_path / "pings"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("contacts", "state", "cp"))
+
+        # waves split on event time: the file-source in-order contract
+        cut = pdf["ts"].quantile(0.5)
+        pdf[pdf["ts"] <= cut].to_parquet(src / "w0.parquet")
+        spatial.run_contact_stream(spark, str(src), D_CT, TAU, out, st, cp)
+        first = self._set(spark.read.parquet(f"{out}/b=*"))
+        assert first
+
+        # drain with nothing new: no-op
+        spatial.run_contact_stream(spark, str(src), D_CT, TAU, out, st, cp)
+        assert self._set(spark.read.parquet(f"{out}/b=*")) == first
+
+        pdf[pdf["ts"] > cut].to_parquet(src / "w1.parquet")
+        spatial.run_contact_stream(spark, str(src), D_CT, TAU, out, st, cp)
+
+        got = self._set(spark.read.parquet(f"{out}/b=*"))
+        exp = self._set(
+            stjoin.contact_join(spark.read.parquet(contacts_path), d=D_CT, tau=TAU)
+        )
+        assert got == exp
+        # exactly-once: row count equals set size
+        assert spark.read.parquet(f"{out}/b=*").count() == len(exp)
+
+    def test_state_pruning_skips_expired_batches(self, tmp_path):
+        import json
+        import os
+
+        from jimmy_spark.streaming.spatial import retained_state_batches
+
+        st = tmp_path / "state"
+        for bid, max_ep in [(0, 1000), (1, 2000), (2, 3000)]:
+            d = st / f"b={bid}"
+            os.makedirs(d)
+            with open(d / "_max_ts.json", "w") as f:
+                json.dump({"max_ep": max_ep}, f)
+        # batch 3 with min event time 2500, tau 120 -> cutoff 2380:
+        # batches 0 (1000) and 1 (2000) expired, 2 (3000) retained
+        keep, skipped = retained_state_batches(str(st), 3, 2500 - 120)
+        assert [os.path.basename(k) for k in keep] == ["b=2"]
+        assert skipped == 2
+        # missing meta: kept (correctness over pruning)
+        os.remove(st / "b=0" / "_max_ts.json")
+        keep, skipped = retained_state_batches(str(st), 3, 2500 - 120)
+        assert [os.path.basename(k) for k in keep] == ["b=0", "b=2"]
+        assert skipped == 1
+        # a replay of batch 1 must not see state >= its own id
+        keep, _ = retained_state_batches(str(st), 1, 0)
+        assert [os.path.basename(k) for k in keep] == ["b=0"]
+
+    def test_stream_prunes_state_end_to_end(self, spark, tmp_path):
+        """Two waves separated by an event-time gap far beyond tau: the
+        second batch must retain ZERO state batches yet still produce the
+        exact batch-equivalent union (no cross-wave contacts exist)."""
+        import json
+
+        from jimmy_spark.streaming import spatial
+        from jimmy_spark.streaming.spatial import retained_state_batches
+
+        base = 1_700_000_000
+        def _mk(eids, t0):
+            rows = []
+            for k, e in enumerate(eids):
+                rows.append((e, k, pd.Timestamp(t0 + 10 * k, unit="s"),
+                             1000 * k, 500 * k))
+            out = pd.DataFrame(rows, columns=["entity_id", "seq", "ts",
+                                              "lat_e7", "lon_e7"])
+            # write parquet at us precision (ns TIMESTAMP(NANOS) columns
+            # do not read under the stream's pinned timestamp schema)
+            out["ts"] = out["ts"].astype("datetime64[us]")
+            return out
+
+        src = tmp_path / "pings"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("contacts", "state", "cp"))
+        _mk([1, 2, 3], base).to_parquet(src / "w0.parquet")
+        spatial.run_contact_stream(spark, str(src), D_CT, TAU, out, st, cp)
+        # wave 2 lands 100*tau later: wave-1 state is expired
+        _mk([4, 5, 6], base + 100 * TAU).to_parquet(src / "w1.parquet")
+        spatial.run_contact_stream(spark, str(src), D_CT, TAU, out, st, cp)
+
+        # the second batch's cutoff excludes the first batch's state
+        with open(f"{st}/b=0/_max_ts.json") as f:
+            max0 = json.load(f)["max_ep"]
+        keep, skipped = retained_state_batches(st, 1, base + 100 * TAU - TAU)
+        assert keep == [] and skipped == 1 and max0 < base + 100 * TAU - TAU
+
+        got = self._set(spark.read.parquet(f"{out}/b=*"))
+        both = spark.createDataFrame(
+            pd.concat([_mk([1, 2, 3], base), _mk([4, 5, 6], base + 100 * TAU)])
+        )
+        exp = self._set(stjoin.contact_join(both, d=D_CT, tau=TAU))
+        assert got == exp and len(exp) > 0
