@@ -177,3 +177,51 @@ def sssp(
         prev = cur
     edges.unpersist()
     return dist
+
+
+def node_coords(node: Column, weld_tol: int = 0) -> tuple[Column, Column]:
+    """(lat_e7, lon_e7) of a node id. Un-welded ids unpack exactly; welded
+    ids carry quantized cell indices, so coordinates reconstruct to the
+    cell CENTER (qy*tol + tol div 2 - OFF) — off by at most tol/2 from any
+    endpoint welded into the cell, which is the welding resolution by
+    definition."""
+    if weld_tol <= 0:
+        return unpack_node(node)
+    t = int(weld_tol)
+    qy = F.shiftright(node, 31)
+    qx = node.bitwiseAND(F.lit(2**31 - 1))
+    lat = qy * F.lit(t) + F.lit(t // 2) - F.lit(_NODE_OFF)
+    lon = qx * F.lit(t) + F.lit(t // 2) - F.lit(_NODE_OFF)
+    return lat, lon
+
+
+def isochrone_cells(
+    dist: DataFrame,
+    band_width: int,
+    res: int = 8,
+    weld_tol: int = 0,
+) -> DataFrame:
+    """Network-distance raster: the SSSP result folded onto the hex grid —
+    per occupied cell, the minimum network distance of any reached node in
+    it and its distance band (``min_dist div band_width``). The isochrone
+    surface a routing UI shades, and (via the cell column) a direct input
+    to the heat-tile renderer with distance as intensity.
+
+    One map-side-combinable groupBy on the (already small) node frame; the
+    cell id is the engine's pure-JVM hex expression over the node
+    coordinates (cell-center-reconstructed when welded)."""
+    from jimmy_spark.operators.cells import hex_cell_expr
+
+    lat, lon = node_coords(F.col("node"), weld_tol)
+    cells = dist.select(
+        hex_cell_expr(lat, lon, res).alias("cell"), F.col("dist")
+    )
+    return (
+        cells.groupBy("cell")
+        .agg(F.min("dist").alias("min_dist"))
+        .select(
+            "cell",
+            "min_dist",
+            F.expr(f"min_dist div {int(band_width)}").alias("band"),
+        )
+    )

@@ -3,9 +3,10 @@
 Layers: hand-built graph with known distances (unequal-weight diamond +
 an unreachable island), pure-Python Dijkstra differential on a bbox
 subgraph of the REAL road network (heapq — a different algorithm class
-from the engine's frontier Bellman-Ford), structural parent verification
-via the exact invariant dist[n] == dist[parent[n]] + w(parent, n),
-node pack/unpack round trip, and partitioning invariance."""
+from the engine's Bellman-Ford label relaxation), structural parent
+verification via the exact invariant dist[n] == dist[parent[n]] +
+w(parent, n), node pack/unpack round trip, partitioning invariance, and
+the isochrone fold onto the hex raster."""
 
 from __future__ import annotations
 
@@ -186,3 +187,60 @@ class TestRealNetwork:
             for r in routing.sssp(subgraph.coalesce(1), [src]).collect()
         }
         assert a == b
+
+
+class TestIsochrones:
+    def test_isochrone_cells_match_python_fold(self, spark, subgraph_cls):
+        edges, src = subgraph_cls
+        dist = routing.sssp(edges, [src])
+        dist.cache().count()
+        band_w = 50_000_000
+        got = {
+            (int(r.cell), int(r.min_dist), int(r.band))
+            for r in routing.isochrone_cells(
+                dist, band_width=band_w, res=8,
+                weld_tol=TestRealNetwork.WELD,
+            ).collect()
+        }
+        # python fold: cell from the SAME jvm expression (recompute via a
+        # tiny spark projection), min per cell, band arithmetic in python
+        from pyspark.sql import functions as F
+
+        lat, lon = routing.node_coords(F.col("node"), TestRealNetwork.WELD)
+        from jimmy_spark.operators.cells import hex_cell_expr
+
+        node_cells = {
+            int(r.node): int(r.cell)
+            for r in dist.select(
+                "node", hex_cell_expr(lat, lon, 8).alias("cell")
+            ).collect()
+        }
+        per_cell: dict[int, int] = {}
+        for r in dist.collect():
+            c = node_cells[int(r.node)]
+            per_cell[c] = min(per_cell.get(c, 1 << 62), int(r.dist))
+        want = {(c, d, d // band_w) for c, d in per_cell.items()}
+        assert got == want and len(got) > 3
+        dist.unpersist()
+
+    def test_source_cell_is_band_zero(self, spark, subgraph_cls):
+        edges, src = subgraph_cls
+        dist = routing.sssp(edges, [src])
+        iso = routing.isochrone_cells(
+            dist, band_width=50_000_000, res=8, weld_tol=TestRealNetwork.WELD
+        ).toPandas()
+        assert (iso["band"] == 0).any()
+        assert (iso["min_dist"] == 0).sum() == 1  # exactly the source cell
+
+
+@pytest.fixture(scope="module")
+def subgraph_cls(spark, roads_path):
+    segs = spark.read.parquet(roads_path).filter(
+        "abs(ax) < 80000000 and abs(ay) < 80000000 "
+        "and abs(bx) < 80000000 and abs(by) < 80000000"
+    )
+    edges = routing.road_graph(segs, weld_tol=TestRealNetwork.WELD)
+    edges.cache()
+    src = int(edges.orderBy("src", "dst").first()["src"])
+    yield edges, src
+    edges.unpersist()
