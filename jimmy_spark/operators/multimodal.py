@@ -24,8 +24,42 @@ FEATURE_SCHEMA = (
     "image_id string, ok boolean, error string, "
     "mean_r double, mean_g double, mean_b double, "
     "std_lum double, edge_energy double, "
-    "ahash long, thumb_crc long"
+    "ahash long, thumb_crc long, sharp_e3 long, clip_e3 long"
 )
+
+
+def _quality_ints(arr_u8: np.ndarray) -> tuple[int, int]:
+    """Exact-integer image-quality pair (training-data filter features):
+
+    ``sharp_e3``  — 1000x the population variance of the 4-neighbor
+                    Laplacian of the 8-bit integer luma ((299r+587g+114b)
+                    div 1000), the classic variance-of-Laplacian focus
+                    measure; blur drives it toward 0. Interior pixels
+                    only; images thinner than 3px score 0.
+    ``clip_e3``   — 1000x the fraction of pixels with ANY channel clipped
+                    at 0 or 255 (over/under-exposure), floor-divided.
+
+    All arithmetic is int64-bounded NumPy + arbitrary-precision Python for
+    the variance numerator, so results are bit-identical across hosts —
+    the same no-IEEE contract as operators/raster.py idw_raster.
+    """
+    a = arr_u8.astype(np.int64)
+    luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    h, w = luma.shape
+    if h >= 3 and w >= 3:
+        lap = (
+            4 * luma[1:-1, 1:-1]
+            - luma[:-2, 1:-1] - luma[2:, 1:-1]
+            - luma[1:-1, :-2] - luma[1:-1, 2:]
+        )
+        m = int(lap.size)
+        s1 = int(lap.sum())
+        s2 = int((lap * lap).sum())
+        sharp = (1000 * (m * s2 - s1 * s1)) // (m * m)
+    else:
+        sharp = 0
+    clipped = int(((a == 0) | (a == 255)).any(axis=2).sum())
+    return sharp, (1000 * clipped) // (h * w)
 
 
 def _ahash(gray: np.ndarray) -> np.int64:
@@ -62,6 +96,8 @@ def _features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "std_lum": np.zeros(n), "edge_energy": np.zeros(n),
         "ahash": np.zeros(n, dtype=np.int64),
         "thumb_crc": np.zeros(n, dtype=np.int64),
+        "sharp_e3": np.zeros(n, dtype=np.int64),
+        "clip_e3": np.zeros(n, dtype=np.int64),
     }
     blobs = pdf["bytes"].to_numpy()
     fmts = pdf["fmt"].to_numpy()
@@ -79,6 +115,9 @@ def _features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             cols["ahash"][i] = _ahash(lum)
             thumb = _resize_nn(arr.astype(np.uint8), 16, 16)
             cols["thumb_crc"][i] = zlib.crc32(thumb.tobytes())
+            sharp, clip = _quality_ints(arr.astype(np.uint8))
+            cols["sharp_e3"][i] = sharp
+            cols["clip_e3"][i] = clip
             cols["ok"][i] = True
         except ValueError as e:
             cols["error"][i] = str(e)

@@ -491,6 +491,61 @@ class TestMultimodal:
         assert out.filter("ok").count() == imgs.count()
         row = out.first()
         assert 0 <= row.mean_r <= 255 and row.thumb_crc != 0
+        # quality ints are present and bounded on every decoded row
+        import pyspark.sql.functions as SF
+
+        bad = out.filter(
+            "ok AND (sharp_e3 < 0 OR clip_e3 < 0 OR clip_e3 > 1000)"
+        ).count()
+        assert bad == 0
+        assert out.agg(SF.max("sharp_e3")).first()[0] > 0
+
+    def test_quality_ints_hand_computed(self):
+        import numpy as np
+
+        from jimmy_spark.operators.multimodal import _quality_ints
+
+        # 3x3 grayscale, center luma 10, rest 0 -> one interior Laplacian
+        # value L = 4*10 = 40; m = 1; var = 0 (single sample) -> sharp 0
+        a = np.zeros((3, 3, 3), dtype=np.uint8)
+        a[1, 1] = 10
+        sharp, clip = _quality_ints(a)
+        assert sharp == 0  # m*s2 - s1^2 == 1*1600 - 1600
+        assert clip == (1000 * 8) // 9  # 8 of 9 pixels carry a 0 channel
+        # 3x4: two interior pixels, lumas 10 and 0 under the same kernel
+        # L = [4*10 - 0..., 4*0 - 10] = [40, -10]; m=2, s1=30, s2=1700
+        # var*1000 = 1000*(2*1700 - 900) // 4 = 625000
+        b = np.full((3, 4, 3), 100, dtype=np.uint8)
+        b[1, 1] = 110  # luma 110 vs 100 background
+        # interior lumas: (1,1)=110 -> L=4*110-400=40; (1,2)=100 -> L=400-10-300=... compute directly
+        lum = np.full((3, 4), 100, dtype=np.int64)
+        lum[1, 1] = 110
+        lap = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+               - lum[1:-1, :-2] - lum[1:-1, 2:])
+        m, s1, s2 = lap.size, int(lap.sum()), int((lap * lap).sum())
+        sharp_b, clip_b = _quality_ints(b)
+        assert sharp_b == (1000 * (m * s2 - s1 * s1)) // (m * m)
+        assert clip_b == 0
+
+    def test_quality_blur_ordering_and_constants(self):
+        import numpy as np
+
+        from jimmy_spark.operators.multimodal import _quality_ints
+
+        # constant image: zero sharpness; clip only at the extremes
+        for v, want_clip in ((128, 0), (255, 1000), (0, 1000)):
+            s, c = _quality_ints(np.full((16, 16, 3), v, dtype=np.uint8))
+            assert s == 0 and c == want_clip
+        # checkerboard is sharper than its 3x3 box blur
+        yy, xx = np.mgrid[0:32, 0:32]
+        checker = ((yy + xx) % 2 * 200 + 20).astype(np.uint8)
+        img = np.stack([checker] * 3, axis=2)
+        blurred = sum(
+            np.roll(np.roll(checker.astype(np.int64), dy, 0), dx, 1)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ) // 9
+        img_b = np.stack([blurred.astype(np.uint8)] * 3, axis=2)
+        assert _quality_ints(img)[0] > _quality_ints(img_b)[0] > 0
 
     def test_audio_features(self, spark):
         from jimmy_spark.datagen import ensure_media
