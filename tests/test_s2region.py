@@ -150,6 +150,111 @@ def test_boundary_cells_are_max_level(cover_rows):
             assert MIN_L <= lvl <= MAX_L
 
 
+def _twin_point_in(px: int, py: int, ri: list[int], rj: list[int]) -> bool:
+    """Independent crossing-number test (float-free, different formulation
+    from both the operator's inside_ring and brute_leaf_cover's helper)."""
+    n = len(ri)
+    inside = False
+    for k in range(n):
+        x1, y1, x2, y2 = ri[k], rj[k], ri[(k + 1) % n], rj[(k + 1) % n]
+        cr = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        if (cr == 0 and min(x1, x2) <= px <= max(x1, x2)
+                and min(y1, y2) <= py <= max(y1, y2)):
+            return True
+        if y1 <= py < y2 or y2 <= py < y1:
+            t_num = py - y1
+            # x-intersection comparison without division: px < x1 + t*(dx)
+            lhs = (px - x1) * (y2 - y1)
+            rhs = t_num * (x2 - x1)
+            if (y2 - y1 > 0 and lhs < rhs) or (y2 - y1 < 0 and lhs > rhs):
+                inside = not inside
+    return inside
+
+
+def _region_points(polys, rng_seed: int = 7):
+    """Deterministic points around each polygon: jittered interior,
+    far-outside, and exact ring vertices (the on-edge = inside rule)."""
+    rng = np.random.RandomState(rng_seed)
+    pts = []
+    k = 0
+    for _pid, ring, _proj in polys:
+        lat = np.array([v["lat_e7"] for v in ring], dtype=np.int64)
+        lon = np.array([v["lon_e7"] for v in ring], dtype=np.int64)
+        clat, clon = int(lat.mean()), int(lon.mean())
+        span = max(int(lat.max() - lat.min()), 1)
+        for _ in range(25):
+            pts.append((f"pt_{k:05d}",
+                        clat + int(rng.randint(-span, span + 1)),
+                        clon + int(rng.randint(-span, span + 1))))
+            k += 1
+        pts.append((f"pt_{k:05d}", clat + 5 * span, clon + 5 * span)); k += 1
+        for v in ring[:3]:
+            pts.append((f"pt_{k:05d}", int(v["lat_e7"]), int(v["lon_e7"])))
+            k += 1
+    return pts
+
+
+@pytest.mark.parametrize("bcast", [True, False])
+def test_region_select_matches_pure_twin(spark, bcast):
+    from jimmy_spark.functions import s2 as s2f
+    from jimmy_spark.operators.s2region import region_select
+
+    polys = _fixture_polys(10)
+    pts = _region_points(polys)
+    pdf = spark.createDataFrame(pts, "image_id string, lat_e7 long, lon_e7 long")
+    poly_df = spark.createDataFrame(
+        [(pid, ring) for pid, ring, _ in polys],
+        "polygon_id string, ring array<struct<lat_e7: long, lon_e7: long>>",
+    )
+    got = set(
+        (r.image_id, r.polygon_id)
+        for r in region_select(
+            pdf, poly_df, MIN_L, MAX_L, broadcast_cover=bcast
+        ).collect()
+    )
+    # twin: project each point exactly like the engine, test vs each ring
+    lat = np.array([p[1] for p in pts], dtype=np.int64)
+    lon = np.array([p[2] for p in pts], dtype=np.int64)
+    x, y, z = s2f.xyz_from_latlon_e7(lat, lon)
+    face, u, v = s2f.face_uv_from_xyz(x, y, z)
+    pi = s2f.ij_from_st(s2f.st_from_uv(u))
+    pj = s2f.ij_from_st(s2f.st_from_uv(v))
+    expect = set()
+    for pid, _ring, (pface, ri, rj) in polys:
+        li, lj = [int(w) for w in ri], [int(w) for w in rj]
+        for idx, (name, _a, _b) in enumerate(pts):
+            if int(face[idx]) != pface:
+                continue
+            if _twin_point_in(int(pi[idx]), int(pj[idx]), li, lj):
+                expect.add((name, pid))
+    assert got == expect and len(expect) > 0
+    # exactly-once by construction: collect() had no duplicate pairs
+    rows = region_select(pdf, poly_df, MIN_L, MAX_L,
+                         broadcast_cover=bcast).collect()
+    assert len(rows) == len(set((r.image_id, r.polygon_id) for r in rows))
+
+
+def test_region_select_plan_shape(spark):
+    from jimmy_spark.operators.s2region import region_select
+
+    polys = _fixture_polys(8)
+    pts = _region_points(polys)
+    pdf = spark.createDataFrame(pts, "image_id string, lat_e7 long, lon_e7 long")
+    poly_df = spark.createDataFrame(
+        [(pid, ring) for pid, ring, _ in polys],
+        "polygon_id string, ring array<struct<lat_e7: long, lon_e7: long>>",
+    )
+    plan = (
+        region_select(pdf, poly_df, MIN_L, MAX_L)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # covering rides the broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the ancestor fan-out is a codegen'd explode, not a Python stage
+    assert "Generate explode" in plan or "Generate" in plan
+
+
 def test_compact_identity_on_cover(spark, cover_rows):
     """Composing with s2cover.s2_compact: compacting the cover's leaf
     expansion reproduces a set no larger than the cover (the cover's FULL
