@@ -126,6 +126,17 @@ def main() -> int:
     ap.add_argument("--contact-tau", type=int, default=120)
     ap.add_argument("--convoy-kmin", type=int, default=5)
     ap.add_argument(
+        "--region-cover",
+        action="store_true",
+        help="also write the mixed-level S2 covering of every polygon to "
+        "<out>/region_cover and the point-in-region pairs answered "
+        "THROUGH the covering (one broadcast cell join, ray-cast on the "
+        "boundary fringe only) to <out>/region_pairs "
+        "(operators/s2region.py).",
+    )
+    ap.add_argument("--region-min-level", type=int, default=11)
+    ap.add_argument("--region-max-level", type=int, default=16)
+    ap.add_argument(
         "--zones",
         default="",
         help="geofence zone polygon table (the PIP polygon schema): run "
@@ -243,6 +254,18 @@ def main() -> int:
         s2cover.s2_compact(
             enriched.filter(F.col("ok")), cell_col="s2_l16"
         ).write.mode("overwrite").parquet(f"{args.out}/s2_covering")
+
+    if args.region_cover:
+        from jimmy_spark.operators import s2region
+
+        region_polys = spark.read.parquet(args.polygons)
+        s2region.s2_region_cover(
+            region_polys, args.region_min_level, args.region_max_level
+        ).write.mode("overwrite").parquet(f"{args.out}/region_cover")
+        s2region.region_select(
+            ok_pts, region_polys,
+            args.region_min_level, args.region_max_level,
+        ).write.mode("overwrite").parquet(f"{args.out}/region_pairs")
 
     if args.mosaic_zoom >= 0:
         from jimmy_spark.operators import raster

@@ -107,6 +107,8 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         "--zonal-res", "8",
         "--mosaic-zoom", "4",
         "--s2-compact",
+        "--region-cover", "--region-min-level", "11",
+        "--region-max-level", "15",
     ]
     from jimmy_spark.datagen import ensure_roads, ensure_tracks
 
@@ -176,6 +178,69 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         f"FROM '{tmp_path}/out_an/zonal/*.parquet' ORDER BY polygon_id"
     ).fetchall()
     assert got_z == exp_z and len(got_z) > 0
+    # region covering + selection through the same deployment shape:
+    # pairs re-derived by a session-free pure-NumPy twin over the job's
+    # own enriched points and the raw polygon rings
+    import numpy as _np
+
+    from jimmy_spark.functions import s2 as _s2
+    from jimmy_spark.operators.s2region import _project_ring
+
+    cover_rows = duckdb.sql(
+        f'SELECT polygon_id, cell, lvl, "full" FROM '
+        f"'{tmp_path}/out_an/region_cover/*.parquet'"
+    ).fetchall()
+    assert cover_rows and any(r[3] for r in cover_rows) and any(
+        not r[3] for r in cover_rows
+    )
+    pts_rows = duckdb.sql(
+        "SELECT image_id, lat_e7, lon_e7 "
+        f"FROM '{tmp_path}/out_an/enriched/*/*.parquet' WHERE ok"
+    ).fetchall()
+    plat = _np.array([r[1] for r in pts_rows], dtype=_np.int64)
+    plon = _np.array([r[2] for r in pts_rows], dtype=_np.int64)
+    _x, _y, _z = _s2.xyz_from_latlon_e7(plat, plon)
+    pface, pu, pv = _s2.face_uv_from_xyz(_x, _y, _z)
+    pi = _s2.ij_from_st(_s2.st_from_uv(pu))
+    pj = _s2.ij_from_st(_s2.st_from_uv(pv))
+    poly_rows = duckdb.sql(
+        f"SELECT polygon_id, ring FROM '{t1_dir}/polygons.parquet'"
+    ).fetchall()
+
+    def _pt_in(px, py, ri, rj):
+        n, inside = len(ri), False
+        for k in range(n):
+            x1, y1 = ri[k], rj[k]
+            x2, y2 = ri[(k + 1) % n], rj[(k + 1) % n]
+            cr = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+            if (cr == 0 and min(x1, x2) <= px <= max(x1, x2)
+                    and min(y1, y2) <= py <= max(y1, y2)):
+                return True
+            if (y1 > py) != (y2 > py) and (cr > 0) == (y2 > y1):
+                inside = not inside
+        return inside
+
+    exp_rp = set()
+    for pid, ring in poly_rows:
+        proj = _project_ring(
+            [{"lat_e7": v["lat_e7"], "lon_e7": v["lon_e7"]} for v in ring]
+        )
+        if proj is None:
+            continue
+        rface, ri, rj = proj
+        li, lj = [int(w) for w in ri], [int(w) for w in rj]
+        for idx, (name, _a, _b) in enumerate(pts_rows):
+            if int(pface[idx]) == rface and _pt_in(
+                int(pi[idx]), int(pj[idx]), li, lj
+            ):
+                exp_rp.add((name, pid))
+    got_rp = set(
+        duckdb.sql(
+            "SELECT image_id, polygon_id "
+            f"FROM '{tmp_path}/out_an/region_pairs/*.parquet'"
+        ).fetchall()
+    )
+    assert got_rp == exp_rp and len(got_rp) > 0
     # rendered tiles: valid PNGs through the repo decoder, points conserved
     from jimmy_spark.codecs import png as _png
 
