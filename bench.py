@@ -177,6 +177,27 @@ def _pipeline_bench(cores: int, lean: bool = False) -> dict:
         stages["dist_join"] = min(d_reps)
         stages["dist_join_reps"] = [round(r, 3) for r in d_reps]
 
+    # --- region selection through the S2 covering (operators/s2region.py):
+    # cover the 40 bench polygons once, then answer point-in-region for all
+    # 4M points via the broadcast cell join; ray-cast only on the boundary
+    # fringe. The geometry-free consumer path the coverer exists for. -------
+    n_region = 0
+    stages["region_select"] = 0.0
+    if not lean and cores >= 12:
+        from jimmy_spark.operators import s2region
+
+        pts = cells.with_georef(images.select("image_id", "phash"))
+        polys = spark.read.parquet(f"{d}/polygons.parquet")
+        g_reps = []
+        for _ in range(3):
+            t = time.monotonic()
+            n_region = s2region.region_select(
+                pts, polys, min_level=11, max_level=16
+            ).count()
+            g_reps.append(time.monotonic() - t)
+        stages["region_select"] = min(g_reps)
+        stages["region_select_reps"] = [round(r, 3) for r in g_reps]
+
     spark.stop()
     return {
         "cores": cores,
@@ -184,6 +205,7 @@ def _pipeline_bench(cores: int, lean: bool = False) -> dict:
         "rollup_groups": n_groups,
         "knn_rows": n_knn,
         "dist_pairs": n_dist,
+        "region_pairs": n_region,
         "stages": {
             k: (v if isinstance(v, list) else round(v, 3))
             for k, v in stages.items()
@@ -529,17 +551,18 @@ def _write_report(
         "combined rollup (cell/tile/PIP-pair counts, one groupBy shuffle) "
         "and kNN (interactive latency) are reported as separate columns.",
         "",
-        "| parallelism | fused map sec | rows/sec | rollup sec | knn sec (300 queries) | dist_join sec (d=100, 8.35M pairs) |",
-        "| --- | --- | --- | --- | --- | --- |",
+        "| parallelism | fused map sec | rows/sec | rollup sec | knn sec (300 queries) | dist_join sec (d=100, 8.35M pairs) | region_select sec (40 coverings, 4M pts) |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
     ]
     for r in (r_lo, r_hi):
         st = r["stages"]
         rollup = st["rollup"] or "-"
         knn_s = st["knn"] or "-"
         dist_s = st.get("dist_join") or "-"
+        region_s = st.get("region_select") or "-"
         lines.append(
             f"| local[{r['cores']}] | {r['total_sec']} | {r['rows_per_sec']} | "
-            f"{rollup} | {knn_s} | {dist_s} |"
+            f"{rollup} | {knn_s} | {dist_s} | {region_s} |"
         )
     lines += [
         "",
@@ -679,9 +702,13 @@ def main() -> None:
             r_hi["stages"]["knn"] = r_hi_primary["stages"]["knn"]
             r_hi["stages"]["rollup"] = r_hi_primary["stages"]["rollup"]
             r_hi["stages"]["dist_join"] = r_hi_primary["stages"]["dist_join"]
+            r_hi["stages"]["region_select"] = r_hi_primary["stages"][
+                "region_select"
+            ]
             r_hi["knn_rows"] = r_hi_primary["knn_rows"]
             r_hi["rollup_groups"] = r_hi_primary["rollup_groups"]
             r_hi["dist_pairs"] = r_hi_primary["dist_pairs"]
+            r_hi["region_pairs"] = r_hi_primary["region_pairs"]
 
     probe = _host_cpu_probe()
     generic = _generic_bench()
