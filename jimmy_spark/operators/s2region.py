@@ -325,8 +325,6 @@ def region_select(
     cand = pts.withColumn("cell", F.explode(ancs))
     cov = F.broadcast(cover) if broadcast_cover else cover
     hits = cand.join(cov, "cell")
-    sure = hits.filter(F.col("full")).select(id_col, "polygon_id")
-    maybe = hits.filter(~F.col("full")).select(id_col, "polygon_id", "_leaf")
 
     def ring_gen(batches):
         for pdf in batches:
@@ -335,12 +333,25 @@ def region_select(
     rings = polygons.select("polygon_id", "ring").mapInPandas(
         ring_gen, _RING_SCHEMA
     )
+    # ONE pass: rings join onto boundary rows only (full-cell rows keep
+    # null rings and never pay Arrow mass for them), then a single kernel
+    # passes FULL matches through and ray-casts the fringe — no branch
+    # split, so the point scan + encode UDF run exactly once.
+    withr = hits.join(
+        F.broadcast(rings.withColumnRenamed("polygon_id", "_rpid")),
+        (F.col("polygon_id") == F.col("_rpid")) & ~F.col("full"),
+        "left",
+    ).select(id_col, "polygon_id", "_leaf", "full", "ring_i", "ring_j")
 
     def verify_gen(batches):
         for pdf in batches:
             keep_id: list = []
             keep_pid: list = []
-            for pid, grp in pdf.groupby("polygon_id", sort=True):
+            sure = pdf[pdf["full"]]
+            keep_id.extend(sure[id_col].tolist())
+            keep_pid.extend(sure["polygon_id"].tolist())
+            fringe = pdf[~pdf["full"]]
+            for pid, grp in fringe.groupby("polygon_id", sort=True):
                 rx = np.array(grp["ring_i"].iloc[0], dtype=np.int64)
                 ry = np.array(grp["ring_j"].iloc[0], dtype=np.int64)
                 leafs = grp["_leaf"].to_numpy(np.int64)
@@ -355,10 +366,7 @@ def region_select(
                 }
             )
 
-    verified = maybe.join(F.broadcast(rings), "polygon_id").mapInPandas(
-        verify_gen, f"{id_col} string, polygon_id string"
-    )
-    return sure.unionByName(verified)
+    return withr.mapInPandas(verify_gen, f"{id_col} string, polygon_id string")
 
 
 # --- independent brute-force twin (tests only) -----------------------------
