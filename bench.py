@@ -198,6 +198,53 @@ def _pipeline_bench(cores: int, lean: bool = False) -> dict:
         stages["region_select"] = min(g_reps)
         stages["region_select_reps"] = [round(r, 3) for r in g_reps]
 
+    # --- scene near-dup pairs (operators/imagedup.py): decode -> aHash ->
+    # georef -> grid distance join with the hash CARRIED -> codegen'd
+    # Hamming gate. Timed END-TO-END including the per-rep decode (the
+    # honest composed cost of the geo x image fusion join). Same d as the
+    # dist_join stage, so the delta over it is decode + carry + gate. ----
+    n_scene = 0
+    stages["scene_dup"] = 0.0
+    if not lean and cores >= 12:
+        from jimmy_spark.operators import imagedup, multimodal
+
+        s_reps = []
+        for _ in range(3):
+            t = time.monotonic()
+            feats = (
+                multimodal.image_features(images)
+                .filter("ok")
+                .select("image_id", "ahash")
+            )
+            pts = cells.with_georef(images.select("image_id", "phash")).join(
+                feats, "image_id"
+            )
+            n_scene = imagedup.scene_dup_pairs(pts, d=100, threshold=6).count()
+            s_reps.append(time.monotonic() - t)
+        stages["scene_dup"] = min(s_reps)
+        stages["scene_dup_reps"] = [round(r, 3) for r in s_reps]
+
+    # --- per-zone convex-hull footprints (operators/hull.py): 4M points
+    # into 5-degree zones (the three 530k-point hot cities land one zone
+    # each — exactly the any-size-group regime the two-stage formulation
+    # exists for: no task ever holds a zone's full point set). -------------
+    n_zone = 0
+    stages["zone_hulls"] = 0.0
+    if not lean and cores >= 12:
+        from jimmy_spark.operators import hull
+
+        pts = cells.with_georef(images.select("image_id", "phash"))
+        zoned = pts.withColumn(
+            "zone_x", F.expr("lon_e7 div 50000000")
+        ).withColumn("zone_y", F.expr("lat_e7 div 50000000"))
+        h_reps = []
+        for _ in range(3):
+            t = time.monotonic()
+            n_zone = hull.group_hulls(zoned, ["zone_x", "zone_y"]).count()
+            h_reps.append(time.monotonic() - t)
+        stages["zone_hulls"] = min(h_reps)
+        stages["zone_hulls_reps"] = [round(r, 3) for r in h_reps]
+
     spark.stop()
     return {
         "cores": cores,
@@ -206,6 +253,8 @@ def _pipeline_bench(cores: int, lean: bool = False) -> dict:
         "knn_rows": n_knn,
         "dist_pairs": n_dist,
         "region_pairs": n_region,
+        "scene_pairs": n_scene,
+        "zone_hull_rows": n_zone,
         "stages": {
             k: (v if isinstance(v, list) else round(v, 3))
             for k, v in stages.items()
@@ -551,8 +600,8 @@ def _write_report(
         "combined rollup (cell/tile/PIP-pair counts, one groupBy shuffle) "
         "and kNN (interactive latency) are reported as separate columns.",
         "",
-        "| parallelism | fused map sec | rows/sec | rollup sec | knn sec (300 queries) | dist_join sec (d=100, 8.35M pairs) | region_select sec (40 coverings, 4M pts) |",
-        "| --- | --- | --- | --- | --- | --- | --- |",
+        "| parallelism | fused map sec | rows/sec | rollup sec | knn sec (300 queries) | dist_join sec (d=100, 8.35M pairs) | region_select sec (40 coverings, 4M pts) | scene_dup sec (decode+aHash+grid join, d=100) | zone_hulls sec (4M pts, 5-deg zones) |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
     for r in (r_lo, r_hi):
         st = r["stages"]
@@ -560,9 +609,11 @@ def _write_report(
         knn_s = st["knn"] or "-"
         dist_s = st.get("dist_join") or "-"
         region_s = st.get("region_select") or "-"
+        scene_s = st.get("scene_dup") or "-"
+        zone_s = st.get("zone_hulls") or "-"
         lines.append(
             f"| local[{r['cores']}] | {r['total_sec']} | {r['rows_per_sec']} | "
-            f"{rollup} | {knn_s} | {dist_s} | {region_s} |"
+            f"{rollup} | {knn_s} | {dist_s} | {region_s} | {scene_s} | {zone_s} |"
         )
     lines += [
         "",
@@ -705,10 +756,14 @@ def main() -> None:
             r_hi["stages"]["region_select"] = r_hi_primary["stages"][
                 "region_select"
             ]
+            r_hi["stages"]["scene_dup"] = r_hi_primary["stages"]["scene_dup"]
+            r_hi["stages"]["zone_hulls"] = r_hi_primary["stages"]["zone_hulls"]
             r_hi["knn_rows"] = r_hi_primary["knn_rows"]
             r_hi["rollup_groups"] = r_hi_primary["rollup_groups"]
             r_hi["dist_pairs"] = r_hi_primary["dist_pairs"]
             r_hi["region_pairs"] = r_hi_primary["region_pairs"]
+            r_hi["scene_pairs"] = r_hi_primary["scene_pairs"]
+            r_hi["zone_hull_rows"] = r_hi_primary["zone_hull_rows"]
 
     probe = _host_cpu_probe()
     generic = _generic_bench()

@@ -49,29 +49,50 @@ def make_caption(i: int, phash: int) -> str:
     )
 
 
+def _skew_phash(idx: np.ndarray, phash: np.ndarray, seed: int, skew_frac: float) -> np.ndarray:
+    """Deterministically remap ~skew_frac of rows into jittered hot centers
+    (invert the georef bit-split). Pure function of (global index, seed),
+    so any slice of indices — a shard, or one base row looked up by a dup
+    plant — remaps identically."""
+    h2 = splitmix64(idx ^ np.uint64(seed * 7919))
+    skewed = (h2 % np.uint64(1_000_000)) < np.uint64(int(skew_frac * 1_000_000))
+    which = (h2 >> np.uint64(8)) % np.uint64(len(HOT_CENTERS))
+    jit_lat = ((h2 >> np.uint64(16)) % np.uint64(40_000)).astype(np.int64) - 20_000
+    jit_lon = ((h2 >> np.uint64(32)) % np.uint64(40_000)).astype(np.int64) - 20_000
+    lat = np.choose(which.astype(np.int64), [c[0] for c in HOT_CENTERS]) + jit_lat
+    lon = np.choose(which.astype(np.int64), [c[1] for c in HOT_CENTERS]) + jit_lon
+    return np.where(skewed, invert_latlon_e7(lat, lon), phash)
+
+
 def generate_images(
     n: int,
     seed: int = 42,
     skew_frac: float = 0.0,
     corrupt_every: int = 0,
     start: int = 0,
+    dup_every: int = 0,
+    dup_colocate: bool = False,
 ) -> pa.Table:
     """Rows [start, start+n) of the (deterministic, global-index-keyed)
-    table — sharded generation produces identical rows to a single pass."""
+    table — sharded generation produces identical rows to a single pass.
+
+    ``dup_every`` plants near-duplicate CONTENT: rows with
+    ``gi % dup_every == 1`` (gi >= 1) carry the previous global index's
+    pixels with a small deterministic brightness bump on the top-left
+    quarter block (measured aHash Hamming distance 0-3 vs the base row —
+    under any near-dup threshold >= 3), at the base row's dimensions and
+    format. Identity columns (image_id, caption, phash → location) stay
+    the row's own, so a planted pair is a content-dup at an unrelated
+    location. ``dup_colocate=True`` additionally gives the plant the BASE
+    row's phash (→ identical georef location): a "same scene photographed
+    twice" pair — spatially coincident AND content-near — for the scene
+    near-dup lane. Base pixels/phash are re-derived from gi-1 alone,
+    keeping sharded generation row-identical."""
     idx = np.arange(start, start + n, dtype=np.uint64)
     phash = phash_for_index(idx, seed)
 
     if skew_frac > 0.0:
-        # Deterministically remap the first ceil(skew_frac*n) of a shuffled
-        # ordering into jittered hot centers (invert the georef bit-split).
-        h2 = splitmix64(idx ^ np.uint64(seed * 7919))
-        skewed = (h2 % np.uint64(1_000_000)) < np.uint64(int(skew_frac * 1_000_000))
-        which = (h2 >> np.uint64(8)) % np.uint64(len(HOT_CENTERS))
-        jit_lat = ((h2 >> np.uint64(16)) % np.uint64(40_000)).astype(np.int64) - 20_000
-        jit_lon = ((h2 >> np.uint64(32)) % np.uint64(40_000)).astype(np.int64) - 20_000
-        lat = np.choose(which.astype(np.int64), [c[0] for c in HOT_CENTERS]) + jit_lat
-        lon = np.choose(which.astype(np.int64), [c[1] for c in HOT_CENTERS]) + jit_lon
-        phash = np.where(skewed, invert_latlon_e7(lat, lon), phash)
+        phash = _skew_phash(idx, phash, seed, skew_frac)
 
     ws = np.array(WIDTHS, dtype=np.int32)[idx.astype(np.int64) % 3]
     hs = np.array(HEIGHTS, dtype=np.int32)[idx.astype(np.int64) % 3]
@@ -82,7 +103,28 @@ def generate_images(
     captions: list[str] = []
     for i in range(n):
         gi = start + i
-        arr = make_pixels(gi, int(ws[i]), int(hs[i]), int(phases[i]))
+        if dup_every and gi % dup_every == 1 and gi >= 1:
+            # near-dup plant: previous row's pixels (re-derived from gi-1,
+            # no cross-row state) + a small bump → tiny aHash Hamming gap
+            bi = gi - 1
+            bw = int(WIDTHS[bi % 3])
+            bh = int(HEIGHTS[bi % 3])
+            bphase = int(
+                splitmix64(np.array([bi], dtype=np.uint64) ^ np.uint64(seed))[0]
+            ) & (2**31 - 1)
+            base = make_pixels(bi, bw, bh, bphase).astype(np.int64)
+            base[: max(1, bh // 4), : max(1, bw // 4), :] += 24
+            arr = np.clip(base, 0, 255).astype(np.uint8)
+            ws[i], hs[i] = bw, bh
+            fmts[i] = FMTS[bi % 3]
+            if dup_colocate:
+                bidx = np.array([bi], dtype=np.uint64)
+                bph = phash_for_index(bidx, seed)
+                if skew_frac > 0.0:
+                    bph = _skew_phash(bidx, bph, seed, skew_frac)
+                phash[i] = bph[0]
+        else:
+            arr = make_pixels(gi, int(ws[i]), int(hs[i]), int(phases[i]))
         data = encode_image(arr, fmts[i])
         if corrupt_every and gi % corrupt_every == 3:
             data = data[: max(8, len(data) // 2)]  # truncated stream

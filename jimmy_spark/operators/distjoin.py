@@ -135,6 +135,7 @@ def distance_join_grid(
     id_col: str = "image_id",
     lat_col: str = "lat_e7",
     lon_col: str = "lon_e7",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Square-grid strategy behind the same `distance_join` semantics —
     the SCALE path when ``d`` is far below the finest hex cell size.
@@ -156,6 +157,11 @@ def distance_join_grid(
 
     ONE shuffled equality join on (gx, gy); the 9-way explode is a narrow
     codegen'd Generate. Hot cells ride AQE skew splitting.
+
+    ``carry_cols`` rides extra columns through the join (output
+    ``a_<col>`` / ``b_<col>``) so a consumer's verify (e.g. the Hamming
+    gate in operators/imagedup.scene_dup_pairs) runs inside the joined
+    stage instead of re-shuffling the pair stream through id-joins.
     """
     w = int(width if width is not None else d)
     if w < int(d):
@@ -163,26 +169,30 @@ def distance_join_grid(
     gx = F.expr(f"({lon_col} + {_GRID_OFF}) div {w}")
     gy = F.expr(f"({lat_col} + {_GRID_OFF}) div {w}")
 
+    a_carry = [F.col(c).alias(f"a_{c}") for c in carry_cols]
+    a_carry_names = [f"a_{c}" for c in carry_cols]
     left = points.select(
         F.col(id_col).alias("a_id"),
         F.col(lat_col).alias("a_lat"),
         F.col(lon_col).alias("a_lon"),
+        *a_carry,
         gx.alias("_gx"),
         gy.alias("_gy"),
         F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dx"),
     ).select(
-        "a_id", "a_lat", "a_lon",
+        "a_id", "a_lat", "a_lon", *a_carry_names,
         (F.col("_gx") + F.col("_dx")).alias("gx"),
         "_gy",
         F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dy"),
     ).select(
-        "a_id", "a_lat", "a_lon", "gx",
+        "a_id", "a_lat", "a_lon", *a_carry_names, "gx",
         (F.col("_gy") + F.col("_dy")).alias("gy"),
     )
     right = points.select(
         F.col(id_col).alias("b_id"),
         F.col(lat_col).alias("b_lat"),
         F.col(lon_col).alias("b_lon"),
+        *[F.col(c).alias(f"b_{c}") for c in carry_cols],
         gx.alias("gx"),
         gy.alias("gy"),
     )
@@ -193,7 +203,13 @@ def distance_join_grid(
         left.join(right, ["gx", "gy"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(dist2 <= F.lit(int(d) * int(d)))
-        .select("a_id", "b_id", dist2.alias("dist2"))
+        .select(
+            "a_id",
+            "b_id",
+            dist2.alias("dist2"),
+            *a_carry_names,
+            *[f"b_{c}" for c in carry_cols],
+        )
     )
 
 

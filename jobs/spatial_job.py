@@ -62,6 +62,31 @@ def main() -> int:
     )
     ap.add_argument("--dbscan-min-pts", type=int, default=4)
     ap.add_argument(
+        "--cluster-hulls",
+        action="store_true",
+        help="with --dbscan-eps, also write each cluster's exact convex-"
+        "hull footprint (two-stage map-side partial hulls, no task holds "
+        "a whole cluster — operators/hull.py) to <out>/cluster_hulls.",
+    )
+    ap.add_argument(
+        "--content-dups",
+        action="store_true",
+        help="also write decoded per-image features to <out>/features and "
+        "aHash CONTENT near-dup pairs (band-LSH Hamming join over the "
+        "computed hash — operators/imagedup.py) to <out>/content_dups.",
+    )
+    ap.add_argument(
+        "--scene-dup-d",
+        type=int,
+        default=0,
+        help="when > 0, also write scene near-dup pairs (within this "
+        "distance in e7 units AND within --dup-hamming bits on the "
+        "decoded aHash; spatial-first blocking with the hash carried "
+        "through the grid join) to <out>/scene_dups. Implies the feature "
+        "decode of --content-dups.",
+    )
+    ap.add_argument("--dup-hamming", type=int, default=6)
+    ap.add_argument(
         "--zonal-res",
         type=int,
         default=0,
@@ -228,6 +253,38 @@ def main() -> int:
             min_pts=args.dbscan_min_pts,
             num_id=_F.substring("image_id", 5, 12).cast("long"),
         ).write.mode("overwrite").parquet(f"{args.out}/clusters")
+
+        if args.cluster_hulls:
+            from jimmy_spark.operators import hull
+
+            labels = (
+                spark.read.parquet(f"{args.out}/clusters")
+                .filter(F.col("cluster_id").isNotNull())
+                .select("image_id", "cluster_id")
+            )
+            hull.group_hulls(
+                ok_pts.join(labels, "image_id"), ["cluster_id"]
+            ).write.mode("overwrite").parquet(f"{args.out}/cluster_hulls")
+
+    if args.content_dups or args.scene_dup_d > 0:
+        from jimmy_spark.operators import imagedup, multimodal
+
+        # decode ONCE, persist, feed every dup lane from the parquet
+        multimodal.image_features(images).write.mode("overwrite").parquet(
+            f"{args.out}/features"
+        )
+        feats_ok = spark.read.parquet(f"{args.out}/features").filter("ok")
+        if args.content_dups:
+            imagedup.ahash_near_dup(
+                images, threshold=args.dup_hamming, feats=feats_ok
+            ).write.mode("overwrite").parquet(f"{args.out}/content_dups")
+        if args.scene_dup_d > 0:
+            scene_pts = ok_pts.join(
+                feats_ok.select("image_id", "ahash"), "image_id"
+            )
+            imagedup.scene_dup_pairs(
+                scene_pts, d=args.scene_dup_d, threshold=args.dup_hamming
+            ).write.mode("overwrite").parquet(f"{args.out}/scene_dups")
 
     if args.zonal_res > 0:
         from jimmy_spark.operators import raster

@@ -458,3 +458,131 @@ def test_spark_submit_convert_job(tmp_path):
         }
 
     assert digest("o1") == digest("o2")
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_dup_and_hull_stages(t1_dir, tmp_path):
+    """The round-5 fusion stages through the real deployment path: decoded
+    content near-dups, scene near-dups (geo x image), and per-DBSCAN-cluster
+    footprint hulls, each checked against an independent twin over the
+    job's own outputs. The fixture plants CO-LOCATED content dups
+    (dup_colocate: base row's phash -> identical georef location), so the
+    scene lane has guaranteed positives."""
+    sys.path.insert(0, str(REPO))
+    from scripts.make_pyfiles_zip import build
+    from jimmy_spark.datagen.images import write_images
+
+    zip_path = build(tmp_path / "jimmy_spark.zip")
+    imgs = tmp_path / "images.parquet"
+    # skew_frac: hot-city density so DBSCAN actually forms clusters for
+    # the --cluster-hulls stage; dup_colocate composes with it (a plant
+    # copies its base row's post-skew phash)
+    write_images(str(imgs), 240, 11, skew_frac=0.3, dup_every=4, dup_colocate=True)
+
+    out = tmp_path / "out"
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zip_path),
+        str(REPO / "jobs" / "spatial_job.py"),
+        "--images", str(imgs),
+        "--polygons", f"{t1_dir}/polygons.parquet",
+        "--out", str(out),
+        "--checkpoint", str(tmp_path / "cp"),
+        "--run-id", "submit-dups",
+        "--buckets", "4",
+        "--dbscan-eps", "200000", "--dbscan-min-pts", "4",
+        "--cluster-hulls",
+        "--content-dups",
+        "--scene-dup-d", "50000", "--dup-hamming", "6",
+    ]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-3000:]
+
+    from jimmy_spark.operators import imagedup
+    from jimmy_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
+    # features: one ok row per image (fixture has no corrupt rows)
+    n_ok = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/features/*.parquet' WHERE ok"
+    ).fetchone()[0]
+    assert n_ok == 240
+
+    # content lane vs the SQL twin over the job's own features output
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW feats AS SELECT image_id, ahash "
+        f"FROM '{out}/features/*.parquet' WHERE ok"
+    )
+    want_c = con.execute(
+        imagedup.duckdb_ahash_sql(6, bands=8, max_bucket=DEFAULT_MAX_BUCKET)
+    ).fetchall()
+    got_c = duckdb.sql(
+        f"SELECT a, b, hamming FROM '{out}/content_dups/*.parquet' "
+        "ORDER BY a, b"
+    ).fetchall()
+    assert got_c == want_c and len(got_c) > 0
+    planted = {
+        (f"img_{g - 1:012d}", f"img_{g:012d}") for g in range(1, 240, 4)
+    }
+    assert planted <= {(a, b) for a, b, _ in got_c}
+
+    # scene lane vs the brute-force both-gates twin (enriched x features)
+    pts_sql = (
+        "SELECT e.image_id, e.lat_e7, e.lon_e7, f.ahash "
+        f"FROM '{out}/enriched/*/*.parquet' e "
+        f"JOIN '{out}/features/*.parquet' f USING (image_id) "
+        "WHERE e.ok AND f.ok"
+    )
+    want_s = con.execute(
+        imagedup.duckdb_scene_sql(pts_sql, d=50_000, threshold=6)
+        + " ORDER BY a_id, b_id"
+    ).fetchall()
+    got_s = duckdb.sql(
+        f"SELECT a_id, b_id, dist2, hamming FROM '{out}/scene_dups/*.parquet' "
+        "ORDER BY a_id, b_id"
+    ).fetchall()
+    assert got_s == want_s
+    # co-located plants: dist2 = 0, hamming <= 3, always emitted (no cap)
+    got_s_pairs = {(a, b) for a, b, _, _ in got_s}
+    assert planted <= got_s_pairs
+    assert all(
+        d2 == 0 and h <= 3 for a, b, d2, h in got_s if (a, b) in planted
+    )
+    con.close()
+
+    # cluster hulls vs a sequential twin over the job's own cluster labels:
+    # the kernel (monotone_chain/ring_stats) is differential-tested against
+    # gift wrapping in test_hull.py; here the DISTRIBUTED two-stage plumbing
+    # must reproduce the sequential per-cluster result exactly. n_points is
+    # the partial-hull row count (partitioning-dependent by contract) and is
+    # excluded.
+    from jimmy_spark.operators.hull import monotone_chain, ring_stats
+
+    label_rows = duckdb.sql(
+        "SELECT c.cluster_id, e.lon_e7, e.lat_e7 "
+        f"FROM '{out}/clusters/*.parquet' c "
+        f"JOIN '{out}/enriched/*/*.parquet' e USING (image_id) "
+        "WHERE c.cluster_id IS NOT NULL AND e.ok"
+    ).fetchall()
+    by_cluster: dict[int, list[tuple[int, int]]] = {}
+    for cid, lon, lat in label_rows:
+        by_cluster.setdefault(cid, []).append((lon, lat))
+    assert by_cluster
+    want_h = {}
+    for cid, pts in by_cluster.items():
+        ring = monotone_chain(pts)
+        a2, per = ring_stats(ring)
+        want_h[cid] = (
+            len(ring), a2, per,
+            tuple(p[0] for p in ring), tuple(p[1] for p in ring),
+        )
+    got_h = {
+        r[0]: (r[1], int(r[2]), r[3], tuple(r[4]), tuple(r[5]))
+        for r in duckdb.sql(
+            "SELECT cluster_id, hull_n, area2, perim_len, hull_lon, hull_lat "
+            f"FROM '{out}/cluster_hulls/*.parquet'"
+        ).fetchall()
+    }
+    assert got_h == want_h
