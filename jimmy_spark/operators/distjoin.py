@@ -221,6 +221,7 @@ def distance_join_grid_incremental(
     id_col: str = "image_id",
     lat_col: str = "lat_e7",
     lon_col: str = "lon_e7",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pairs within distance ``d`` touching at least one NEW point —
     exactly the delta ``pairs(old ∪ new) - pairs(old)`` — each pair once,
@@ -236,6 +237,11 @@ def distance_join_grid_incremental(
     the a < b total order (it would otherwise match from both sides); a
     new-old pair matches exactly once (old points never appear on the
     left), so it is always accepted.
+
+    ``carry_cols`` rides extra columns through the join like the batch
+    kernel's (output ``a_<col>`` / ``b_<col>``). A new-old pair can
+    surface with the NEW point on either side of the final (least,
+    greatest) id order, so carried values are swap-aligned to their ids.
     """
     w = int(width if width is not None else d)
     if w < int(d):
@@ -248,40 +254,57 @@ def distance_join_grid_incremental(
             F.col(id_col).alias("b_id"),
             F.col(lat_col).alias("b_lat"),
             F.col(lon_col).alias("b_lon"),
+            *[F.col(c).alias(f"b_{c}") for c in carry_cols],
             gx.alias("gx"),
             gy.alias("gy"),
             F.lit(is_new).alias("_new"),
         )
 
+    a_carry = [F.col(c).alias(f"a_{c}") for c in carry_cols]
+    a_carry_names = [f"a_{c}" for c in carry_cols]
     left = new.select(
         F.col(id_col).alias("a_id"),
         F.col(lat_col).alias("a_lat"),
         F.col(lon_col).alias("a_lon"),
+        *a_carry,
         gx.alias("_gx"),
         gy.alias("_gy"),
         F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dx"),
     ).select(
-        "a_id", "a_lat", "a_lon",
+        "a_id", "a_lat", "a_lon", *a_carry_names,
         (F.col("_gx") + F.col("_dx")).alias("gx"),
         "_gy",
         F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dy"),
     ).select(
-        "a_id", "a_lat", "a_lon", "gx",
+        "a_id", "a_lat", "a_lon", *a_carry_names, "gx",
         (F.col("_gy") + F.col("_dy")).alias("gy"),
     )
     right = _base(new, True).unionByName(_base(old, False))
     dx = (F.col("a_lon") - F.col("b_lon")).cast("long")
     dy = (F.col("a_lat") - F.col("b_lat")).cast("long")
     dist2 = dx * dx + dy * dy
+    in_order = F.col("a_id") < F.col("b_id")
     return (
         left.join(right, ["gx", "gy"])
-        .filter(~F.col("_new") | (F.col("a_id") < F.col("b_id")))
+        .filter(~F.col("_new") | in_order)
         .filter(F.col("a_id") != F.col("b_id"))
         .filter(dist2 <= F.lit(int(d) * int(d)))
         .select(
             F.least("a_id", "b_id").alias("a_id"),
             F.greatest("a_id", "b_id").alias("b_id"),
             dist2.alias("dist2"),
+            *[
+                F.when(in_order, F.col(f"a_{c}"))
+                .otherwise(F.col(f"b_{c}"))
+                .alias(f"a_{c}")
+                for c in carry_cols
+            ],
+            *[
+                F.when(in_order, F.col(f"b_{c}"))
+                .otherwise(F.col(f"a_{c}"))
+                .alias(f"b_{c}")
+                for c in carry_cols
+            ],
         )
     )
 

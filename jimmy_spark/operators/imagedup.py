@@ -42,7 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from jimmy_spark.operators.dedup import DEFAULT_MAX_BUCKET, hamming_pairs
-from jimmy_spark.operators.distjoin import distance_join_grid
+from jimmy_spark.operators.distjoin import (
+    distance_join_grid,
+    distance_join_grid_incremental,
+)
 from jimmy_spark.operators.multimodal import image_features
 
 HASH_BITS = 64
@@ -97,6 +100,44 @@ def scene_dup_pairs(
     """
     pairs = distance_join_grid(
         points,
+        d=d,
+        width=width,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        carry_cols=(hash_col,),
+    )
+    hamming = F.bit_count(
+        F.col(f"a_{hash_col}").bitwiseXOR(F.col(f"b_{hash_col}"))
+    )
+    return pairs.filter(hamming <= F.lit(int(threshold))).select(
+        "a_id", "b_id", "dist2", hamming.alias("hamming")
+    )
+
+
+def scene_dup_pairs_incremental(
+    new: DataFrame,
+    old: DataFrame,
+    d: int,
+    threshold: int = 6,
+    width: int | None = None,
+    id_col: str = "image_id",
+    hash_col: str = "ahash",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Scene near-dup pairs touching at least one NEW image — exactly the
+    delta ``scene_pairs(old ∪ new) - scene_pairs(old)``, each pair once.
+    The micro-batch kernel behind ``streaming/spatial.run_scene_dup_stream``:
+    per batch, only new x (new ∪ old) candidates are generated (the
+    incremental grid join, hashes swap-aligned through the carry), and the
+    Hamming gate is the same codegen'd filter as the batch
+    ``scene_dup_pairs`` — a subset gate applied per-pair, so the delta
+    identity of the underlying join carries over verbatim.
+    """
+    pairs = distance_join_grid_incremental(
+        new,
+        old,
         d=d,
         width=width,
         id_col=id_col,

@@ -149,6 +149,65 @@ def run_proximity_stream(
     q.awaitTermination()
 
 
+SCENE_SCHEMA = "image_id string, lat_e7 long, lon_e7 long, ahash long"
+
+
+def run_scene_dup_stream(
+    spark: SparkSession,
+    points_dir: str,
+    d: int,
+    threshold: int,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous scene near-dup maintenance (the geo x image fusion lane,
+    streaming): as georeferenced+hashed image files arrive, emit exactly
+    the NEW pairs within distance ``d`` AND within ``threshold`` Hamming
+    bits on the content hash, via
+    ``imagedup.scene_dup_pairs_incremental`` — after any number of
+    batches the union of emitted pairs equals the batch
+    ``scene_dup_pairs`` over all images, each pair exactly once.
+
+    State/idempotence discipline is ``run_proximity_stream``'s verbatim
+    (batch-id-keyed overwrite, replays read only older state); like that
+    stream — and unlike the tau-bounded contact stream — every old image
+    stays relevant forever (a new shot can near-dup any historical one),
+    so state is the full point+hash set, 28 bytes/row.
+    """
+    import os
+
+    from jimmy_spark.operators.imagedup import scene_dup_pairs_incremental
+
+    def _process(batch_df, batch_id: int) -> None:
+        pts = batch_df.select("image_id", "lat_e7", "lon_e7", "ahash")
+        older = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(state_dir)
+            if e.startswith("b=") and int(e.split("=", 1)[1]) < batch_id
+        ) if os.path.isdir(state_dir) else []
+        if older:
+            old = spark.read.parquet(*[f"{state_dir}/b={i}" for i in older])
+        else:
+            old = spark.createDataFrame([], SCENE_SCHEMA)
+        pairs = scene_dup_pairs_incremental(pts, old, d=d, threshold=threshold)
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/b={batch_id}")
+        pts.write.mode("overwrite").parquet(f"{state_dir}/b={batch_id}")
+
+    reader = spark.readStream.schema(SCENE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(points_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 PINGS_SCHEMA = "entity_id long, seq long, ts timestamp, lat_e7 long, lon_e7 long"
 
 

@@ -273,3 +273,52 @@ class TestSceneDupPairs:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSceneDupIncremental:
+    """scene_dup_pairs_incremental(new, old) == scene(all) - scene(old),
+    exactly — the hamming gate is per-pair, so the grid join's delta
+    identity carries over; carried hashes must stay aligned to their ids
+    through the (least, greatest) normalization (new-old pairs surface
+    with the new point on either side)."""
+
+    # the fixture scatters points globally (no skew), so pair mass needs a
+    # wide radius; deltas stay within the grid kernel's 3x3 neighborhood
+    # bound, so dist2 stays in int64. T=40 keeps the gate live (real aHash
+    # pairs span it) while leaving enough surviving pairs to assert on.
+    D = 400_000_000
+    T = 40
+
+    @staticmethod
+    def _with_geo(spark, dup_images_dir, feats):
+        from jimmy_spark.operators import cells
+
+        imgs = spark.read.parquet(dup_images_dir)
+        pts = cells.with_georef(imgs.select("image_id", "phash")).select(
+            "image_id", "lat_e7", "lon_e7"
+        )
+        return pts.join(feats, "image_id")
+
+    def test_exact_delta_and_carry_alignment(self, spark, dup_images_dir, feats):
+        pts = self._with_geo(spark, dup_images_dir, feats)
+        # interleaved split (even/odd last digit): cross-wave pairs then
+        # surface with the new point on BOTH sides of the a<b order
+        old = pts.filter("cast(substring(image_id, -1, 1) as int) % 2 = 0")
+        new = pts.subtract(old)
+
+        def key(df):
+            return {(r.a_id, r.b_id, r.dist2, r.hamming) for r in df.collect()}
+
+        inc = key(
+            imagedup.scene_dup_pairs_incremental(new, old, d=self.D, threshold=self.T)
+        )
+        all_p = key(imagedup.scene_dup_pairs(pts, d=self.D, threshold=self.T))
+        old_p = key(imagedup.scene_dup_pairs(old, d=self.D, threshold=self.T))
+        assert inc == all_p - old_p
+        assert inc and old_p  # both waves carry real pair mass
+        # cross-wave pairs present in both id orders (old<new and new<old),
+        # so the swap-aligned carry is actually exercised
+        old_ids = {r.image_id for r in old.select("image_id").collect()}
+        cross = {(a, b) for a, b, *_ in inc if (a in old_ids) != (b in old_ids)}
+        assert any(a in old_ids for a, b in cross)
+        assert any(b in old_ids for a, b in cross)

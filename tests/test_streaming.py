@@ -225,3 +225,174 @@ class TestProximityStream:
         # and exactly once: row count equals set size
         n_rows = spark.read.parquet(f"{out}/b=*").count()
         assert n_rows == len(exp)
+
+
+class TestSceneDupStream:
+    """Incremental scene near-dup maintenance (streaming/spatial.py
+    run_scene_dup_stream): the proximity stream's delta/idempotence
+    discipline with the content-hash gate fused in. Hashes here are a
+    deterministic low-entropy stand-in (index % 8) — the stream test is
+    about the delta identity and exactly-once plumbing; real decoded-hash
+    semantics are covered end-to-end in tests/test_imagedup.py."""
+
+    D = 20_000
+    T = 2
+
+    @staticmethod
+    def _pts(spark, t2_dir):
+        import numpy as np
+
+        from jimmy_spark.operators import cells
+
+        imgs = spark.read.parquet(f"{t2_dir}/images.parquet")
+        pdf = (
+            cells.with_georef(imgs.select("image_id", "phash"))
+            .select("image_id", "lat_e7", "lon_e7")
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        pdf["ahash"] = np.arange(len(pdf), dtype=np.int64) % 8
+        return pdf
+
+    @staticmethod
+    def _pairs(spark, out):
+        return {
+            (r.a_id, r.b_id, r.dist2, r.hamming)
+            for r in spark.read.parquet(f"{out}/b=*").collect()
+        }
+
+    def test_stream_two_waves_equals_batch(self, spark, t2_dir, tmp_path):
+        from jimmy_spark.operators import distjoin, imagedup
+        from jimmy_spark.streaming import spatial
+
+        pdf = self._pts(spark, t2_dir)
+        src = tmp_path / "pts"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("pairs", "state", "cp"))
+
+        pdf.iloc[:1200].to_parquet(src / "w0.parquet")
+        spatial.run_scene_dup_stream(spark, str(src), self.D, self.T, out, st, cp)
+        first = self._pairs(spark, out)
+
+        # drain again with nothing new: no-op (exactly-once across runs)
+        spatial.run_scene_dup_stream(spark, str(src), self.D, self.T, out, st, cp)
+        assert self._pairs(spark, out) == first
+
+        pdf.iloc[1200:].to_parquet(src / "w1.parquet")
+        spatial.run_scene_dup_stream(spark, str(src), self.D, self.T, out, st, cp)
+
+        got = self._pairs(spark, out)
+        full = spark.createDataFrame(pdf)
+        exp = {
+            (r.a_id, r.b_id, r.dist2, r.hamming)
+            for r in imagedup.scene_dup_pairs(full, d=self.D, threshold=self.T).collect()
+        }
+        assert got == exp and len(exp) > 0
+        # exactly once: row count equals set size
+        assert spark.read.parquet(f"{out}/b=*").count() == len(exp)
+        # the hamming gate is live: strictly fewer pairs than distance alone
+        n_dist = distjoin.distance_join_grid(full, d=self.D).count()
+        assert len(exp) < n_dist
+
+
+class TestHullStream:
+    """Continuous per-group footprint maintenance (streaming/hulls.py):
+    the hull-merge identity as a monoid fold — state is the footprint
+    table itself (vertices only), and after any number of micro-batches
+    the latest table equals the batch group_hulls over all points."""
+
+    SRC_SCHEMA = (
+        "image_id string, lat_e7 long, lon_e7 long, zone_x long, zone_y long"
+    )
+
+    @staticmethod
+    def _pts(spark, t2_dir):
+        from jimmy_spark.operators import cells
+
+        imgs = spark.read.parquet(f"{t2_dir}/images.parquet")
+        pdf = (
+            cells.with_georef(imgs.select("image_id", "phash"))
+            .select("image_id", "lat_e7", "lon_e7")
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        pdf["zone_x"] = pdf["lon_e7"] // 600_000_000
+        pdf["zone_y"] = pdf["lat_e7"] // 600_000_000
+        return pdf
+
+    @staticmethod
+    def _footprints(spark, out):
+        from jimmy_spark.streaming import hulls
+
+        df = hulls.latest_footprints(spark, out)
+        assert df is not None
+        return {
+            (r.zone_x, r.zone_y): (
+                r.hull_n, int(r.area2), r.perim_len,
+                tuple(r.hull_lon), tuple(r.hull_lat),
+            )
+            for r in df.collect()
+        }
+
+    def test_multi_batch_fold_equals_batch(self, spark, t2_dir, tmp_path):
+        from jimmy_spark.operators import hull
+        from jimmy_spark.streaming import hulls
+
+        pdf = self._pts(spark, t2_dir)
+        src = tmp_path / "pts"
+        src.mkdir()
+        out, cp = str(tmp_path / "foot"), str(tmp_path / "cp")
+
+        # three files, one micro-batch each: the fold runs twice within
+        # one drain (vertex state read back across batches)
+        for i, sl in enumerate((slice(0, 700), slice(700, 1400), slice(1400, None))):
+            pdf.iloc[sl].to_parquet(src / f"w{i}.parquet")
+        hulls.run_hull_stream(
+            spark, str(src), ["zone_x", "zone_y"], self.SRC_SCHEMA, out, cp,
+            max_files_per_trigger=1,
+        )
+        got = self._footprints(spark, out)
+
+        full = spark.createDataFrame(pdf)
+        exp = {
+            (r.zone_x, r.zone_y): (
+                r.hull_n, int(r.area2), r.perim_len,
+                tuple(r.hull_lon), tuple(r.hull_lat),
+            )
+            for r in hull.group_hulls(full, ["zone_x", "zone_y"]).collect()
+        }
+        assert got == exp and len(exp) > 1
+
+        # nothing new: no-op (no new batch dirs)
+        n_dirs = len(hulls._state_ids(out))
+        hulls.run_hull_stream(
+            spark, str(src), ["zone_x", "zone_y"], self.SRC_SCHEMA, out, cp,
+            max_files_per_trigger=1,
+        )
+        assert len(hulls._state_ids(out)) == n_dirs
+        assert self._footprints(spark, out) == exp
+
+        # late arrivals fold in: a new file shifts exactly the zones it
+        # touches and the result still equals the from-scratch batch hull
+        extra = pdf.iloc[:200].copy()
+        extra["image_id"] = "late_" + extra["image_id"]
+        extra["lat_e7"] = extra["lat_e7"] + 90_000_000
+        extra["zone_y"] = extra["lat_e7"] // 600_000_000
+        extra.to_parquet(src / "w3.parquet")
+        hulls.run_hull_stream(
+            spark, str(src), ["zone_x", "zone_y"], self.SRC_SCHEMA, out, cp,
+            max_files_per_trigger=1,
+        )
+        import pandas as pd
+
+        full2 = spark.createDataFrame(pd.concat([pdf, extra], ignore_index=True))
+        exp2 = {
+            (r.zone_x, r.zone_y): (
+                r.hull_n, int(r.area2), r.perim_len,
+                tuple(r.hull_lon), tuple(r.hull_lat),
+            )
+            for r in hull.group_hulls(full2, ["zone_x", "zone_y"]).collect()
+        }
+        assert self._footprints(spark, out) == exp2
