@@ -32,14 +32,21 @@ adds the two lanes the curation pipeline needs on top of it:
   any threshold 0..64 works, because recall comes from the spatial cover,
   not the band split.
 
-``duckdb_ahash_sql`` is the standalone SQL twin for the banded content
-lane (brute-force pair scan + the identical deterministic uncapped-band
-emission rule), used by the pytest differentials.
+- ``scene_dedup_keep_best`` — the curation POLICY on top of the scene
+  pairs: large-star/small-star components turn the pair stream into
+  scene groups, and a map-side-combinable struct-max picks the one shot
+  to keep per group by (sharpness desc, clipped-fraction asc, id asc) —
+  near-dup image dedup that retains the best exemplar, not an arbitrary
+  one.
+
+``duckdb_ahash_sql`` / ``duckdb_scene_sql`` / ``duckdb_keep_best_sql``
+are the standalone SQL twins (brute-force second-engine formulations of
+the same semantics), used by the pytest differentials.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from jimmy_spark.operators.dedup import DEFAULT_MAX_BUCKET, hamming_pairs
 from jimmy_spark.operators.distjoin import (
@@ -151,6 +158,124 @@ def scene_dup_pairs_incremental(
     return pairs.filter(hamming <= F.lit(int(threshold))).select(
         "a_id", "b_id", "dist2", hamming.alias("hamming")
     )
+
+
+def scene_dedup_keep_best(
+    points: DataFrame,
+    d: int,
+    threshold: int = 6,
+    width: int | None = None,
+    id_col: str = "image_id",
+    hash_col: str = "ahash",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+    sharp_col: str = "sharp_e3",
+    clip_col: str = "clip_e3",
+    num_id: Column | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(id_col, cluster_id, keep): the keep-best curation policy over
+    scene near-dup GROUPS — every input row labeled with its scene
+    cluster (min numeric id reachable through the ``scene_dup_pairs``
+    graph; singletons label themselves), and ``keep`` true for exactly
+    one row per cluster: the best shot by (highest ``sharp_col``, then
+    lowest ``clip_col``, then lowest numeric id). Dropping ``NOT keep``
+    rows is near-dup image dedup that retains the sharpest, least
+    blown-out exemplar of each scene instead of an arbitrary one —
+    jimmy's Resource.md5 keep-first dedup (intermediate_format.py:120-128)
+    upgraded with a quality objective.
+
+    Scale shape: the pair graph comes from the output-proportional grid
+    join (hash carried, codegen'd Hamming gate), grouping from the
+    O(log^2 n)-round large-star/small-star CC, and best-shot selection is
+    a map-side-combinable struct-max aggregation — the quality key is one
+    lexicographic struct, so no per-cluster window sort and no task ever
+    holds a cluster's full row set. ``num_id`` maps string ids to a
+    unique long exactly as in geocluster.dbscan.
+    """
+    from jimmy_spark.operators.dedup import connected_components
+
+    nid = (num_id if num_id is not None else F.col(id_col).cast("long")).alias(
+        "_nid"
+    )
+    base = points.select(
+        F.col(id_col), nid, F.col(lat_col), F.col(lon_col),
+        F.col(hash_col), F.col(sharp_col), F.col(clip_col),
+    )
+    pairs = scene_dup_pairs(
+        base, d=d, threshold=threshold, width=width,
+        id_col="_nid", hash_col=hash_col, lat_col=lat_col, lon_col=lon_col,
+    )
+    cc = connected_components(
+        base.select("_nid"), pairs,
+        id_col="_nid", a_col="a_id", b_col="b_id", max_iter=max_iter,
+    )
+    labeled = base.join(cc, "_nid")
+    # lexicographic struct max == (sharp DESC, clip ASC, nid ASC) argmax;
+    # _nid is unique, so the max struct identifies exactly one row
+    qkey = F.struct(
+        F.col(sharp_col).alias("s"),
+        (-F.col(clip_col)).alias("c"),
+        (-F.col("_nid")).alias("n"),
+    )
+    best = labeled.groupBy("cluster_id").agg(F.max(qkey).alias("_best"))
+    return labeled.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        (qkey == F.col("_best")).alias("keep"),
+    )
+
+
+def duckdb_keep_best_sql(
+    points_sql: str,
+    d: int,
+    threshold: int,
+    id_col: str = "image_id",
+    hash_col: str = "ahash",
+    num_id_sql: str | None = None,
+) -> str:
+    """Independent DuckDB twin for ``scene_dedup_keep_best``: brute-force
+    scene pairs (both gates, HUGEINT squares), recursive-CTE min-label
+    components over all points (dedup.duckdb_components_sql's shape), and
+    a row_number argmax with the identical (sharp DESC, clip ASC, nid ASC)
+    order — a disjoint formulation of the struct-max. Quadratic; an
+    oracle for test scale, not an execution path."""
+    nid = num_id_sql or f"{id_col}::BIGINT"
+    d2 = (
+        "(a.lon_e7 - b.lon_e7)::HUGEINT * (a.lon_e7 - b.lon_e7) + "
+        "(a.lat_e7 - b.lat_e7)::HUGEINT * (a.lat_e7 - b.lat_e7)"
+    )
+    ham = f"bit_count(xor(a.{hash_col}, b.{hash_col}))"
+    return f"""
+WITH RECURSIVE
+kbp AS (
+  SELECT {nid} AS nid, {id_col} AS pid, lat_e7, lon_e7,
+         {hash_col}, sharp_e3, clip_e3
+  FROM ({points_sql})
+),
+pairs AS (
+  SELECT a.nid AS x, b.nid AS y FROM kbp a JOIN kbp b
+  ON a.nid < b.nid
+  AND {d2} <= {int(d)}::HUGEINT * {int(d)}
+  AND {ham} <= {int(threshold)}
+),
+edges AS (SELECT x AS src, y AS dst FROM pairs UNION SELECT y, x FROM pairs),
+reach(n, r) AS (
+  SELECT nid, nid FROM kbp
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.n
+),
+comp AS (SELECT n AS nid, min(r) AS cluster_id FROM reach GROUP BY n),
+ranked AS (
+  SELECT p.pid, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY p.sharp_e3 DESC, p.clip_e3 ASC, p.nid ASC
+         ) AS rk
+  FROM kbp p JOIN comp c ON c.nid = p.nid
+)
+SELECT pid AS {id_col}, cluster_id, (rk = 1) AS keep FROM ranked
+"""
 
 
 def duckdb_scene_sql(

@@ -87,6 +87,15 @@ def main() -> int:
     )
     ap.add_argument("--dup-hamming", type=int, default=6)
     ap.add_argument(
+        "--keep-best",
+        action="store_true",
+        help="with --scene-dup-d: also write the keep-best curation "
+        "labels (image_id, cluster_id, keep) to <out>/keep_best — scene "
+        "near-dup groups via large-star/small-star components, one kept "
+        "shot per group by (sharpness desc, clipped-fraction asc, id "
+        "asc) from the decoded quality features.",
+    )
+    ap.add_argument(
         "--zonal-res",
         type=int,
         default=0,
@@ -285,6 +294,19 @@ def main() -> int:
             imagedup.scene_dup_pairs(
                 scene_pts, d=args.scene_dup_d, threshold=args.dup_hamming
             ).write.mode("overwrite").parquet(f"{args.out}/scene_dups")
+            if args.keep_best:
+                qpts = ok_pts.join(
+                    feats_ok.select(
+                        "image_id", "ahash", "sharp_e3", "clip_e3"
+                    ),
+                    "image_id",
+                )
+                imagedup.scene_dedup_keep_best(
+                    qpts,
+                    d=args.scene_dup_d,
+                    threshold=args.dup_hamming,
+                    num_id=F.substring("image_id", 5, 12).cast("long"),
+                ).write.mode("overwrite").parquet(f"{args.out}/keep_best")
 
     if args.zonal_res > 0:
         from jimmy_spark.operators import raster

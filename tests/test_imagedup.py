@@ -322,3 +322,93 @@ class TestSceneDupIncremental:
         cross = {(a, b) for a, b, *_ in inc if (a in old_ids) != (b in old_ids)}
         assert any(a in old_ids for a, b in cross)
         assert any(b in old_ids for a, b in cross)
+
+
+class TestSceneKeepBest:
+    """scene_dedup_keep_best vs the independent DuckDB twin (brute-force
+    pairs + recursive-CTE components + row_number argmax — disjoint
+    formulations of the grid join, star-contraction CC, and struct-max),
+    plus the policy invariants the downstream curation filter relies on."""
+
+    D = 400_000_000
+    T = 40
+    NUM_ID_SPARK = "CAST(substring(image_id, 5, 12) AS BIGINT)"
+
+    @pytest.fixture(scope="class")
+    def qpts(self, spark, dup_images_dir):
+        from jimmy_spark.operators import cells
+
+        imgs = spark.read.parquet(dup_images_dir)
+        feats = (
+            multimodal.image_features(imgs)
+            .filter("ok")
+            .select("image_id", "ahash", "sharp_e3", "clip_e3")
+        )
+        pts = (
+            cells.with_georef(imgs.select("image_id", "phash"))
+            .select("image_id", "lat_e7", "lon_e7")
+            .join(feats, "image_id")
+            .cache()
+        )
+        assert pts.count() == N_IMG
+        return pts
+
+    def test_matches_duckdb_twin(self, spark, qpts):
+        from pyspark.sql import functions as F
+
+        got = {
+            (r.image_id, r.cluster_id, r.keep)
+            for r in imagedup.scene_dedup_keep_best(
+                qpts, d=self.D, threshold=self.T,
+                num_id=F.expr(self.NUM_ID_SPARK),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("pts", qpts.toPandas())
+        exp = {
+            (r[0], int(r[1]), bool(r[2]))
+            for r in con.sql(
+                imagedup.duckdb_keep_best_sql(
+                    "SELECT * FROM pts", d=self.D, threshold=self.T,
+                    num_id_sql=self.NUM_ID_SPARK,
+                )
+            ).fetchall()
+        }
+        assert got == exp
+        # the policy is live on this fixture: real multi-member clusters
+        # exist, and within them the quality argmax actually discards rows
+        n_clusters = len({c for _, c, _ in got})
+        assert n_clusters < N_IMG
+        assert sum(1 for _, _, k in got if not k) == N_IMG - n_clusters
+
+    def test_policy_invariants(self, spark, qpts):
+        from pyspark.sql import functions as F
+
+        out = imagedup.scene_dedup_keep_best(
+            qpts, d=self.D, threshold=self.T,
+            num_id=F.expr(self.NUM_ID_SPARK),
+        )
+        rows = out.collect()
+        # total: every input row labeled exactly once
+        assert len(rows) == N_IMG
+        assert len({r.image_id for r in rows}) == N_IMG
+        # exactly one keep per cluster
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r.keep)
+        assert all(sum(ks) == 1 for ks in by_cluster.values())
+        # kept rows are quality-maximal in their cluster: re-derive the
+        # key order in pandas and compare the winner ids
+        pdf = qpts.toPandas()
+        pdf["_nid"] = pdf["image_id"].str.slice(4, 16).astype("int64")
+        labels = {r.image_id: r.cluster_id for r in rows}
+        pdf["cluster_id"] = pdf["image_id"].map(labels)
+        best = (
+            pdf.sort_values(
+                ["cluster_id", "sharp_e3", "clip_e3", "_nid"],
+                ascending=[True, False, True, True],
+            )
+            .groupby("cluster_id")
+            .head(1)["image_id"]
+        )
+        assert {r.image_id for r in rows if r.keep} == set(best)

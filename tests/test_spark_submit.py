@@ -496,6 +496,7 @@ def test_spark_submit_dup_and_hull_stages(t1_dir, tmp_path):
         "--cluster-hulls",
         "--content-dups",
         "--scene-dup-d", "50000", "--dup-hamming", "6",
+        "--keep-best",
     ]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stderr[-3000:]
@@ -550,6 +551,34 @@ def test_spark_submit_dup_and_hull_stages(t1_dir, tmp_path):
     assert all(
         d2 == 0 and h <= 3 for a, b, d2, h in got_s if (a, b) in planted
     )
+
+    # keep-best curation labels vs the independent DuckDB twin (recursive-
+    # CTE components + row_number argmax) over the same enriched x features
+    # frame the job consumed
+    kb_pts_sql = (
+        "SELECT e.image_id, e.lat_e7, e.lon_e7, "
+        "f.ahash, f.sharp_e3, f.clip_e3 "
+        f"FROM '{out}/enriched/*/*.parquet' e "
+        f"JOIN '{out}/features/*.parquet' f USING (image_id) "
+        "WHERE e.ok AND f.ok"
+    )
+    want_k = set(
+        con.execute(
+            imagedup.duckdb_keep_best_sql(
+                kb_pts_sql, d=50_000, threshold=6,
+                num_id_sql="CAST(substring(image_id, 5, 12) AS BIGINT)",
+            )
+        ).fetchall()
+    )
+    got_k = set(
+        duckdb.sql(
+            f"SELECT image_id, cluster_id, keep FROM '{out}/keep_best/*.parquet'"
+        ).fetchall()
+    )
+    assert got_k == want_k and len(got_k) == 240
+    # each planted co-located near-dup pair collapsed into one cluster,
+    # so keeps are strictly fewer than images
+    assert sum(1 for _, _, k in got_k if k) < 240
     con.close()
 
     # cluster hulls vs a sequential twin over the job's own cluster labels:
