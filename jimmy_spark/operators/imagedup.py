@@ -193,8 +193,6 @@ def scene_dedup_keep_best(
     holds a cluster's full row set. ``num_id`` maps string ids to a
     unique long exactly as in geocluster.dbscan.
     """
-    from jimmy_spark.operators.dedup import connected_components
-
     nid = (num_id if num_id is not None else F.col(id_col).cast("long")).alias(
         "_nid"
     )
@@ -206,6 +204,29 @@ def scene_dedup_keep_best(
         base, d=d, threshold=threshold, width=width,
         id_col="_nid", hash_col=hash_col, lat_col=lat_col, lon_col=lon_col,
     )
+    return keep_best_from_pairs(
+        base, pairs.select("a_id", "b_id"),
+        id_col=id_col, sharp_col=sharp_col, clip_col=clip_col,
+        max_iter=max_iter,
+    )
+
+
+def keep_best_from_pairs(
+    base: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "image_id",
+    sharp_col: str = "sharp_e3",
+    clip_col: str = "clip_e3",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The grouping + argmax half of ``scene_dedup_keep_best``, over an
+    already-materialized pair stream: ``base`` carries (id_col, _nid,
+    sharp_col, clip_col), ``pairs`` carries (a_id, b_id) in _nid space.
+    Shared by the batch operator and the streaming twin (which feeds the
+    ACCUMULATED per-batch pair deltas — their union is exactly the batch
+    pair set, so this half sees identical inputs either way)."""
+    from jimmy_spark.operators.dedup import connected_components
+
     cc = connected_components(
         base.select("_nid"), pairs,
         id_col="_nid", a_col="a_id", b_col="b_id", max_iter=max_iter,

@@ -26,7 +26,7 @@ production continuous deployment drops the trigger for micro-batching.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from jimmy_spark.operators import fused
 from jimmy_spark.sources.images import IMAGES_SCHEMA
@@ -196,6 +196,129 @@ def run_scene_dup_stream(
         pts.write.mode("overwrite").parquet(f"{state_dir}/b={batch_id}")
 
     reader = spark.readStream.schema(SCENE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(points_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+CURATE_SCHEMA = (
+    "image_id string, lat_e7 long, lon_e7 long, ahash long, "
+    "sharp_e3 long, clip_e3 long"
+)
+
+
+def latest_curation(spark: SparkSession, out_dir: str):
+    """The current keep-best curation table (highest committed batch id),
+    or None before the first batch."""
+    import os
+
+    if not os.path.isdir(out_dir):
+        return None
+    ids = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(out_dir)
+        if e.startswith("b=")
+    )
+    if not ids:
+        return None
+    return spark.read.parquet(f"{out_dir}/b={ids[-1]}")
+
+
+def run_keep_best_stream(
+    spark: SparkSession,
+    points_dir: str,
+    d: int,
+    threshold: int,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_id_sql: str = "CAST(image_id AS BIGINT)",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous keep-best curation maintenance: as new shots arrive, the
+    latest ``<out_dir>/b=<id>`` table is the COMPLETE (image_id,
+    cluster_id, keep) curation over every image seen so far — equal to
+    the batch ``imagedup.scene_dedup_keep_best`` over all points, exactly.
+    A sharper late arrival near an existing scene group takes the keep
+    flag over (and merged groups re-elect); the table is a full refresh,
+    not an append.
+
+    Incrementality lives where the quadratic risk is: per batch only the
+    new x (new ∪ old) pair DELTA is computed (the incremental grid join;
+    union of deltas == the batch pair set, each pair once) and appended
+    to edge state — old x old candidate mass is never regenerated. The
+    grouping + argmax half then re-runs over the accumulated EDGE set,
+    which is output-proportional (near-dup pairs), typically orders of
+    magnitude smaller than the point set; CC is O(log^2 n) rounds on it.
+
+    State under ``state_dir``: ``points/b=<id>`` (the batch's quality-
+    carrying points — the incremental join's old side) and
+    ``edges/b=<id>`` (that batch's pair delta in numeric-id space).
+    Idempotence discipline is ``run_proximity_stream``'s: every write is
+    keyed by the deterministic batch id and overwrites; a replayed batch
+    reads only state strictly below its own id and recomputes its delta
+    and output byte-identically.
+    """
+    import os
+
+    from jimmy_spark.operators.imagedup import (
+        keep_best_from_pairs,
+        scene_dup_pairs_incremental,
+    )
+
+    pts_dir = f"{state_dir}/points"
+    edge_dir = f"{state_dir}/edges"
+
+    def _older(dir_: str, batch_id: int) -> list[str]:
+        if not os.path.isdir(dir_):
+            return []
+        return [
+            f"{dir_}/b={i}"
+            for i in sorted(
+                int(e.split("=", 1)[1])
+                for e in os.listdir(dir_)
+                if e.startswith("b=") and int(e.split("=", 1)[1]) < batch_id
+            )
+        ]
+
+    def _process(batch_df, batch_id: int) -> None:
+        nid = F.expr(num_id_sql).alias("_nid")
+        pts = batch_df.select(
+            "image_id", "lat_e7", "lon_e7", "ahash", "sharp_e3", "clip_e3"
+        )
+        older_pts = _older(pts_dir, batch_id)
+        old = (
+            spark.read.parquet(*older_pts)
+            if older_pts
+            else spark.createDataFrame([], CURATE_SCHEMA)
+        )
+        delta = scene_dup_pairs_incremental(
+            pts.select("image_id", nid, "lat_e7", "lon_e7", "ahash"),
+            old.select("image_id", nid, "lat_e7", "lon_e7", "ahash"),
+            d=d,
+            threshold=threshold,
+            id_col="_nid",
+        ).select("a_id", "b_id")
+        delta.write.mode("overwrite").parquet(f"{edge_dir}/b={batch_id}")
+
+        older_edges = _older(edge_dir, batch_id)
+        edges = spark.read.parquet(f"{edge_dir}/b={batch_id}", *older_edges)
+        base = old.unionByName(pts).select(
+            "image_id", nid, "sharp_e3", "clip_e3"
+        )
+        keep_best_from_pairs(base, edges).write.mode("overwrite").parquet(
+            f"{out_dir}/b={batch_id}"
+        )
+        pts.write.mode("overwrite").parquet(f"{pts_dir}/b={batch_id}")
+
+    reader = spark.readStream.schema(CURATE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(points_dir)

@@ -396,3 +396,114 @@ class TestHullStream:
             for r in hull.group_hulls(full2, ["zone_x", "zone_y"]).collect()
         }
         assert self._footprints(spark, out) == exp2
+
+
+class TestKeepBestStream:
+    """Continuous keep-best curation (streaming/spatial.py
+    run_keep_best_stream): after every drain the latest table equals the
+    batch scene_dedup_keep_best over all points seen so far — including
+    keep-flag takeovers when a sharper shot of an existing scene arrives
+    late."""
+
+    D = 400_000_000
+    T = 40
+    NUM_ID = "CAST(substring(image_id, 5, 12) AS BIGINT)"
+
+    @staticmethod
+    def _pts(spark, t2_dir):
+        import numpy as np
+
+        from jimmy_spark.operators import cells
+
+        imgs = spark.read.parquet(f"{t2_dir}/images.parquet")
+        pdf = (
+            cells.with_georef(imgs.select("image_id", "phash"))
+            .select("image_id", "lat_e7", "lon_e7")
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        idx = np.arange(len(pdf), dtype=np.int64)
+        pdf["ahash"] = idx % 8
+        pdf["sharp_e3"] = (idx * 37) % 1000
+        pdf["clip_e3"] = (idx * 13) % 100
+        return pdf
+
+    @classmethod
+    def _batch(cls, spark, pdf):
+        from pyspark.sql import functions as F
+
+        from jimmy_spark.operators import imagedup
+
+        return {
+            (r.image_id, r.cluster_id, r.keep)
+            for r in imagedup.scene_dedup_keep_best(
+                spark.createDataFrame(pdf), d=cls.D, threshold=cls.T,
+                num_id=F.expr(cls.NUM_ID),
+            ).collect()
+        }
+
+    @staticmethod
+    def _latest(spark, out):
+        from jimmy_spark.streaming import spatial
+
+        df = spatial.latest_curation(spark, out)
+        assert df is not None
+        return {(r.image_id, r.cluster_id, r.keep) for r in df.collect()}
+
+    def test_stream_equals_batch_with_takeover(self, spark, t2_dir, tmp_path):
+        import pandas as pd
+
+        from jimmy_spark.streaming import spatial
+
+        pdf = self._pts(spark, t2_dir)
+        src = tmp_path / "pts"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("curation", "state", "cp"))
+
+        def drain():
+            spatial.run_keep_best_stream(
+                spark, str(src), self.D, self.T, out, st, cp,
+                num_id_sql=self.NUM_ID, max_files_per_trigger=1,
+            )
+
+        # two waves, interleaved ids (cross-wave pairs on both carry sides)
+        w0 = pdf[pdf["image_id"].str.slice(-1).astype(int) % 2 == 0]
+        w1 = pdf.drop(w0.index)
+        w0.to_parquet(src / "w0.parquet")
+        w1.to_parquet(src / "w1.parquet")
+        drain()
+        assert self._latest(spark, out) == self._batch(spark, pdf)
+
+        # nothing new: no-op
+        import os
+
+        n_out = len(os.listdir(out))
+        drain()
+        assert len(os.listdir(out)) == n_out
+
+        # late takeover: a strictly sharper, cleaner copy of a currently
+        # KEPT image (same location + hash => same cluster) must take the
+        # keep flag from it
+        cur = self._latest(spark, out)
+        kept_multi = sorted(
+            iid for iid, cid, k in cur if k
+            and sum(1 for _, c, _ in cur if c == cid) > 1
+        )
+        victim = kept_multi[0]
+        vrow = pdf[pdf["image_id"] == victim].iloc[0]
+        late = pd.DataFrame([{
+            "image_id": "img_999000000001",
+            "lat_e7": vrow["lat_e7"], "lon_e7": vrow["lon_e7"],
+            "ahash": vrow["ahash"],
+            "sharp_e3": 2000, "clip_e3": 0,
+        }])
+        late.to_parquet(src / "w2.parquet")
+        drain()
+        got = self._latest(spark, out)
+        all_pdf = pd.concat([pdf, late], ignore_index=True)
+        assert got == self._batch(spark, all_pdf)
+        by_id = {iid: (cid, k) for iid, cid, k in got}
+        assert by_id["img_999000000001"][1]
+        assert not by_id[victim][1]
+        assert by_id[victim][0] == by_id["img_999000000001"][0]
