@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Production entry point for the image-curation ladder:
+spark-submit --py-files jimmy_spark.zip jobs/curate_job.py ...
+
+The training-data curation pipeline over a geo-referenced image table,
+as ONE deployable job with per-stage outputs and a machine-readable
+stats line:
+
+  images -> decode + quality/content features + georef (checkpointed,
+  bucket-resumable via StageRunner: a crash mid-decode reprocesses only
+  uncommitted buckets)
+         -> quality gate    (decode ok, sharpness >= --min-sharp,
+                             clipped fraction <= --max-clip)
+         -> exact dedup     (byte-identical files: md5 over the raw
+                             bytes, keep-first by id — jimmy's
+                             Resource.md5 semantics verbatim,
+                             /root/reference/src/jimmy/
+                             intermediate_format.py:120-128)
+         -> scene keep-best (near-identical shots of the same place:
+                             operators/imagedup.scene_dedup_keep_best —
+                             grid-join pair graph, star-contraction
+                             components, struct-max quality argmax)
+         -> <out>/curated   (the kept rows)
+            <out>/rejected  (every dropped row with its reason:
+                             'decode' | 'quality' | 'exact_dup' |
+                             'scene_dup')
+
+Every rejection keeps provenance (the reason, plus the kept exemplar's
+id for the two dedup lanes), so the curation is auditable and
+reversible. curated ∪ rejected partitions the input exactly — nothing
+is silently dropped.
+
+Scale shape: one decode (Arrow-batched, error-isolated) feeds every
+stage; md5 dedup is one hash-shuffle; the scene lane is the
+output-proportional grid join + O(log^2 n)-round CC; no stage holds a
+group's full row set in one task. The final writes are deterministic
+pure functions of the feature table, so rerunning after the
+checkpointed stage is idempotent.
+
+Example:
+    spark-submit --py-files dist/jimmy_spark.zip jobs/curate_job.py \
+        --images data/images.parquet --out /tmp/curate_out \
+        --checkpoint /tmp/curate_cp --run-id run1 \
+        --scene-d 50000 --hamming 6 --min-sharp 0 --max-clip 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--scene-d", type=int, default=50_000)
+    ap.add_argument("--hamming", type=int, default=6)
+    ap.add_argument(
+        "--min-sharp", type=int, default=0,
+        help="quality gate: variance-of-Laplacian sharpness (e3 fixed "
+        "point) below this is rejected",
+    )
+    ap.add_argument(
+        "--max-clip", type=int, default=1000,
+        help="quality gate: clipped-pixel fraction (e3 fixed point) "
+        "above this is rejected",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from jimmy_spark.operators import cells, imagedup, multimodal
+    from jimmy_spark.sources.images import read_images
+    from jimmy_spark.streaming.checkpoint import StageRunner
+
+    spark = SparkSession.builder.appName("jimmy-spark-curate-job").getOrCreate()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    }.items():
+        spark.conf.set(k, v)
+
+    images = read_images(spark, args.images)
+    runner = StageRunner(spark, args.checkpoint, args.run_id, n_buckets=args.buckets)
+
+    def featurize(df):
+        # per-row pure kernels (bucket-local, hence resumable): decode +
+        # quality/content features in one Arrow crossing, georef + the
+        # exact-byte md5 as JVM expressions on the same pass
+        feats = multimodal.image_features(df).select(
+            "image_id", "ok", "ahash", "sharp_e3", "clip_e3"
+        )
+        ident = cells.with_georef(df.select("image_id", "phash", "bytes")).select(
+            "image_id", "lat_e7", "lon_e7", F.md5("bytes").alias("content_md5")
+        )
+        return feats.join(ident, "image_id")
+
+    feats = runner.run_stage(
+        "features", images, featurize, f"{args.out}/features", id_col="image_id"
+    )
+
+    n_in = feats.count()  # parquet-backed stage output: footer count
+
+    # --- quality gate -----------------------------------------------------
+    gated = feats.withColumn(
+        "_reason",
+        F.when(~F.col("ok"), F.lit("decode"))
+        .when(
+            (F.col("sharp_e3") < args.min_sharp)
+            | (F.col("clip_e3") > args.max_clip),
+            F.lit("quality"),
+        ),
+    )
+    quality_rej = gated.filter(F.col("_reason").isNotNull()).select(
+        "image_id", F.col("_reason").alias("reason"),
+        F.lit(None).cast("string").alias("kept_id"),
+    )
+    survivors = gated.filter(F.col("_reason").isNull()).drop("_reason")
+
+    # --- exact dedup: keep-first by id within byte-identical groups --------
+    first = survivors.groupBy("content_md5").agg(
+        F.min("image_id").alias("kept_id"), F.count(F.lit(1)).alias("_sz")
+    )
+    with_first = survivors.join(first, "content_md5")
+    exact_rej = with_first.filter(F.col("image_id") != F.col("kept_id")).select(
+        "image_id", F.lit("exact_dup").alias("reason"), "kept_id"
+    )
+    uniq = with_first.filter(F.col("image_id") == F.col("kept_id")).drop(
+        "kept_id", "_sz"
+    )
+    # the scene lane re-derives plans from this frame several times (pair
+    # join + CC rounds); pin it as a deterministic parquet under out/
+    uniq.write.mode("overwrite").parquet(f"{args.out}/unique")
+    uniq = spark.read.parquet(f"{args.out}/unique")
+
+    # --- scene keep-best ----------------------------------------------------
+    labels = imagedup.scene_dedup_keep_best(
+        uniq,
+        d=args.scene_d,
+        threshold=args.hamming,
+        num_id=F.substring("image_id", 5, 12).cast("long"),
+    )
+    labels.write.mode("overwrite").parquet(f"{args.out}/keep_best")
+    labels = spark.read.parquet(f"{args.out}/keep_best")
+    kept_per_cluster = labels.filter("keep").select(
+        "cluster_id", F.col("image_id").alias("kept_id")
+    )
+    scene_rej = (
+        labels.filter(~F.col("keep"))
+        .join(kept_per_cluster, "cluster_id")
+        .select("image_id", F.lit("scene_dup").alias("reason"), "kept_id")
+    )
+
+    # --- outputs ------------------------------------------------------------
+    rejected = quality_rej.unionByName(exact_rej).unionByName(scene_rej)
+    rejected.write.mode("overwrite").parquet(f"{args.out}/rejected")
+    curated = uniq.join(labels.filter("keep").select("image_id"), "image_id")
+    curated.write.mode("overwrite").parquet(f"{args.out}/curated")
+
+    n_curated = spark.read.parquet(f"{args.out}/curated").count()
+    rej = (
+        spark.read.parquet(f"{args.out}/rejected")
+        .groupBy("reason")
+        .count()
+        .collect()
+    )
+    by_reason = {r["reason"]: r["count"] for r in rej}
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "rows_in": n_in,
+                "n_curated": n_curated,
+                "rejected": by_reason,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -615,3 +615,145 @@ def test_spark_submit_dup_and_hull_stages(t1_dir, tmp_path):
         ).fetchall()
     }
     assert got_h == want_h
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_curate_job(spark, tmp_path):
+    """The full curation ladder (quality gate -> exact md5 dedup -> scene
+    keep-best) through real spark-submit, run twice (second = feature-
+    stage resume no-op), outputs equal to the in-process recomputation,
+    with every rejection lane live and curated ∪ rejected an exact
+    partition of the input."""
+    import hashlib
+
+    import pandas as pd
+
+    sys.path.insert(0, str(REPO))
+    from scripts.make_pyfiles_zip import build
+
+    from jimmy_spark.datagen.images import write_images
+    from jimmy_spark.operators import imagedup, multimodal
+
+    zip_path = build(tmp_path / "jimmy_spark.zip")
+    base = tmp_path / "base.parquet"
+    # near-dup plants (scene lane) + corrupt rows (decode lane)
+    write_images(
+        str(base), 240, 11,
+        skew_frac=0.3, dup_every=4, dup_colocate=True, corrupt_every=24,
+    )
+    pdf = pd.read_parquet(base)
+    # plant byte-IDENTICAL copies under fresh ids at unrelated locations:
+    # the exact-md5 lane must catch them regardless of georef
+    copies = pdf.iloc[5:10].copy().reset_index(drop=True)
+    copies["image_id"] = [f"img_{900 + i:012d}" for i in range(len(copies))]
+    copies["phash"] = pdf["phash"].iloc[100:105].to_numpy()  # elsewhere
+    copies["caption"] = "exact byte copy"
+    full = pd.concat([pdf, copies], ignore_index=True)
+    imgs = tmp_path / "images.parquet"
+    full.to_parquet(imgs)
+
+    MIN_SHARP, MAX_CLIP, SCENE_D, HAM = 5, 900, 50_000, 6
+
+    def run():
+        cmd = [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(REPO / "jobs" / "curate_job.py"),
+            "--images", str(imgs),
+            "--out", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "cp"),
+            "--run-id", "submit-curate",
+            "--buckets", "8",
+            "--scene-d", str(SCENE_D), "--hamming", str(HAM),
+            "--min-sharp", str(MIN_SHARP), "--max-clip", str(MAX_CLIP),
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    s2 = run()
+    assert s2 == s1  # feature-stage resume no-op, deterministic tail
+
+    # ---- expected, recomputed in-process with the audited operators ----
+    from pyspark.sql import functions as F
+
+    from jimmy_spark.operators import cells
+    from jimmy_spark.sources.images import read_images
+
+    images = read_images(spark, str(imgs))
+    feats = (
+        multimodal.image_features(images)
+        .select("image_id", "ok", "ahash", "sharp_e3", "clip_e3")
+        .toPandas()
+    )
+    md5s = {
+        r.image_id: hashlib.md5(bytes(r.bytes)).hexdigest()
+        for r in full.itertuples()
+    }
+    feats["content_md5"] = feats["image_id"].map(md5s)
+    feats["reason"] = None
+    feats.loc[~feats["ok"], "reason"] = "decode"
+    bad_q = feats["ok"] & (
+        (feats["sharp_e3"] < MIN_SHARP) | (feats["clip_e3"] > MAX_CLIP)
+    )
+    feats.loc[bad_q, "reason"] = "quality"
+    surv = feats[feats["reason"].isnull()].copy()
+    kept_first = surv.groupby("content_md5")["image_id"].min()
+    surv["kept_id"] = surv["content_md5"].map(kept_first)
+    exact_rej = surv[surv["image_id"] != surv["kept_id"]]
+    uniq_ids = set(surv[surv["image_id"] == surv["kept_id"]]["image_id"])
+
+    geo = (
+        cells.with_georef(images.select("image_id", "phash"))
+        .toPandas()
+        .set_index("image_id")
+    )
+    uniq_pdf = surv[surv["image_id"].isin(uniq_ids)][
+        ["image_id", "ahash", "sharp_e3", "clip_e3"]
+    ].copy()
+    uniq_pdf["lat_e7"] = uniq_pdf["image_id"].map(geo["lat_e7"])
+    uniq_pdf["lon_e7"] = uniq_pdf["image_id"].map(geo["lon_e7"])
+    labels = {
+        r.image_id: (r.cluster_id, r.keep)
+        for r in imagedup.scene_dedup_keep_best(
+            spark.createDataFrame(uniq_pdf), d=SCENE_D, threshold=HAM,
+            num_id=F.substring("image_id", 5, 12).cast("long"),
+        ).collect()
+    }
+    exp_curated = {i for i, (c, k) in labels.items() if k}
+    kept_of = {c: i for i, (c, k) in labels.items() if k}
+    exp_rej = (
+        {(r.image_id, r.reason, None) for r in feats.itertuples()
+         if r.reason in ("decode", "quality")}
+        | {(r.image_id, "exact_dup", r.kept_id) for r in exact_rej.itertuples()}
+        | {(i, "scene_dup", kept_of[c]) for i, (c, k) in labels.items() if not k}
+    )
+
+    got_curated = {
+        r[0] for r in duckdb.sql(
+            f"SELECT image_id FROM '{tmp_path}/out/curated/*.parquet'"
+        ).fetchall()
+    }
+    got_rej = set(
+        duckdb.sql(
+            "SELECT image_id, reason, kept_id "
+            f"FROM '{tmp_path}/out/rejected/*.parquet'"
+        ).fetchall()
+    )
+    assert got_curated == exp_curated
+    assert got_rej == exp_rej
+    # every lane live, and curated ∪ rejected partitions the input exactly
+    reasons = {r for _, r, _ in got_rej}
+    assert reasons == {"decode", "quality", "exact_dup", "scene_dup"}
+    rej_ids = {i for i, _, _ in got_rej}
+    assert got_curated | rej_ids == set(full["image_id"])
+    assert not (got_curated & rej_ids)
+    # stats line is the truth
+    assert s1["rows_in"] == len(full)
+    assert s1["n_curated"] == len(exp_curated)
+    assert s1["rejected"] == {
+        r: sum(1 for _, rr, _ in exp_rej if rr == r) for r in reasons
+    }
