@@ -444,6 +444,56 @@ def _convert_job_bench() -> dict[str, float]:
         _sh.rmtree(tmp, ignore_errors=True)
 
 
+def _curate_job_bench() -> dict[str, float]:
+    """End-to-end deployable image-curation ladder (jobs/curate_job.py:
+    checkpointed decode+features+georef+md5 -> quality gate -> exact md5
+    dedup -> scene keep-best -> curated/rejected with provenance) through
+    spark-submit --py-files, over the dedicated 1M-row `curate` dataset —
+    corrupt rows, colocated near-dup shots, and the natural quality spread
+    keep every rejection lane live, so the timing covers all four drop
+    paths, not a degenerate pass-through. Dataset generation is
+    marker-cached and excluded; JVM startup is included, as for the other
+    composed jobs."""
+    import shutil as _sh
+    import tempfile
+
+    if _sh.which("spark-submit") is None:
+        return {}
+    from jimmy_spark.datagen import ensure_dataset
+    from scripts.make_pyfiles_zip import build
+
+    d = str(ensure_dataset("curate"))
+    tmp = tempfile.mkdtemp(prefix="bench_curate_")
+    try:
+        zip_path = build(Path(tmp) / "jimmy_spark.zip")
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{CPUS}]",
+            "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "--conf", "spark.ui.enabled=false",
+            "--conf", f"spark.sql.shuffle.partitions={CPUS}",
+            "--py-files", str(zip_path),
+            str(REPO / "jobs" / "curate_job.py"),
+            "--images", f"{d}/images.parquet",
+            "--out", f"{tmp}/out",
+            "--checkpoint", f"{tmp}/cp",
+            "--run-id", "bench",
+            "--buckets", str(CPUS),
+            "--scene-d", "50000",
+            "--hamming", "6",
+            "--min-sharp", "5",
+            "--max-clip", "900",
+        ]
+        t = time.monotonic()
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        dt = round(time.monotonic() - t, 3)
+        if p.returncode != 0:
+            raise RuntimeError(f"curate_job failed:\n{p.stderr[-2000:]}")
+        return {"curate_job": dt}
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 def _trajectory_bench() -> dict[str, float]:
     """Trajectory family at bench scale: 1M pings / 4k entities (the
     registry's session_windows row uses the tiny 9.6k-ping t2 tracks, too
@@ -529,10 +579,28 @@ def _trajectory_bench() -> dict[str, float]:
             ).collect()
             dt = time.monotonic() - t
             best_st = dt if best_st is None else min(best_st, dt)
+        # trajectory similarity join over the same 1M pings: candidate
+        # pairs from the first-vertex grid join (endpoint pruning), exact
+        # int64 discrete-Frechet DP vectorized across candidate batches
+        from jimmy_spark.operators import trajsim
+
+        best_sim = None
+        n_sim = 0
+        for _ in range(3):
+            pairs = trajsim.frechet_join(
+                tj.segment_tracks(spark.read.parquet(path)), 120_000
+            )
+            t = time.monotonic()
+            n_sim = pairs.count()
+            dt = time.monotonic() - t
+            best_sim = dt if best_sim is None else min(best_sim, dt)
+        if n_sim == 0:
+            raise RuntimeError("traj_sim bench found no pairs — dead lane")
         return {
             "trajectory_family": round(best, 3),
             "map_match": round(best_mm, 3),
             "st_contact": round(best_st, 3),
+            "traj_sim": round(best_sim, 3),
         }
     finally:
         spark.stop()
@@ -685,9 +753,10 @@ def _write_report(
         "best-of is fully auditable.",
         "",
         "Generic operator queries at sf0.1 (`local[$SPARK_GRAFT_CPUS]`); "
-        "`dedup_job` and `convert_job` are COMPOSED deployable jobs timed "
-        "end-to-end through real spark-submit --py-files (JVM startup "
-        "included), not single registry queries:",
+        "`dedup_job`, `convert_job`, and `curate_job` (1M-row curate "
+        "dataset, all four rejection lanes live) are COMPOSED deployable "
+        "jobs timed end-to-end through real spark-submit --py-files (JVM "
+        "startup included), not single registry queries:",
         "",
         "| query | sec |",
         "| --- | --- |",
@@ -770,6 +839,7 @@ def main() -> None:
     generic.update(_trajectory_bench())
     generic.update(_dedup_job_bench())
     generic.update(_convert_job_bench())
+    generic.update(_curate_job_bench())
     if r_lo is not None:
         history = _append_history(
             {

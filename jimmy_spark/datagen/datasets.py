@@ -21,6 +21,10 @@ DATASETS: dict[str, dict] = {
     "t2": dict(n_images=2000, n_polygons=40, n_queries=60, skew_frac=0.3, corrupt_every=0),
     "t2err": dict(n_images=400, n_polygons=20, n_queries=15, skew_frac=0.3, corrupt_every=50),
     "bench": dict(n_images=4_000_000, n_polygons=60, n_queries=300, skew_frac=0.4, corrupt_every=0, shards=256),
+    # curation-ladder bench input: every rejection lane live — corrupt rows
+    # (decode), colocated near-dup shots (scene keep-best), plus the normal
+    # quality spread for the sharpness/clip gate
+    "curate": dict(n_images=1_000_000, n_polygons=40, n_queries=60, skew_frac=0.4, corrupt_every=500, dup_every=5, dup_colocate=True, shards=64),
 }
 SEED = 42
 
@@ -45,13 +49,17 @@ def ensure_dataset(name: str) -> Path:
         except Exception:
             pass
     d.mkdir(parents=True, exist_ok=True)
+    img_kw = {
+        k: v
+        for k, v in cfg.items()
+        if k not in ("n_images", "n_polygons", "n_queries", "shards")
+    }
     write_images(
         str(d / "images.parquet"),
         cfg["n_images"],
         SEED,
         shards=cfg.get("shards", 1),
-        skew_frac=cfg["skew_frac"],
-        corrupt_every=cfg["corrupt_every"],
+        **img_kw,
     )
     write_polygons(str(d / "polygons.parquet"), cfg["n_polygons"], SEED)
     write_knn_queries(str(d / "knn_queries.parquet"), cfg["n_queries"], SEED)
