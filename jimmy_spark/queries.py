@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from jimmy_spark.datagen import ensure_dataset
 from jimmy_spark.functions import georef, hexgrid, tiles
+from jimmy_spark.functions import geohash as geohash_mod
 from jimmy_spark.operators import (
     cells,
     decode,
@@ -67,8 +68,11 @@ def _georef_sql() -> str:
 def q_geo_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial-index encode, one projection wide: phash georef fixed-point
     (lat,lon) + hex cells r7-9 (Arrow-batched UDF path) + S2 l12/14/16
-    (real bit layout). One row per image; the oracle recomputes georef+hex
-    from first principles in SQL and joins the from-scratch S2 golden."""
+    (real bit layout) + geohash p4/6/8 (exact-integer base32, pure JVM).
+    One row per image; the oracle recomputes georef+hex+geohash from
+    first principles in SQL and joins the from-scratch S2 golden."""
+    from jimmy_spark.functions import geohash as gh_mod
+
     out = cells.with_s2_cells(
         cells.with_hex_cells(_points(spark), use_arrow_udf=True)
     )
@@ -76,6 +80,11 @@ def q_geo_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "lat_e7", "lon_e7",
         "hex_r7", "hex_r8", "hex_r9",
         "s2_l12", "s2_l14", "s2_l16",
+        *[
+            gh_mod.geohash_col(F.col("lat_e7"), F.col("lon_e7"), p)
+            .alias(f"gh{p}")
+            for p in (4, 6, 8)
+        ],
     )
 
 
@@ -473,8 +482,13 @@ def _oracle_spatial() -> dict[str, str]:
         # from the independently-computed golden (scripts/make_goldens.py)
         "geo_cells": (
             f"SELECT h.image_id, h.lat_e7, h.lon_e7, "
-            f"h.hex_r7, h.hex_r8, h.hex_r9, s.s2_l12, s.s2_l14, s.s2_l16 "
-            f"FROM ({hex_q}) h JOIN '{GOLDEN_DIR}/s2_cells.parquet' s "
+            f"h.hex_r7, h.hex_r8, h.hex_r9, s.s2_l12, s.s2_l14, s.s2_l16, "
+            + ", ".join(
+                geohash_mod.duckdb_geohash_sql("h.lat_e7", "h.lon_e7", p)
+                + f" AS gh{p}"
+                for p in (4, 6, 8)
+            )
+            + f" FROM ({hex_q}) h JOIN '{GOLDEN_DIR}/s2_cells.parquet' s "
             f"USING (image_id)"
         ),
         "tiles": (
