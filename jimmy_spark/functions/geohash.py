@@ -89,6 +89,65 @@ def geohash_col(lat: Column, lon: Column, precision: int) -> Column:
     return F.concat(*chars)
 
 
+def geohash_decode_cols(
+    gh: Column, precision: int
+) -> tuple[Column, Column, Column, Column]:
+    """Inverse: (lat_lo, lat_hi, lon_lo, lon_hi) e7 cell bounds of a
+    precision-``precision`` geohash string, as codegen'd JVM expressions
+    (base32 lookup via array_position on a literal array, de-interleave
+    as a shift/mask OR chain, exact-integer bound arithmetic). Bounds
+    are floors of the exact rational cell endpoints: lo = floor(q * span
+    / 2^n) - off, hi the same at q+1. Every integer point of the cell
+    satisfies lo <= x <= hi (x == hi only when the upper endpoint is
+    fractional); hi + 1 always lies in the adjacent cell, whose lo
+    equals this hi; and lo + 1 is always strictly interior (floor(lower)
+    + 1 >= lower, and < upper whenever the cell extent exceeds 1 unit —
+    true at every precision <= 12), so (lat_lo + 1, lon_lo + 1)
+    re-encodes to the same cell. The integer midpoint (lo + hi) / 2 is
+    NOT always interior: at precision 12 the lat extent is ~1.68 units,
+    so hi can be lo + 1 with midpoint lo below the exact lower endpoint.
+    No IEEE anywhere: q * span <= 2^30 * 3.6e9 < 2^62 stays exact
+    int64.
+
+    Expression-size note: Column trees inline on every use (Catalyst has
+    no plan-level CSE across a projection), so each bound duplicates the
+    ~6-node-per-bit de-interleave chain once — flat and cheap on its
+    own. Do NOT compose these bounds straight into ``geohash_col`` in
+    one plan (the encode re-duplicates its input per interleaved bit,
+    multiplying the trees into the 10^5-node range where the optimizer
+    crawls); materialize in between, as any real pipeline would."""
+    if not 1 <= precision <= MAX_PRECISION:
+        raise ValueError(f"precision must be in 1..{MAX_PRECISION}")
+    nlon, nlat = _nbits(precision)
+    lon_q = F.lit(0).cast("long")
+    lat_q = F.lit(0).cast("long")
+    for k in range(precision):
+        # per-char 5-bit code; instr on the literal alphabet keeps the
+        # duplicated-per-bit subtree ~6 nodes (vs a 33-node array lookup)
+        code = (
+            F.instr(F.lit(B32), F.substring(gh, k + 1, 1)) - F.lit(1)
+        ).cast("long")
+        for j in range(5):  # j = MSB-first bit within the char
+            m = 5 * k + j  # global MSB-first interleave position
+            bit = F.shiftright(code, 4 - j).bitwiseAND(F.lit(1))
+            if m % 2 == 0:
+                lon_q = lon_q.bitwiseOR(F.shiftleft(bit, nlon - 1 - m // 2))
+            else:
+                lat_q = lat_q.bitwiseOR(F.shiftleft(bit, nlat - 1 - m // 2))
+
+    def bound(q: Column, span: int, off: int, n: int) -> Column:
+        # floor(q * span / 2^n) - off, exact: q*span < 2^62, and the
+        # shiftright IS the floor division by a power of two (q >= 0)
+        return F.shiftright(q * F.lit(span), n) - F.lit(off)
+
+    return (
+        bound(lat_q, _LAT_SPAN, _LAT_OFF, nlat),
+        bound(lat_q + F.lit(1), _LAT_SPAN, _LAT_OFF, nlat),
+        bound(lon_q, _LON_SPAN, _LON_OFF, nlon),
+        bound(lon_q + F.lit(1), _LON_SPAN, _LON_OFF, nlon),
+    )
+
+
 def duckdb_geohash_sql(lat_sql: str, lon_sql: str, precision: int) -> str:
     """The same encode as a DuckDB SQL expression (bit-identical twin)."""
     nlon, nlat = _nbits(precision)

@@ -242,3 +242,137 @@ SELECT * EXCLUDE (_n, _sx, _sx2, _s2v, _ma, _mb, _mc, _md, _mden),
   ELSE NULL END AS lisa_e6
 FROM m
 """
+
+
+def ripleys_k(
+    points: DataFrame,
+    radii: list[int],
+    id_col: str = "image_id",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic at each radius in ``radii``:
+    (r, n_pairs, k_hat) with n_pairs the exact unordered pair count at
+    distance <= r and
+
+        k_hat = floor( area * 2 * n_pairs / (n * (n - 1)) )
+
+    the uncorrected K estimator in squared e7 units (area = the point
+    set's bounding-box extent, the deterministic window choice; edge
+    corrections are multiplicative per-pair weights that would slot into
+    the same aggregation and are documented out of scope — the
+    uncorrected estimator is the cross-engine-comparable baseline).
+    Under CSR, k_hat(r) ~ pi*r^2; clustered data sits above it — this is
+    the global companion to the per-cell Gi*/LISA scores.
+
+    Scale shape: ONE output-proportional grid distance join at max(radii)
+    (operators/distjoin.distance_join_grid — exactly-once, no crossJoin)
+    feeds every radius via conditional aggregation (sum(dist2 <= r^2) in
+    one pass over the pair stream, map-side combinable); the n/bbox
+    moments are one tiny auxiliary aggregate. All counts exact int64;
+    the estimator goes through decimal(38,0) (area * 2P overflows int64)
+    with a remainder-subtraction floor division, so k_hat is an exact
+    integer, bit-identical to the DuckDB HUGEINT twin
+    (``duckdb_ripley_sql``) — hash-gate safe.
+    """
+    from jimmy_spark.operators import distjoin
+
+    rs = sorted(set(int(r) for r in radii))
+    if not rs or rs[0] <= 0:
+        raise ValueError("radii must be positive")
+    rmax = rs[-1]
+    pairs = distjoin.distance_join_grid(
+        points, rmax, id_col=id_col, lat_col=lat_col, lon_col=lon_col
+    )
+    counts = pairs.agg(
+        *[
+            F.sum((F.col("dist2") <= F.lit(r * r)).cast("long")).alias(f"p{i}")
+            for i, r in enumerate(rs)
+        ]
+    )
+    stats = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max(lat_col) - F.min(lat_col)).alias("spany"),
+        (F.max(lon_col) - F.min(lon_col)).alias("spanx"),
+    )
+    wide = counts.crossJoin(stats)  # 1 x 1 rows: a literal-sized join
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.coalesce(F.col(f"p{i}"), F.lit(0)).alias("n_pairs"),
+                    )
+                    for i, r in enumerate(rs)
+                ]
+            )
+        ).alias("s"),
+        "n",
+        "spany",
+        "spanx",
+    ).select("s.r", "s.n_pairs", "n", "spany", "spanx")
+    dec = "decimal(38,0)"
+    num = (
+        F.col("spany").cast(dec)
+        * F.col("spanx").cast(dec)
+        * F.col("n_pairs").cast(dec)
+        * F.lit(2).cast(dec)
+    )
+    den = (F.col("n").cast(dec) * (F.col("n") - F.lit(1)).cast(dec))
+    k_hat = F.when(
+        (F.col("n") >= 2) & (F.col("spany") > 0) & (F.col("spanx") > 0),
+        ((num - num % den) / den).cast("long"),
+    ).otherwise(F.lit(0))
+    return stacked.select(
+        "r", "n_pairs", k_hat.alias("k_hat")
+    ).orderBy("r")
+
+
+def duckdb_ripley_sql(
+    points_sql: str,
+    radii: list[int],
+    id_col: str = "image_id",
+    lat_col: str = "lat_e7",
+    lon_col: str = "lon_e7",
+) -> str:
+    """Brute-force HUGEINT twin of ``ripleys_k`` (blocking-independent:
+    full theta-join, no grid)."""
+    rs = sorted(set(int(r) for r in radii))
+    dist2 = (
+        f"(a.{lon_col} - b.{lon_col})::HUGEINT * (a.{lon_col} - b.{lon_col})"
+        f" + (a.{lat_col} - b.{lat_col})::HUGEINT * (a.{lat_col} - b.{lat_col})"
+    )
+    rmax = rs[-1]
+    per_r = ", ".join(
+        f"sum(CASE WHEN dist2 <= {r}::HUGEINT * {r} THEN 1 ELSE 0 END)"
+        f"::BIGINT AS p{i}"
+        for i, r in enumerate(rs)
+    )
+    rows = ", ".join(f"({r}, p{i})" for i, r in enumerate(rs))
+    return f"""
+WITH pairs AS (
+  SELECT {dist2} AS dist2
+  FROM ({points_sql}) a JOIN ({points_sql}) b
+  ON a.{id_col} < b.{id_col}
+     AND {dist2} <= {rmax}::HUGEINT * {rmax}
+),
+cnt AS (SELECT {per_r} FROM pairs),
+st AS (
+  SELECT count(*) AS n,
+         max({lat_col}) - min({lat_col}) AS spany,
+         max({lon_col}) - min({lon_col}) AS spanx
+  FROM ({points_sql})
+),
+stacked AS (
+  SELECT r, coalesce(n_pairs, 0) AS n_pairs, n, spany, spanx
+  FROM cnt, st, (VALUES {rows}) v(r, n_pairs)
+)
+SELECT r::BIGINT AS r, n_pairs::BIGINT AS n_pairs,
+       CASE WHEN n >= 2 AND spany > 0 AND spanx > 0
+            THEN (spany::HUGEINT * spanx * n_pairs * 2
+                  // (n::HUGEINT * (n - 1)))::BIGINT
+            ELSE 0 END AS k_hat
+FROM stacked
+ORDER BY r
+"""

@@ -130,14 +130,35 @@ def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once, via hex-disk blocking at res 9 + one shuffled cell join +
     exact int64 verify. Exercises the t2 hot clusters (the three planted
     211/186/131-point spots produce the quadratic local pair mass a real
-    geo corpus has). Oracle: brute-force HUGEINT self theta-join."""
-    from jimmy_spark.operators import distjoin
+    geo corpus has). Oracle: brute-force HUGEINT self theta-join.
 
-    return distjoin.distance_join(_points(spark), d=DIST_JOIN_D, res=9)
+    r5: widened with the Ripley's K lane (kind='k',
+    operators/hotspot.ripleys_k) — the global point-pattern statistic
+    derived from the same pair semantics at three radii, exact integer
+    end to end, so the clustering *measure* and the pair *join* sit
+    behind one driver row."""
+    from jimmy_spark.operators import distjoin, hotspot
+
+    pairs = distjoin.distance_join(_points(spark), d=DIST_JOIN_D, res=9)
+    nul = F.lit(None).cast("long")
+    pair_lane = pairs.select(
+        F.lit("pair").alias("kind"), "a_id", "b_id", "dist2",
+        nul.alias("r"), nul.alias("n_pairs"), nul.alias("k_hat"),
+    )
+    k_lane = hotspot.ripleys_k(_points(spark), RIPLEY_RADII).select(
+        F.lit("k").alias("kind"),
+        F.lit(None).cast("string").alias("a_id"),
+        F.lit(None).cast("string").alias("b_id"),
+        nul.alias("dist2"),
+        "r", "n_pairs", "k_hat",
+    )
+    return pair_lane.unionByName(k_lane)
 
 
 # ~2.2 km; res 9 disk radius rings_needed(9, 20000) = 3 -> 37-cell fanout
 DIST_JOIN_D = 20_000
+# Ripley's K radii: the planted-cluster scale and two sub-scales
+RIPLEY_RADII = [5_000, 10_000, 20_000]
 
 
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,7 +525,16 @@ def _oracle_spatial() -> dict[str, str]:
             + ")"
         ),
         "knn": knn.duckdb_knn_sql(g, f"{t2}/knn_queries.parquet"),
-        "dist_join": distjoin.duckdb_dist_sql(g, DIST_JOIN_D),
+        "dist_join": (
+            "SELECT 'pair' AS kind, a_id, b_id, dist2, NULL::BIGINT AS r, "
+            "NULL::BIGINT AS n_pairs, NULL::BIGINT AS k_hat FROM ("
+            + distjoin.duckdb_dist_sql(g, DIST_JOIN_D)
+            + ") UNION ALL SELECT 'k' AS kind, NULL::VARCHAR AS a_id, "
+            "NULL::VARCHAR AS b_id, NULL::BIGINT AS dist2, r, n_pairs, "
+            "k_hat FROM ("
+            + hotspot_ops.duckdb_ripley_sql(g, RIPLEY_RADII)
+            + ")"
+        ),
         "cell_counts": hotspot_ops.duckdb_gi_sql(
             "SELECT hex_r8, count(*) AS cnt FROM ("
             + hexgrid.duckdb_hex_query(g, "image_id", "lat_e7", "lon_e7", (8,))

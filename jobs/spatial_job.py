@@ -142,6 +142,15 @@ def main() -> int:
         "write <out>/trajectory/matched (operators/mapmatch.py).",
     )
     ap.add_argument(
+        "--traj-sim-d",
+        type=int,
+        default=0,
+        help="with --tracks, when > 0 run the trajectory similarity join "
+        "at this discrete-Frechet distance (e7 units) and write "
+        "(a_track, b_track, frechet2, haus2) pairs to "
+        "<out>/trajectory/similar_pairs (operators/trajsim.py).",
+    )
+    ap.add_argument(
         "--contact-d",
         type=int,
         default=0,
@@ -381,6 +390,12 @@ def main() -> int:
         tj.segment_hulls(segged).write.mode("overwrite").parquet(
             f"{args.out}/trajectory/hulls"
         )
+        if args.traj_sim_d > 0:
+            from jimmy_spark.operators import trajsim
+
+            trajsim.frechet_join(segged, args.traj_sim_d).write.mode(
+                "overwrite"
+            ).parquet(f"{args.out}/trajectory/similar_pairs")
 
     if args.contact_d > 0 and (args.contacts or args.tracks):
         from jimmy_spark.operators import stjoin

@@ -148,3 +148,106 @@ def test_pure_jvm_plan(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def geohash_bounds_py(lat_e7: int, lon_e7: int, precision: int):
+    """Interval-halving twin, returning exact floor e7 bounds from its
+    own S-scaled interval endpoints (independent of the decode
+    formulation's quantize/shift arithmetic)."""
+    S = 1 << 60
+    lat_lo, lat_hi = -900_000_000 * S, 900_000_000 * S
+    lon_lo, lon_hi = -1_800_000_000 * S, 1_800_000_000 * S
+    lat, lon = lat_e7 * S, lon_e7 * S
+    nchars = 0
+    is_lon = True
+    nbits = 0
+    while nchars < precision:
+        if is_lon:
+            mid = (lon_lo + lon_hi) // 2
+            if lon >= mid:
+                lon_lo = mid
+            else:
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) // 2
+            if lat >= mid:
+                lat_lo = mid
+            else:
+                lat_hi = mid
+        is_lon = not is_lon
+        nbits += 1
+        if nbits == 5:
+            nchars += 1
+            nbits = 0
+    return lat_lo // S, lat_hi // S, lon_lo // S, lon_hi // S
+
+
+@pytest.mark.parametrize("precision", [2, 4, 8, 12])
+def test_decode_bounds_and_roundtrip(spark, precision):
+    rng = random.Random(31 + precision)
+    pts = [
+        (rng.randint(-900_000_000, 900_000_000),
+         rng.randint(-1_800_000_000, 1_800_000_000))
+        for _ in range(200)
+    ] + [(900_000_000, 1_800_000_000), (-900_000_000, -1_800_000_000)]
+    pdf = pd.DataFrame(pts, columns=["lat_e7", "lon_e7"])
+    g = gh.geohash_col(F.col("lat_e7"), F.col("lon_e7"), precision).alias("g")
+    df = spark.createDataFrame(pdf).select("lat_e7", "lon_e7", g)
+    lat_lo, lat_hi, lon_lo, lon_hi = gh.geohash_decode_cols(
+        F.col("g"), precision
+    )
+    # plan 1: encode + decode bounds (decode composed over the encoded
+    # string is fine; what must NOT share a plan is decode -> re-encode,
+    # per the geohash_decode_cols expression-size note)
+    out = df.select(
+        "lat_e7", "lon_e7", "g",
+        lat_lo.alias("lat_lo"), lat_hi.alias("lat_hi"),
+        lon_lo.alias("lon_lo"), lon_hi.alias("lon_hi"),
+    ).toPandas()
+    # plan 2 (post-materialization): the provably-interior representative
+    # (lo + 1, see the decode docstring) re-encodes to g
+    mids = out.assign(
+        rep_lat=out.lat_lo + 1,
+        rep_lon=out.lon_lo + 1,
+    )[["g", "rep_lat", "rep_lon"]]
+    re_enc = (
+        spark.createDataFrame(mids)
+        .select(
+            "g",
+            gh.geohash_col(
+                F.col("rep_lat"), F.col("rep_lon"), precision
+            ).alias("g_rep"),
+        )
+        .toPandas()
+    )
+    assert (re_enc.g_rep == re_enc.g).all()
+    for r in out.itertuples():
+        # bounds bit-exact vs the interval-halving twin's own endpoints
+        assert (r.lat_lo, r.lat_hi, r.lon_lo, r.lon_hi) == geohash_bounds_py(
+            r.lat_e7, r.lon_e7, precision
+        )
+        # containment: floor bounds are inclusive on both edges (x == hi
+        # is legitimate when the exact upper endpoint is fractional)
+        assert r.lat_lo <= r.lat_e7 <= r.lat_hi
+        assert r.lon_lo <= r.lon_e7 <= r.lon_hi
+        # sharpness: one past hi is always in the adjacent cell, whose
+        # lo equals this cell's hi (same for one below lo)
+        if r.lat_hi + 1 <= 900_000_000:
+            assert geohash_bounds_py(
+                r.lat_hi + 1, r.lon_e7, precision
+            )[0] == r.lat_hi
+        if r.lon_hi + 1 <= 1_800_000_000:
+            assert geohash_bounds_py(
+                r.lat_e7, r.lon_hi + 1, precision
+            )[2] == r.lon_hi
+        # one below lo is in a strictly lower cell (hi <= lo; equality
+        # not guaranteed — for cell widths < 2 (p12 lat) lo-1 can land
+        # two cells down)
+        if r.lat_lo - 1 >= -900_000_000:
+            assert geohash_bounds_py(
+                r.lat_lo - 1, r.lon_e7, precision
+            )[1] <= r.lat_lo
+        if r.lon_lo - 1 >= -1_800_000_000:
+            assert geohash_bounds_py(
+                r.lat_e7, r.lon_lo - 1, precision
+            )[3] <= r.lon_lo

@@ -757,3 +757,84 @@ def test_spark_submit_curate_job(spark, tmp_path):
     assert s1["rejected"] == {
         r: sum(1 for _, rr, _ in exp_rej if rr == r) for r in reasons
     }
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_traj_sim_stage(spark, t1_dir, tmp_path):
+    """--traj-sim-d through the real deployment path, on a planted
+    carpool fixture (the dispersed random-walk tables have no similar
+    pairs): job output == in-process frechet_join set-exactly, and the
+    lane is live (>= 3 pairs)."""
+    import random
+
+    import pandas as pd
+
+    sys.path.insert(0, str(REPO))
+    from scripts.make_pyfiles_zip import build
+
+    from jimmy_spark.operators import trajectory as tj
+    from jimmy_spark.operators import trajsim
+
+    rng = random.Random(17)
+    rows = []
+    ent = 0
+    for base in range(2):
+        ox0, oy0 = 10_000_000 + base * 50_000_000, -4_000_000
+        route = [
+            (ox0 + i * 8000 + rng.randint(-300, 300),
+             oy0 + i * 5000 + rng.randint(-300, 300))
+            for i in range(16)
+        ]
+        for _ in range(3):
+            sx, sy = rng.randint(-2500, 2500), rng.randint(-2500, 2500)
+            t = 1_700_000_000 + ent * 50_000
+            for i, (lon, lat) in enumerate(route):
+                rows.append(
+                    (ent, i, t + i * 60,
+                     lat + sy + rng.randint(-200, 200),
+                     lon + sx + rng.randint(-200, 200))
+                )
+            ent += 1
+    pdf = pd.DataFrame(
+        rows, columns=["entity_id", "seq", "epoch", "lat_e7", "lon_e7"]
+    )
+    tracks_path = tmp_path / "carpool.parquet"
+    tdf = spark.createDataFrame(pdf).selectExpr(
+        "entity_id", "seq", "timestamp_seconds(epoch) AS ts",
+        "lat_e7", "lon_e7",
+    )
+    tdf.write.mode("overwrite").parquet(str(tracks_path))
+
+    D = 50_000
+    zip_path = build(tmp_path / "jimmy_spark.zip")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zip_path),
+        str(REPO / "jobs" / "spatial_job.py"),
+        "--images", f"{t1_dir}/images.parquet",
+        "--polygons", f"{t1_dir}/polygons.parquet",
+        "--out", str(tmp_path / "out_ts"),
+        "--checkpoint", str(tmp_path / "cp_ts"),
+        "--run-id", "submit-trajsim",
+        "--buckets", "8",
+        "--tracks", str(tracks_path),
+        "--traj-sim-d", str(D),
+    ]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-3000:]
+    got = set(
+        duckdb.sql(
+            "SELECT a_track, b_track, frechet2, haus2 "
+            f"FROM '{tmp_path}/out_ts/trajectory/similar_pairs/*.parquet'"
+        ).fetchall()
+    )
+    want = {
+        (r["a_track"], r["b_track"], r["frechet2"], r["haus2"])
+        for r in trajsim.frechet_join(
+            tj.segment_tracks(spark.read.parquet(str(tracks_path))), D
+        ).collect()
+    }
+    assert got == want
+    assert len(got) >= 3  # each base: C(3,2) variant pairs
