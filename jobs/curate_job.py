@@ -6,9 +6,11 @@ The training-data curation pipeline over a geo-referenced image table,
 as ONE deployable job with per-stage outputs and a machine-readable
 stats line:
 
-  images -> decode + quality/content features + georef (checkpointed,
-  bucket-resumable via StageRunner: a crash mid-decode reprocesses only
-  uncommitted buckets)
+  images -> decode + quality ints + ALL THREE perceptual hashes
+  (aHash / dHash / DCT pHash, one Arrow crossing) + georef
+  (checkpointed, bucket-resumable via StageRunner: a crash mid-decode
+  reprocesses only uncommitted buckets; --scene-hash later picks a
+  column, never re-decodes)
          -> quality gate    (decode ok, sharpness >= --min-sharp,
                              clipped fraction <= --max-clip)
          -> exact dedup     (byte-identical files: md5 over the raw
@@ -64,6 +66,15 @@ def main() -> int:
     ap.add_argument("--scene-d", type=int, default=50_000)
     ap.add_argument("--hamming", type=int, default=6)
     ap.add_argument(
+        "--scene-hash", default="ahash",
+        choices=("ahash", "dhash", "phash_dct"),
+        help="perceptual hash gating the scene keep-best lane: aHash "
+        "(mean threshold), gradient dHash (tone-remap invariant), or the "
+        "exact-integer DCT pHash (retouch robust). The checkpointed "
+        "feature stage carries all three (one decode), so switching is a "
+        "column pick on resume, not a re-decode",
+    )
+    ap.add_argument(
         "--min-sharp", type=int, default=0,
         help="quality gate: variance-of-Laplacian sharpness (e3 fixed "
         "point) below this is rejected",
@@ -78,7 +89,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from jimmy_spark.operators import cells, imagedup, multimodal
+    from jimmy_spark.operators import cells, fingerprints, imagedup
     from jimmy_spark.sources.images import read_images
     from jimmy_spark.streaming.checkpoint import StageRunner
 
@@ -96,10 +107,13 @@ def main() -> int:
 
     def featurize(df):
         # per-row pure kernels (bucket-local, hence resumable): decode +
-        # quality/content features in one Arrow crossing, georef + the
-        # exact-byte md5 as JVM expressions on the same pass
-        feats = multimodal.image_features(df).select(
-            "image_id", "ok", "ahash", "sharp_e3", "clip_e3"
+        # quality ints + ALL THREE perceptual hashes in one Arrow
+        # crossing (operators/fingerprints.curation_features — the
+        # --scene-hash choice is then a column pick, never a re-decode),
+        # georef + the exact-byte md5 as JVM expressions on the same pass
+        feats = fingerprints.curation_features(df).select(
+            "image_id", "ok", "ahash", "dhash", "phash_dct",
+            "sharp_e3", "clip_e3",
         )
         ident = cells.with_georef(df.select("image_id", "phash", "bytes")).select(
             "image_id", "lat_e7", "lon_e7", F.md5("bytes").alias("content_md5")
@@ -149,6 +163,7 @@ def main() -> int:
         uniq,
         d=args.scene_d,
         threshold=args.hamming,
+        hash_col=args.scene_hash,
         num_id=F.substring("image_id", 5, 12).cast("long"),
     )
     labels.write.mode("overwrite").parquet(f"{args.out}/keep_best")
