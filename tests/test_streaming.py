@@ -507,3 +507,108 @@ class TestKeepBestStream:
         assert by_id["img_999000000001"][1]
         assert not by_id[victim][1]
         assert by_id[victim][0] == by_id["img_999000000001"][0]
+
+
+class TestHeatTileStream:
+    """Continuous heat-tile maintenance (streaming/raster.py): pixel
+    counts are a monoid, so per-batch deltas fold exactly — after any
+    number of micro-batches the latest tile set equals the batch
+    render_heat_tiles over all points, BYTE-for-byte — and each batch
+    writes only the tiles its own points dirtied."""
+
+    SRC_SCHEMA = "image_id string, lat_e7 long, lon_e7 long"
+    ZOOM = 5
+
+    @staticmethod
+    def _pts(spark, t2_dir):
+        from jimmy_spark.operators import cells
+
+        imgs = spark.read.parquet(f"{t2_dir}/images.parquet")
+        return (
+            cells.with_georef(imgs.select("image_id", "phash"))
+            .select("image_id", "lat_e7", "lon_e7")
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+
+    @staticmethod
+    def _tile_bytes(df):
+        return {
+            (r.z, r.x, r.y): (r.n_points, r.max_count, bytes(r.png))
+            for r in df.collect()
+        }
+
+    def _wave_tiles(self, spark, pdf):
+        from jimmy_spark.streaming.raster import _delta_counts
+
+        return {
+            (r.x, r.y)
+            for r in _delta_counts(
+                spark.createDataFrame(pdf), self.ZOOM, "lat_e7", "lon_e7"
+            )
+            .select("x", "y")
+            .distinct()
+            .collect()
+        }
+
+    def test_stream_equals_batch_and_touches_only_dirty(
+        self, spark, t2_dir, tmp_path
+    ):
+        from jimmy_spark.operators import raster
+        from jimmy_spark.streaming import raster as sraster
+
+        pdf = self._pts(spark, t2_dir)
+        west = pdf[pdf["lon_e7"] < 0].reset_index(drop=True)
+        east = pdf[pdf["lon_e7"] >= 0].reset_index(drop=True)
+        redo = west.iloc[:100].reset_index(drop=True)  # re-dirties west tiles
+        waves = [west, east, redo]
+        src = tmp_path / "pts"
+        src.mkdir()
+        for i, w in enumerate(waves):
+            w.to_parquet(src / f"w{i}.parquet")
+        out, cp = str(tmp_path / "heat"), str(tmp_path / "cp")
+        sraster.run_heat_tile_stream(
+            spark, str(src), self.SRC_SCHEMA, out, cp, zoom=self.ZOOM,
+            max_files_per_trigger=1,
+        )
+
+        # exactness: latest-per-tile == batch render over ALL points seen
+        # (redo points counted twice — they arrived twice), tile BYTES equal
+        all_pdf = pd.concat([west, east, redo], ignore_index=True)
+        got = self._tile_bytes(sraster.latest_heat_tiles(spark, out))
+        exp = self._tile_bytes(
+            raster.render_heat_tiles(spark.createDataFrame(all_pdf), self.ZOOM)
+        )
+        assert got == exp and len(exp) > 4
+
+        # dirty-only writes: each batch dir's tile set is exactly the tile
+        # set of ONE wave's own points (order-independent bijection) — no
+        # batch ever rewrites the world
+        ids = sraster._state_ids(f"{out}/counts")
+        assert len(ids) == 3
+        dir_sets = []
+        for i in ids:
+            cdf = spark.read.parquet(f"{out}/counts/b={i}")
+            dir_sets.append({(r.x, r.y) for r in cdf.select("x", "y").distinct().collect()})
+        wave_sets = [self._wave_tiles(spark, w) for w in waves]
+        unmatched = list(range(3))
+        for ds in dir_sets:
+            hit = next(j for j in unmatched if wave_sets[j] == ds)
+            unmatched.remove(hit)
+        assert not unmatched
+        # the redo wave strictly re-rendered a subset, not everything
+        assert min(len(s) for s in dir_sets) < len(exp)
+
+        # nothing new: no-op (no new batch dirs)
+        sraster.run_heat_tile_stream(
+            spark, str(src), self.SRC_SCHEMA, out, cp, zoom=self.ZOOM,
+            max_files_per_trigger=1,
+        )
+        assert sraster._state_ids(f"{out}/counts") == ids
+
+        # compaction: observationally a no-op, state folded to one dir
+        sraster.compact_state(spark, out)
+        assert len(sraster._state_ids(f"{out}/counts")) == 1
+        assert len(sraster._state_ids(f"{out}/tiles")) == 1
+        assert self._tile_bytes(sraster.latest_heat_tiles(spark, out)) == exp
