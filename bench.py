@@ -531,6 +531,14 @@ def _trajectory_bench() -> dict[str, float]:
                         F.col("n_trips").alias("n"),
                     )
                 )
+                .unionByName(
+                    # r5: exact-integer resampling joins the family —
+                    # ~2x the ping count in interpolated rows at the
+                    # 30s step over the 60-90s cadence
+                    tj.resample_tracks(segged).select(
+                        "entity_id", F.col("e").alias("n")
+                    )
+                )
             )
             t = time.monotonic()
             fam.count()

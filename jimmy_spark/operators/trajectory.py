@@ -165,6 +165,82 @@ def od_matrix(stats: DataFrame) -> DataFrame:
     )
 
 
+RESAMPLE_STEP_S = 30  # resampling cadence (datagen pings arrive at 60-90s)
+
+# coordinate shifts making interpolation numerators non-negative so the
+# engines' integer divisions agree (Spark `div` truncates toward zero,
+# DuckDB `//` floors — equal only for non-negative numerators; the same
+# discipline as distjoin's +2e9 grid shift)
+_SHIFT_LAT = 900_000_000
+_SHIFT_LON = 1_800_000_000
+
+
+def resample_tracks(
+    segged: DataFrame, step_s: int = RESAMPLE_STEP_S
+) -> DataFrame:
+    """(entity_id, seg_seq, e, r_lat, r_lon): the entity's position at
+    every step-aligned epoch (``e % step_s == 0``) covered by each
+    segment, linearly interpolated between the bracketing pings — the
+    alignment operator that puts every entity on one shared clock (the
+    prerequisite for cross-entity joins at matching timestamps, cadence
+    normalization across heterogeneous feeds, and fixed-rate model
+    inputs).
+
+    EXACT INTEGER: the interpolated coordinate is
+    ``(shift(p0)*(t1-e) + shift(p1)*(e-t0)) div (t1-t0) - shift`` — both
+    weights are non-negative and the shift makes both coordinates
+    non-negative, so the truncating/flooring division split between the
+    engines cannot diverge, and results are bit-stable everywhere.
+    Headroom: shifted lon < 2^32 and (t1-e)+(e-t0) = t1-t0 <= gap_s (a
+    larger gap opens a new segment), so the numerator is < 2^32 * gap_s
+    — int64-safe for any sane gap. Epoch ownership is half-open
+    [t0, t1) per consecutive-ping interval (the segment's last ping owns
+    only its own epoch, emitted exactly when aligned), so each aligned
+    epoch is produced exactly once per segment.
+
+    Scale shape: one lead() over the (entity, seg) window the segment
+    family already pays, then a pure projection — the sequence explode
+    fans out by at most gap_s/step_s per ping and never reshuffles.
+    """
+    w = Window.partitionBy("entity_id", "seg_seq").orderBy("seq")
+    t0 = _epoch(F.col("ts"))
+    base = segged.select(
+        "entity_id",
+        "seg_seq",
+        t0.alias("t0"),
+        F.lead(t0).over(w).alias("t1"),
+        "lat_e7",
+        "lon_e7",
+        F.lead("lat_e7").over(w).alias("nlat"),
+        F.lead("lon_e7").over(w).alias("nlon"),
+    )
+    e0 = F.expr(f"((t0 + {step_s - 1}) div {step_s}) * {step_s}")
+    hi = F.coalesce(F.col("t1") - 1, F.col("t0"))
+    epochs = F.when(
+        e0 <= hi, F.sequence(e0, hi, F.lit(step_s))
+    ).otherwise(F.array().cast("array<long>"))
+    ex = base.select(
+        "entity_id", "seg_seq", "t0", "t1", "lat_e7", "lon_e7",
+        "nlat", "nlon", F.explode(epochs).alias("e"),
+    )
+
+    def interp(p0: str, p1: str, shift: int):
+        return F.when(F.col("t1").isNull(), F.col(p0)).otherwise(
+            F.expr(
+                f"(({p0} + {shift}) * (t1 - e) + ({p1} + {shift}) * (e - t0))"
+                f" div (t1 - t0) - {shift}"
+            )
+        )
+
+    return ex.select(
+        "entity_id",
+        "seg_seq",
+        "e",
+        interp("lat_e7", "nlat", _SHIFT_LAT).alias("r_lat"),
+        interp("lon_e7", "nlon", _SHIFT_LON).alias("r_lon"),
+    )
+
+
 SIMPLIFY_EPS_E7 = 20_000  # simplification tolerance (~2.2 km)
 
 
@@ -328,6 +404,50 @@ SELECT e.entity_id, e.seg_seq, e.n_pings, e.t_start, e.t_end, e.path_len,
 FROM ({ends}) e
 JOIN ({o_hex}) o USING (entity_id, seg_seq)
 JOIN ({d_hex}) d USING (entity_id, seg_seq)
+"""
+
+
+def duckdb_resample_sql(
+    tracks_rel: str,
+    step_s: int = RESAMPLE_STEP_S,
+    gap_s: int = GAP_S,
+    jump_e7: int = JUMP_E7,
+) -> str:
+    """Independent twin of ``resample_tracks``: same half-open epoch
+    ownership via a lateral generate_series, same shifted non-negative
+    interpolation (DuckDB ``//`` floors, Spark ``div`` truncates — equal
+    on the non-negative numerators the shift guarantees)."""
+    seg = _duckdb_segged_sql(tracks_rel, gap_s, jump_e7)
+    return f"""
+WITH p AS (
+  SELECT entity_id, seg_seq, floor(epoch(ts))::BIGINT AS t0, lat_e7, lon_e7,
+         lead(floor(epoch(ts))::BIGINT) OVER w AS t1,
+         lead(lat_e7) OVER w AS nlat, lead(lon_e7) OVER w AS nlon
+  FROM ({seg})
+  WINDOW w AS (PARTITION BY entity_id, seg_seq ORDER BY seq)
+), g AS (
+  SELECT *, ((t0 + {step_s - 1}) // {step_s}) * {step_s} AS e0,
+         CASE WHEN t1 IS NULL THEN t0 ELSE t1 - 1 END AS hi
+  FROM p
+), x AS (
+  -- scalar-range unnest: DuckDB's table-function range rejects lateral
+  -- column parameters, and both series functions error (not empty) on
+  -- start > stop, hence the CASE guard
+  SELECT entity_id, seg_seq, t0, t1, lat_e7, lon_e7, nlat, nlon,
+         unnest(CASE WHEN hi >= e0 THEN range(e0, hi + 1, {step_s})
+                     ELSE CAST([] AS BIGINT[]) END) AS e
+  FROM g
+)
+SELECT entity_id, seg_seq, e,
+       CASE WHEN t1 IS NULL THEN lat_e7
+            ELSE ((lat_e7 + {_SHIFT_LAT}) * (t1 - e)
+                  + (nlat + {_SHIFT_LAT}) * (e - t0)) // (t1 - t0)
+                 - {_SHIFT_LAT} END AS r_lat,
+       CASE WHEN t1 IS NULL THEN lon_e7
+            ELSE ((lon_e7 + {_SHIFT_LON}) * (t1 - e)
+                  + (nlon + {_SHIFT_LON}) * (e - t0)) // (t1 - t0)
+                 - {_SHIFT_LON} END AS r_lon
+FROM x
 """
 
 

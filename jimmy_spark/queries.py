@@ -1936,7 +1936,11 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anchored zone set: n = pings in the visit, t_start/t_end =
     enter/exit, path_len = dwell seconds, o_cell = numeric zone id,
     d_cell = first in-zone seq, c_lat = last in-zone seq, session_seq =
-    the per-(entity, zone) visit ordinal."""
+    the per-(entity, zone) visit ordinal. 'resample' (r5) = exact-integer
+    track resampling (operators/trajectory.resample_tracks): the entity's
+    interpolated position at every step-aligned epoch a segment covers —
+    t_start/t_end = the epoch, c_lat/c_lon = the interpolated
+    coordinates, session_seq = seg_seq."""
     from jimmy_spark.datagen import (
         ensure_contacts,
         ensure_roads,
@@ -2030,10 +2034,21 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_last").alias("c_lat"),
         nul.alias("c_lon"),
     )
+    ets = F.col("e").cast("timestamp_ltz").cast("timestamp_ntz")
+    resample = tj.resample_tracks(segged).select(
+        F.lit("resample").alias("kind"),
+        "entity_id",
+        F.col("seg_seq").alias("session_seq"),
+        nul.alias("n"),
+        ets.alias("t_start"),
+        ets.alias("t_end"),
+        nul.alias("path_len"), nul.alias("o_cell"), nul.alias("d_cell"),
+        F.col("r_lat").alias("c_lat"), F.col("r_lon").alias("c_lon"),
+    )
     return (
         evt.unionByName(track).unionByName(stay).unionByName(od)
         .unionByName(match).unionByName(st).unionByName(convoy)
-        .unionByName(fence)
+        .unionByName(fence).unionByName(resample)
     )
 
 
@@ -2171,6 +2186,14 @@ SELECT 'fence' AS kind, entity_id, visit_seq AS session_seq,
        CAST(regexp_extract(zone_id, '([0-9]+)$', 1) AS BIGINT) AS o_cell,
        seq_first AS d_cell, seq_last AS c_lat, NULL::BIGINT AS c_lon
 FROM ({geofence.duckdb_visits_sql(f"'{contacts_path}'", zones_path)})
+UNION ALL
+SELECT 'resample' AS kind, entity_id, seg_seq AS session_seq,
+       NULL::BIGINT AS n,
+       make_timestamp(e * 1000000) AS t_start,
+       make_timestamp(e * 1000000) AS t_end,
+       NULL::BIGINT AS path_len, NULL::BIGINT AS o_cell,
+       NULL::BIGINT AS d_cell, r_lat AS c_lat, r_lon AS c_lon
+FROM ({trajectory.duckdb_resample_sql(f"'{tracks_path}'")})
 """,
         # batch and stream compute the same result by construction, so the
         # oracle states the stream columns as duplicates of the batch ones;

@@ -524,3 +524,93 @@ class TestMatchStream:
             for r, _, fs in os.walk(out) for f in fs
         )
         assert before == after
+
+
+class TestResample:
+    """Exact-integer track resampling (resample_tracks): per-segment
+    interpolated positions at step-aligned epochs. Oracles: an
+    INDEPENDENT Fraction-exact pure-Python twin (rational interpolation
+    floored, no shift trick), the DuckDB SQL twin (the driver-gate
+    formulation), and the alignment/coverage/exactness invariants."""
+
+    STEP = 30
+
+    @pytest.fixture(scope="class")
+    def resampled(self, spark, segged):
+        rows = tj.resample_tracks(segged, step_s=self.STEP).collect()
+        return {
+            (r.entity_id, r.seg_seq, r.e): (r.r_lat, r.r_lon) for r in rows
+        }
+
+    @pytest.fixture(scope="class")
+    def seg_pings(self, segged):
+        by_seg = {}
+        for r in segged.select(
+            "entity_id", "seg_seq", "seq",
+            F.col("ts").cast("timestamp_ltz").cast("long").alias("t"),
+            "lat_e7", "lon_e7",
+        ).collect():
+            by_seg.setdefault((r.entity_id, r.seg_seq), []).append(
+                (r.seq, r.t, r.lat_e7, r.lon_e7)
+            )
+        for v in by_seg.values():
+            v.sort()
+        return by_seg
+
+    def test_matches_fraction_exact_twin(self, resampled, seg_pings):
+        from fractions import Fraction
+        from math import floor
+
+        exp = {}
+        for (ent, seg), pings in seg_pings.items():
+            for (_, t0, la0, lo0), (_, t1, la1, lo1) in zip(pings, pings[1:]):
+                e = ((t0 + self.STEP - 1) // self.STEP) * self.STEP
+                while e < t1:
+                    la = floor(Fraction(la0 * (t1 - e) + la1 * (e - t0), t1 - t0))
+                    lo = floor(Fraction(lo0 * (t1 - e) + lo1 * (e - t0), t1 - t0))
+                    exp[(ent, seg, e)] = (la, lo)
+                    e += self.STEP
+            _, tn, lan, lon_ = pings[-1][0], *pings[-1][1:]
+            if tn % self.STEP == 0:
+                exp[(ent, seg, tn)] = (lan, lon_)
+        assert resampled == exp and len(exp) > 1000
+
+    def test_matches_duckdb_twin(self, resampled, tracks_path):
+        exp = {
+            (r[0], r[1], r[2]): (r[3], r[4])
+            for r in duckdb.sql(
+                tj.duckdb_resample_sql(f"'{tracks_path}'", step_s=self.STEP)
+            ).fetchall()
+        }
+        assert resampled == exp
+
+    def test_alignment_coverage_and_ping_exactness(self, resampled, seg_pings):
+        # every epoch step-aligned; per segment the aligned epochs in
+        # [t_first, t_last] are covered exactly once, none outside
+        for (ent, seg), pings in seg_pings.items():
+            t_first, t_last = pings[0][1], pings[-1][1]
+            got_e = sorted(
+                e for (en, sg, e) in resampled if (en, sg) == (ent, seg)
+            )
+            lo = ((t_first + self.STEP - 1) // self.STEP) * self.STEP
+            want = list(range(lo, t_last + 1, self.STEP))
+            assert got_e == want
+            # an aligned epoch hitting a ping exactly returns that ping's
+            # coordinates bit-exactly; all positions stay inside the
+            # segment's coordinate envelope (convexity + integer floor)
+            lats = [p[2] for p in pings]
+            lons = [p[3] for p in pings]
+            for (_, t, la, lo_) in pings:
+                if t % self.STEP == 0:
+                    assert resampled[(ent, seg, t)] == (la, lo_)
+            for e in got_e:
+                rl, rn = resampled[(ent, seg, e)]
+                assert min(lats) <= rl <= max(lats)
+                assert min(lons) <= rn <= max(lons)
+
+    def test_partitioning_invariance(self, spark, segged, resampled):
+        rows = tj.resample_tracks(
+            segged.repartition(13), step_s=self.STEP
+        ).collect()
+        got = {(r.entity_id, r.seg_seq, r.e): (r.r_lat, r.r_lon) for r in rows}
+        assert got == resampled
