@@ -387,6 +387,9 @@ def main() -> int:
         tj.simplify_tracks(segged).write.mode("overwrite").parquet(
             f"{args.out}/trajectory/simplified"
         )
+        tj.resample_tracks(segged).write.mode("overwrite").parquet(
+            f"{args.out}/trajectory/resampled"
+        )
         tj.segment_hulls(segged).write.mode("overwrite").parquet(
             f"{args.out}/trajectory/hulls"
         )

@@ -283,6 +283,16 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         f"(SELECT count(*) FROM '{tracks_path}')"
     ).fetchone()
     assert 0 < n_simp < n_raw
+    exp_rs = duckdb.sql(
+        _tj.duckdb_resample_sql(f"'{tracks_path}'")
+        + " ORDER BY entity_id, seg_seq, e"
+    ).fetchall()
+    got_rs = duckdb.sql(
+        "SELECT entity_id, seg_seq, e, r_lat, r_lon "
+        f"FROM '{tmp_path}/out_an/trajectory/resampled/*.parquet' "
+        "ORDER BY entity_id, seg_seq, e"
+    ).fetchall()
+    assert got_rs == exp_rs and len(got_rs) > 0
     # s2 covering: compaction of the job's own l16 set matches the
     # DuckDB ladder twin and round-trips to the same leaf set
     from jimmy_spark.operators import s2cover as _s2c
