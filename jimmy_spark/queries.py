@@ -750,8 +750,12 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the KMV distinct-count sketch of the corpus vocabulary
     (operators/sketch.py — a mergeable per-partition-top-k sketch whose
     estimator is a deterministic function of the data, so it sits behind
-    the exact hash gate; accuracy pinned vs the true count in pytest)."""
-    from jimmy_spark.operators import sketch
+    the exact hash gate; accuracy pinned vs the true count in pytest),
+    plus EXACT doc-length p50/p90 via the two-stage integer-domain
+    quantile operator (operators/quantiles.py — order statistics with no
+    whole-group sort; the oracle states the same rank as an explicit
+    row_number selection)."""
+    from jimmy_spark.operators import quantiles, sketch
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.agg(
@@ -763,7 +767,19 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("v")
     )
-    return base.crossJoin(sketch.kmv_distinct(toks, "v"))
+    qrows = quantiles.group_quantiles(
+        docs.select(F.lit(1).alias("_g"), "n_chars"),
+        ["_g"], "n_chars", qs=(0.5, 0.9),
+    )
+    qcols = qrows.agg(
+        F.max(F.when(F.col("q_milli") == 500, F.col("n_chars"))).alias(
+            "chars_p50"
+        ),
+        F.max(F.when(F.col("q_milli") == 900, F.col("n_chars"))).alias(
+            "chars_p90"
+        ),
+    )
+    return base.crossJoin(sketch.kmv_distinct(toks, "v")).crossJoin(qcols)
 
 
 def q_select_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1011,13 +1027,18 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_generic() -> dict[str, str]:
+    from jimmy_spark.operators import quantiles as _quantiles
     from jimmy_spark.operators import sketch as _sketch
 
+    _qsql = _quantiles.duckdb_group_quantiles_sql(
+        "(SELECT 1 AS _g, n_chars FROM documents)",
+        ["_g"], "n_chars", qs=(0.5, 0.9),
+    )
     return {
         # sum()::BIGINT — DuckDB sum(int) is HUGEINT -> pandas float64,
         # which would hash-mismatch Spark's int64 despite equal values
         "stats_agg": (
-            "SELECT b.*, s.* FROM ("
+            "SELECT b.*, s.*, qq.* FROM ("
             "SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
             "count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources "
             "FROM documents) b CROSS JOIN ("
@@ -1025,7 +1046,10 @@ def _oracle_generic() -> dict[str, str]:
                 "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) "
                 "AS v FROM documents"
             )
-            + ") s"
+            + ") s CROSS JOIN ("
+            "SELECT max(CASE WHEN q_milli = 500 THEN n_chars END) AS chars_p50, "
+            "max(CASE WHEN q_milli = 900 THEN n_chars END) AS chars_p90 "
+            f"FROM ({_qsql})) qq"
         ),
         "select_filters": (
             "SELECT doc_id, lang, source, unnest(list_filter(list_distinct("
