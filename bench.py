@@ -764,7 +764,16 @@ def _write_report(
         "`dedup_job`, `convert_job`, and `curate_job` (1M-row curate "
         "dataset, all four rejection lanes live) are COMPOSED deployable "
         "jobs timed end-to-end through real spark-submit --py-files (JVM "
-        "startup included), not single registry queries:",
+        "startup included), not single registry queries. Lane-content "
+        "shifts, not regressions: from run 45 the curate feature stage "
+        "computes all THREE perceptual hashes (aHash/dHash/DCT pHash, "
+        "~123us/row measured for the added two) so `--scene-hash` is a "
+        "column pick on resume (70.5 -> 76.0s bought that without a "
+        "second decode); from run 46 `stats_agg` also computes exact "
+        "corpus p50/p90 (operators/quantiles.py, 0.7 -> 1.15s for the two "
+        "extra pruned scans) and `trajectory_family` includes the "
+        "step-aligned resample lane (~2x the ping count in interpolated "
+        "rows):",
         "",
         "| query | sec |",
         "| --- | --- |",
