@@ -52,6 +52,14 @@ def group_quantiles(
     NULL values are excluded (order statistics over present values —
     both twins filter identically). Negative values are fine: the
     bucket uses a floor shift so bucket order matches value order.
+
+    Scan accounting (the ordered_rank stance — trees, not DAGs, and no
+    cache/persist dependency inside the operator): the counts subtree
+    is planned twice (under the stage-3 prune and under the final
+    residual-rank join) plus the pruned resolve scan — three
+    column-pruned, map-side-combined passes total, a constant factor a
+    caller can collapse to two by persisting this function's inputs or
+    the returned frame's `targets` lineage if the source scan dominates.
     """
     if not qs or any(not 0 < q <= 1 for q in qs):
         raise ValueError(f"qs must be in (0, 1], got {qs}")
@@ -76,22 +84,24 @@ def group_quantiles(
         "_before", F.coalesce(F.sum("_n").over(wcum), F.lit(0))
     )
     # one row per (group, q) whose target rank falls inside this bucket;
-    # residual rank is 1-based within the bucket
-    targets = None
-    for q in qs:
-        # r = ceil(q*n) in PURE INTEGER milli arithmetic: float q*n is a
-        # trap (0.9 * 10 = 9.000000000000002 -> ceil 10, off by one)
-        qm = int(round(q * 1000))
-        r = F.expr(f"({qm} * _tot + 999) div 1000")
-        t = located.filter(
-            (F.col("_before") < r) & (r <= F.col("_before") + F.col("_n"))
-        ).select(
+    # residual rank is 1-based within the bucket. All qs ride ONE explode
+    # over the tiny located frame — a per-q union would make Catalyst
+    # re-plan the counts subtree (trees, not DAGs), re-scanning the
+    # source once per quantile. r = ceil(q*n) in PURE INTEGER milli
+    # arithmetic: float q*n is a trap (0.9 * 10 = 9.000000000000002 ->
+    # ceil 10, off by one).
+    qarr = F.array(*[F.lit(int(round(q * 1000))) for q in qs])
+    r = F.expr("(q_milli * _tot + 999) div 1000")
+    targets = (
+        located.withColumn("q_milli", F.explode(qarr))
+        .filter((F.col("_before") < r) & (r <= F.col("_before") + F.col("_n")))
+        .select(
             *group_cols,
             "_bkt",
-            F.lit(qm).alias("q_milli"),
+            "q_milli",
             (r - F.col("_before")).alias("_lrank"),
         )
-        targets = t if targets is None else targets.unionByName(t)
+    )
 
     # resolve inside target buckets only: value-level counts are bounded
     # by W distinct values per bucket no matter how many rows sit there
