@@ -463,3 +463,38 @@ def test_heat_pyramid_materializes_finest_frame_once(spark, images):
     # from earlier tests in the session can be plan-matched into the
     # build subtree, nesting additional InMemoryTableScan nodes.
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_group_quantiles_scans_bounded_and_windows_over_aggregates(spark, t1_dir):
+    """The quantile operator's scale contract: requesting MORE quantiles
+    must not add source scans (all qs ride one explode over the located
+    frame — a per-q union would re-plan the counts subtree per q), the
+    scan count stays at the documented three column-pruned passes, and
+    every Window in the plan sits above an Aggregate (cumulative sums
+    over counts frames), never over raw rows."""
+    from jimmy_spark.operators import quantiles as qt
+
+    images = spark.read.parquet(f"{t1_dir}/images.parquet")
+    src = images.select("fmt", "phash")
+
+    def n_scans(plan: str) -> int:
+        return plan.count("Scan parquet")
+
+    p2 = _plan(qt.group_quantiles(src, ["fmt"], "phash", qs=(0.5, 0.9)))
+    p4 = _plan(
+        qt.group_quantiles(src, ["fmt"], "phash", qs=(0.1, 0.5, 0.9, 1.0))
+    )
+    assert n_scans(p2) == n_scans(p4) == 3
+    # bytes never read — the scans prune to the key/value columns
+    for part in p2.split("ReadSchema:")[1:]:
+        assert "bytes" not in part.splitlines()[0]
+    # the cumulative locate/resolve windows exist, their COUNT does not
+    # grow with |qs| (they run over counts frames the explode multiplies,
+    # not per-q re-plans), and every window partitions on the bucket keys
+    # (no global single-reducer window over raw rows)
+    assert 0 < p2.count("Window ") == p4.count("Window ")
+    for plan in (p2, p4):
+        specs = plan.split("windowspecdefinition(")[1:]
+        assert specs
+        for c in specs:
+            assert c.split(",")[0].startswith("fmt")
