@@ -127,6 +127,65 @@ def group_quantiles(
     )
 
 
+def group_quantiles_from_counts(
+    hist: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    n_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    bucket_w: int = DEFAULT_BUCKET_W,
+) -> DataFrame:
+    """``group_quantiles`` over a pre-aggregated value HISTOGRAM
+    (group_cols..., val_col, n_col) — the monoid form a streaming state
+    or a rollup naturally holds. Rows may repeat a (group, value) pair
+    (e.g. unfolded state deltas); counts sum. Same rank definition,
+    same output schema, and differential-equal to the raw-row operator
+    on the histogram of its input (tests/test_quantiles.py)."""
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    shift = 1 << 40
+    vals = hist.select(
+        *group_cols, F.col(val_col).alias("_v"), F.col(n_col).alias("_hn")
+    ).where(F.col("_v").isNotNull())
+    bkt = F.expr(f"(_v + {shift}) div {bucket_w}")
+    counts = (
+        vals.withColumn("_bkt", bkt)
+        .groupBy(*group_cols, "_bkt")
+        .agg(F.sum("_hn").alias("_n"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    wcum = wg.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    located = counts.withColumn("_tot", F.sum("_n").over(wg)).withColumn(
+        "_before", F.coalesce(F.sum("_n").over(wcum), F.lit(0))
+    )
+    qarr = F.array(*[F.lit(int(round(q * 1000))) for q in qs])
+    r = F.expr("(q_milli * _tot + 999) div 1000")
+    targets = (
+        located.withColumn("q_milli", F.explode(qarr))
+        .filter((F.col("_before") < r) & (r <= F.col("_before") + F.col("_n")))
+        .select(
+            *group_cols, "_bkt", "q_milli", (r - F.col("_before")).alias("_lrank")
+        )
+    )
+    pruned = vals.withColumn("_bkt", bkt).join(
+        targets.select(*group_cols, "_bkt").distinct(), [*group_cols, "_bkt"]
+    )
+    vcounts = pruned.groupBy(*group_cols, "_bkt", "_v").agg(
+        F.sum("_hn").alias("_vn")
+    )
+    wv = Window.partitionBy(*group_cols, "_bkt").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    vcum = vcounts.withColumn(
+        "_vbefore", F.coalesce(F.sum("_vn").over(wv), F.lit(0))
+    )
+    out = targets.join(vcum, [*group_cols, "_bkt"]).filter(
+        (F.col("_vbefore") < F.col("_lrank"))
+        & (F.col("_lrank") <= F.col("_vbefore") + F.col("_vn"))
+    )
+    return out.select(*group_cols, "q_milli", F.col("_v").alias(val_col))
+
+
 def duckdb_group_quantiles_sql(
     rel: str, group_cols: list[str], val_col: str,
     qs: tuple[float, ...] = (0.5, 0.9),

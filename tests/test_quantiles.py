@@ -123,3 +123,22 @@ def test_rejects_bad_q(spark, fixture_pdf):
         qt.group_quantiles(df, ["g"], "v", qs=(0.0,))
     with pytest.raises(ValueError):
         qt.group_quantiles(df, ["g"], "v", qs=())
+
+
+def test_from_counts_equals_raw_row_operator(spark, fixture_pdf, result):
+    # the histogram-input variant (the streaming state form) resolves
+    # identically to the raw-row operator, including duplicated
+    # (group, value) rows whose counts must sum
+    hist = (
+        fixture_pdf.dropna(subset=["v"])
+        .groupby(["g", "v"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    half = hist.copy()
+    half["n"] = half["n"] - (half["n"] + 1) // 2
+    hist["n"] = (hist["n"] + 1) // 2
+    split = pd.concat([hist, half[half["n"] > 0]], ignore_index=True)
+    df = spark.createDataFrame(split.astype({"v": "int64", "n": "int64"}))
+    got = qt.group_quantiles_from_counts(df, ["g"], "v", "n", qs=QS)
+    assert {(r.g, r.q_milli, r.v) for r in got.collect()} == result

@@ -612,3 +612,97 @@ class TestHeatTileStream:
         assert len(sraster._state_ids(f"{out}/counts")) == 1
         assert len(sraster._state_ids(f"{out}/tiles")) == 1
         assert self._tile_bytes(sraster.latest_heat_tiles(spark, out)) == exp
+
+
+class TestQuantileStream:
+    """Continuous exact-quantile maintenance (streaming/stats.py):
+    per-(group, value) counts are a monoid, so folded histogram state is
+    exactly the histogram of every row seen — after any number of
+    micro-batches the latest quantile table equals the batch operator,
+    and each batch writes only the groups its own rows touched."""
+
+    SRC_SCHEMA = "g string, v long"
+    QS = (0.5, 0.9)
+
+    def test_stream_equals_batch_and_touches_only_dirty(self, spark, tmp_path):
+        import numpy as np
+
+        from jimmy_spark.operators import quantiles as qt
+        from jimmy_spark.streaming import stats as sstats
+
+        rng = np.random.default_rng(41)
+        pdf = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c", "d"], 6000),
+                "v": rng.integers(-(10 ** 6), 10 ** 6, 6000),
+            }
+        )
+        # wave 2 touches only groups a/b; c/d histograms must survive
+        # untouched through the latest-per-group fold
+        waves = [
+            pdf.iloc[:2500],
+            pdf.iloc[2500:5000],
+            pdf.iloc[5000:][pdf.iloc[5000:]["g"].isin(["a", "b"])],
+        ]
+        src = tmp_path / "rows"
+        src.mkdir()
+        for i, w in enumerate(waves):
+            w.reset_index(drop=True).to_parquet(src / f"w{i}.parquet")
+        out, cp = str(tmp_path / "qs"), str(tmp_path / "cp")
+        sstats.run_quantile_stream(
+            spark, str(src), self.SRC_SCHEMA, ["g"], "v", out, cp,
+            qs=self.QS, max_files_per_trigger=1,
+        )
+
+        all_pdf = pd.concat(waves, ignore_index=True)
+        exp = {
+            (r.g, r.q_milli, r.v)
+            for r in qt.group_quantiles(
+                spark.createDataFrame(all_pdf), ["g"], "v", qs=self.QS
+            ).collect()
+        }
+        got = {
+            (r.g, r.q_milli, r.v)
+            for r in sstats.latest_quantiles(spark, out, ["g"]).collect()
+        }
+        assert got == exp and len(exp) == 4 * len(self.QS)
+
+        # dirty-only writes: each batch dir's group set equals exactly
+        # one wave's own group set (order-independent bijection)
+        ids = sstats._state_ids(f"{out}/hist")
+        assert len(ids) == 3
+        dir_sets = [
+            {
+                r.g
+                for r in spark.read.parquet(f"{out}/hist/b={i}")
+                .select("g").distinct().collect()
+            }
+            for i in ids
+        ]
+        wave_sets = [set(w["g"].unique()) for w in waves]
+        unmatched = list(range(3))
+        for ds in dir_sets:
+            hit = next(j for j in unmatched if wave_sets[j] == ds)
+            unmatched.remove(hit)
+        assert not unmatched
+        assert min(len(s) for s in dir_sets) == 2  # the a/b-only wave
+
+        # histogram state is exact: folded latest == pandas histogram
+        hist = {
+            (r.g, r.v): r.n
+            for r in sstats._latest_per_group(
+                spark, f"{out}/hist", ids, ["g"]
+            ).collect()
+        }
+        exp_hist = {
+            (g, v): n
+            for (g, v), n in all_pdf.groupby(["g", "v"]).size().items()
+        }
+        assert hist == exp_hist
+
+        # nothing new: no-op
+        sstats.run_quantile_stream(
+            spark, str(src), self.SRC_SCHEMA, ["g"], "v", out, cp,
+            qs=self.QS, max_files_per_trigger=1,
+        )
+        assert sstats._state_ids(f"{out}/hist") == ids
