@@ -375,11 +375,29 @@ def main() -> int:
                 spark.read.parquet(args.tracks),
                 spark.read.parquet(args.roads),
             ).write.mode("overwrite").parquet(f"{args.out}/trajectory/matched")
+        from jimmy_spark.operators import quantiles as qtiles
+
         segged = tj.segment_tracks(spark.read.parquet(args.tracks))
         stats = tj.segment_stats(segged)
         stats.write.mode("overwrite").parquet(f"{args.out}/trajectory/segments")
-        tj.stay_points(segged).write.mode("overwrite").parquet(
-            f"{args.out}/trajectory/stays"
+        stays = tj.stay_points(segged)
+        stays.write.mode("overwrite").parquet(f"{args.out}/trajectory/stays")
+        # per-cell dwell-time percentiles: the exact-quantile operator
+        # over (centroid hex r7, stay duration) — where do people linger,
+        # and for how long, by region
+        dwell = stays.select(
+            cells.hex_cell_expr(F.col("c_lat"), F.col("c_lon"), 7).alias(
+                "cell"
+            ),
+            (
+                F.col("t_end").cast("timestamp_ltz").cast("long")
+                - F.col("t_start").cast("timestamp_ltz").cast("long")
+            ).alias("dwell_s"),
+        )
+        qtiles.group_quantiles(
+            dwell, ["cell"], "dwell_s", qs=(0.5, 0.9)
+        ).write.mode("overwrite").parquet(
+            f"{args.out}/trajectory/dwell_quantiles"
         )
         tj.od_matrix(stats).write.mode("overwrite").parquet(
             f"{args.out}/trajectory/od"

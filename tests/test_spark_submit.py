@@ -293,6 +293,35 @@ def test_spark_submit_pyfiles_job(t1_dir, tmp_path):
         "ORDER BY entity_id, seg_seq, e"
     ).fetchall()
     assert got_rs == exp_rs and len(got_rs) > 0
+    # per-cell dwell quantiles: hex the stays twin, then the explicit
+    # row_number quantile twin over (cell, dwell)
+    from jimmy_spark.functions import hexgrid as _hexgrid
+    from jimmy_spark.operators import quantiles as _qt
+
+    stays_sql = _tj.duckdb_stay_points_sql(f"'{tracks_path}'")
+    dwell_rel = (
+        "SELECT entity_id, stay_seq, c_lat, c_lon, "
+        "floor(epoch(t_end))::BIGINT - floor(epoch(t_start))::BIGINT "
+        f"AS dwell_s FROM ({stays_sql})"
+    )
+    hexed = _hexgrid.duckdb_hex_query(
+        dwell_rel, "entity_id, stay_seq, dwell_s", "c_lat", "c_lon", (7,)
+    )
+    exp_dq = set(
+        duckdb.sql(
+            _qt.duckdb_group_quantiles_sql(
+                f"(SELECT hex_r7 AS cell, dwell_s FROM ({hexed}))",
+                ["cell"], "dwell_s", qs=(0.5, 0.9),
+            )
+        ).fetchall()
+    )
+    got_dq = set(
+        duckdb.sql(
+            "SELECT cell, q_milli, dwell_s "
+            f"FROM '{tmp_path}/out_an/trajectory/dwell_quantiles/*.parquet'"
+        ).fetchall()
+    )
+    assert got_dq == exp_dq and len(got_dq) > 0
     # s2 covering: compaction of the job's own l16 set matches the
     # DuckDB ladder twin and round-trips to the same leaf set
     from jimmy_spark.operators import s2cover as _s2c
