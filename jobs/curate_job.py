@@ -12,7 +12,11 @@ stats line:
   reprocesses only uncommitted buckets; --scene-hash later picks a
   column, never re-decodes)
          -> quality gate    (decode ok, sharpness >= --min-sharp,
-                             clipped fraction <= --max-clip)
+                             clipped fraction <= --max-clip; with
+                             --min-sharp-pct N the sharpness floor is
+                             the corpus's own exact N-th percentile —
+                             operators/quantiles.py over the feature
+                             stage, no hand-tuned absolute threshold)
          -> exact dedup     (byte-identical files: md5 over the raw
                              bytes, keep-first by id — jimmy's
                              Resource.md5 semantics verbatim,
@@ -84,7 +88,18 @@ def main() -> int:
         help="quality gate: clipped-pixel fraction (e3 fixed point) "
         "above this is rejected",
     )
+    ap.add_argument(
+        "--min-sharp-pct", type=int, default=0,
+        help="ADAPTIVE quality gate: reject decodable rows whose "
+        "sharpness falls below the corpus's exact N-th percentile "
+        "(operators/quantiles.py over the checkpointed feature table — "
+        "no hand-tuned absolute threshold; ties at the percentile value "
+        "are kept, so at most ~N%% is rejected). Composes with "
+        "--min-sharp/--max-clip: a row failing either gate is 'quality'",
+    )
     args = ap.parse_args()
+    if not 0 <= args.min_sharp_pct < 100:
+        ap.error("--min-sharp-pct must be in [0, 100)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -127,11 +142,28 @@ def main() -> int:
     n_in = feats.count()  # parquet-backed stage output: footer count
 
     # --- quality gate -----------------------------------------------------
+    min_sharp = args.min_sharp
+    if args.min_sharp_pct > 0:
+        # adaptive threshold: the exact N-th percentile of the corpus's
+        # own sharpness (two-stage quantile operator over the parquet-
+        # backed feature stage — one tiny extra read, no decode). Rows
+        # STRICTLY below the percentile value reject, so ties at it
+        # survive and at most ~N% is dropped.
+        from jimmy_spark.operators import quantiles as qtiles
+
+        qrow = qtiles.group_quantiles(
+            feats.filter("ok").select(
+                F.lit(1).alias("_g"), F.col("sharp_e3").alias("v")
+            ),
+            ["_g"], "v", qs=(args.min_sharp_pct / 100,),
+        ).first()
+        if qrow is not None:
+            min_sharp = max(min_sharp, int(qrow["v"]))
     gated = feats.withColumn(
         "_reason",
         F.when(~F.col("ok"), F.lit("decode"))
         .when(
-            (F.col("sharp_e3") < args.min_sharp)
+            (F.col("sharp_e3") < min_sharp)
             | (F.col("clip_e3") > args.max_clip),
             F.lit("quality"),
         ),
@@ -197,6 +229,7 @@ def main() -> int:
                 "run_id": args.run_id,
                 "rows_in": n_in,
                 "n_curated": n_curated,
+                "min_sharp_used": min_sharp,
                 "rejected": by_reason,
             }
         )

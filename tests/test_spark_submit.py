@@ -877,3 +877,65 @@ def test_spark_submit_traj_sim_stage(spark, t1_dir, tmp_path):
     }
     assert got == want
     assert len(got) >= 3  # each base: C(3,2) variant pairs
+
+
+def test_spark_submit_curate_adaptive_gate(spark, tmp_path):
+    """--min-sharp-pct: the quality gate's threshold is the corpus's own
+    exact sharpness percentile (quantile operator over the feature
+    stage), verified against a pure-Python rank computation — the
+    rejected set is exactly the rows strictly below that value."""
+    sys.path.insert(0, str(REPO))
+    from scripts.make_pyfiles_zip import build
+
+    from jimmy_spark.datagen.images import write_images
+    from jimmy_spark.operators import fingerprints
+    from jimmy_spark.sources.images import read_images
+
+    zip_path = build(tmp_path / "jimmy_spark.zip")
+    imgs = tmp_path / "images.parquet"
+    write_images(str(imgs), 120, 17, corrupt_every=24)
+
+    PCT = 20
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zip_path),
+        str(REPO / "jobs" / "curate_job.py"),
+        "--images", str(imgs),
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "cp"),
+        "--run-id", "submit-adaptive",
+        "--buckets", "4",
+        "--scene-d", "1",       # neutralize the scene lane
+        "--hamming", "0",
+        "--max-clip", "1000",
+        "--min-sharp-pct", str(PCT),
+    ]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads(p.stdout.strip().splitlines()[-1])
+
+    feats = (
+        fingerprints.curation_features(read_images(spark, str(imgs)))
+        .filter("ok")
+        .select("image_id", "sharp_e3")
+        .toPandas()
+    )
+    vs = sorted(int(v) for v in feats["sharp_e3"])
+    r = (PCT * 10 * len(vs) + 999) // 1000  # ceil(q*n), milli form
+    thr = vs[r - 1]
+    assert stats["min_sharp_used"] == thr
+    exp_rej = {
+        i for i, s in zip(feats["image_id"], feats["sharp_e3"]) if s < thr
+    }
+    got_rej = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT image_id FROM "
+            f"'{tmp_path}/out/rejected/*.parquet' WHERE reason = 'quality'"
+        ).fetchall()
+    }
+    assert got_rej == exp_rej
+    # the gate is live but bounded: nonempty, and at most ~PCT%
+    assert 0 < len(exp_rej) <= r - 1
