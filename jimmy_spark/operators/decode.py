@@ -35,7 +35,27 @@ DECODE_SCHEMA = (
 )
 
 
-def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _decode_row(blob, fmt) -> tuple:
+    """Blob-determined decode tuple (dec_h, dec_w, crc, mean_milli, err)
+    — pure in (fmt, bytes), cacheable per task (the fused-map
+    discipline). The shape-vs-declared-(w, h) validation stays PER ROW in
+    the batch loop, so two rows sharing bytes but declaring different
+    sizes still get their own verdicts."""
+    try:
+        arr = decode_image(blob, fmt)
+        # buffer-protocol crc (decoders return C-contiguous uint8):
+        # same value as crc32(tobytes()) minus the copy
+        return (
+            arr.shape[0], arr.shape[1], zlib.crc32(arr),
+            int(arr.astype(np.int64).sum() * 1000 // arr.size), None,
+        )
+    except ValueError as e:
+        return (0, 0, 0, 0, str(e))
+
+
+def _decode_batch(pdf: pd.DataFrame, cache: dict | None = None) -> pd.DataFrame:
+    from jimmy_spark.operators.multimodal import cached_blob_fn
+
     n = len(pdf)
     ok = np.zeros(n, dtype=bool)
     err = np.full(n, None, dtype=object)
@@ -48,21 +68,19 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     ws = pdf["w"].to_numpy()
     hs = pdf["h"].to_numpy()
     for i in range(n):
-        try:
-            arr = decode_image(blobs[i], fmts[i])
-            dh, dw = arr.shape[:2]
-            dec_w[i], dec_h[i] = dw, dh
-            if dw != ws[i] or dh != hs[i]:
-                raise ValueError(
-                    f"decoded size {dw}x{dh} != declared {ws[i]}x{hs[i]}"
-                )
-            # buffer-protocol crc (decoders return C-contiguous uint8):
-            # same value as crc32(tobytes()) minus the copy
-            checksum[i] = zlib.crc32(arr)
-            mean_milli[i] = int(arr.astype(np.int64).sum() * 1000 // arr.size)
-            ok[i] = True
-        except ValueError as e:
-            err[i] = str(e)
+        dh, dw, crc, mean, msg = cached_blob_fn(
+            cache, fmts[i], blobs[i], _decode_row
+        )
+        if msg is not None:
+            err[i] = msg
+            continue
+        dec_w[i], dec_h[i] = dw, dh
+        if dw != ws[i] or dh != hs[i]:
+            err[i] = f"decoded size {dw}x{dh} != declared {ws[i]}x{hs[i]}"
+            continue
+        checksum[i] = crc
+        mean_milli[i] = mean
+        ok[i] = True
     out = pdf[["image_id", "w", "h", "fmt", "caption", "phash"]].copy()
     out["ok"] = ok
     out["error"] = err
@@ -77,8 +95,9 @@ def decode_stage(images: DataFrame) -> DataFrame:
     """images (input_hint schema) -> decoded/validated stats rows."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
-            yield _decode_batch(pdf)
+            yield _decode_batch(pdf, cache)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     return images.select(*cols).mapInPandas(gen, DECODE_SCHEMA)

@@ -148,10 +148,27 @@ def _phash(luma: np.ndarray) -> int:
     return _pack64(2 * low > med2)
 
 
-def _fingerprints_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _fingerprints_row(blob, fmt) -> tuple:
+    """Blob-determined tuple (ok, error, ahash, dhash, phash_dct) — pure
+    in (fmt, bytes), hence cacheable per task."""
+    from jimmy_spark.operators.multimodal import _LUM_W, _ahash
+
+    try:
+        arr = decode_image(blob, fmt)
+        # aHash stays on the float luma the features kernel uses, so
+        # the two frames agree bit-for-bit on the shared column
+        lum_f = arr.astype(np.float64) @ _LUM_W
+        luma = _int_luma(arr.astype(np.uint8))
+        return (True, None, _ahash(lum_f), _dhash(luma), _phash(luma))
+    except ValueError as e:
+        return (False, str(e), 0, 0, 0)
+
+
+def _fingerprints_batch(pdf: pd.DataFrame, cache: dict | None = None) -> pd.DataFrame:
     """Per-row kernel (module-level so twins/goldens can run it locally;
-    per-row ops mean batch boundaries cannot change values)."""
-    from jimmy_spark.operators.multimodal import _ahash
+    per-row ops mean batch boundaries cannot change values). ``cache`` is
+    the per-task content-addressed memo (multimodal.cached_blob_fn)."""
+    from jimmy_spark.operators.multimodal import cached_blob_fn
 
     n = len(pdf)
     cols = {
@@ -165,28 +182,22 @@ def _fingerprints_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     blobs = pdf["bytes"].to_numpy()
     fmts = pdf["fmt"].to_numpy()
     for i in range(n):
-        try:
-            arr = decode_image(blobs[i], fmts[i])
-            # aHash stays on the float luma the features kernel uses, so
-            # the two frames agree bit-for-bit on the shared column
-            lum_f = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-            cols["ahash"][i] = _ahash(lum_f)
-            luma = _int_luma(arr.astype(np.uint8))
-            cols["dhash"][i] = _dhash(luma)
-            cols["phash_dct"][i] = _phash(luma)
-            cols["ok"][i] = True
-        except ValueError as e:  # noqa: PERF203 — per-record isolation
-            cols["error"][i] = str(e)
+        (
+            cols["ok"][i], cols["error"][i],
+            cols["ahash"][i], cols["dhash"][i], cols["phash_dct"][i],
+        ) = cached_blob_fn(cache, fmts[i], blobs[i], _fingerprints_row)
     return pd.DataFrame(cols)
 
 
 def image_fingerprints(images: DataFrame) -> DataFrame:
     """decode -> (ahash, dhash, phash_dct) in ONE Arrow crossing, error
-    rows isolated (ok=false) like operators/decode.py."""
+    rows isolated (ok=false) like operators/decode.py. Identical blobs pay
+    decode+hashing once per task (content-addressed cache)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
-            yield _fingerprints_batch(pdf)
+            yield _fingerprints_batch(pdf, cache)
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         gen, FINGERPRINT_SCHEMA
@@ -199,6 +210,30 @@ CURATION_SCHEMA = (
 )
 
 
+def _curation_row(blob, fmt) -> tuple:
+    """Blob-determined tuple (ok, error, ahash, dhash, phash_dct,
+    sharp_e3, clip_e3, content_md5) — pure in (fmt, bytes), cacheable per
+    task. md5 matches Spark's ``F.md5`` (lowercase hex over raw bytes)
+    and rides the same decode pass for the full-stage kernel below."""
+    import hashlib as _hl
+
+    from jimmy_spark.operators.multimodal import _LUM_W, _ahash, _quality_ints
+
+    md5 = _hl.md5(blob).hexdigest() if blob is not None else None
+    try:
+        arr = decode_image(blob, fmt)
+        lum_f = arr.astype(np.float64) @ _LUM_W
+        u8 = arr.astype(np.uint8)
+        luma = _int_luma(u8)
+        sharp, clip = _quality_ints(u8)
+        return (
+            True, None, _ahash(lum_f), _dhash(luma), _phash(luma),
+            sharp, clip, md5,
+        )
+    except ValueError as e:
+        return (False, str(e), 0, 0, 0, 0, 0, md5)
+
+
 def curation_features(images: DataFrame) -> DataFrame:
     """The curation ladder's feature stage in ONE decode: all three
     perceptual hashes plus the exact-integer quality pair
@@ -206,10 +241,12 @@ def curation_features(images: DataFrame) -> DataFrame:
     clipped-pixel fraction). jobs/curate_job.py checkpoints this frame,
     so the scene lane's hash choice (--scene-hash) is a column pick, not
     a re-decode; shared columns are bit-identical to image_features /
-    image_fingerprints (asserted in tests/test_fingerprints.py)."""
-    from jimmy_spark.operators.multimodal import _ahash, _quality_ints
+    image_fingerprints (asserted in tests/test_fingerprints.py).
+    Identical blobs pay the kernel once per task (content-addressed
+    cache, the fused-map discipline)."""
+    from jimmy_spark.operators.multimodal import cached_blob_fn
 
-    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _batch(pdf: pd.DataFrame, cache: dict) -> pd.DataFrame:
         n = len(pdf)
         cols = {
             "image_id": pdf["image_id"].to_numpy(),
@@ -224,26 +261,81 @@ def curation_features(images: DataFrame) -> DataFrame:
         blobs = pdf["bytes"].to_numpy()
         fmts = pdf["fmt"].to_numpy()
         for i in range(n):
-            try:
-                arr = decode_image(blobs[i], fmts[i])
-                lum_f = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                cols["ahash"][i] = _ahash(lum_f)
-                u8 = arr.astype(np.uint8)
-                luma = _int_luma(u8)
-                cols["dhash"][i] = _dhash(luma)
-                cols["phash_dct"][i] = _phash(luma)
-                cols["sharp_e3"][i], cols["clip_e3"][i] = _quality_ints(u8)
-                cols["ok"][i] = True
-            except ValueError as e:  # noqa: PERF203 — per-record isolation
-                cols["error"][i] = str(e)
+            (
+                cols["ok"][i], cols["error"][i],
+                cols["ahash"][i], cols["dhash"][i], cols["phash_dct"][i],
+                cols["sharp_e3"][i], cols["clip_e3"][i], _md5,
+            ) = cached_blob_fn(cache, fmts[i], blobs[i], _curation_row)
         return pd.DataFrame(cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
-            yield _batch(pdf)
+            yield _batch(pdf, cache)
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         gen, CURATION_SCHEMA
+    )
+
+
+CURATION_FULL_SCHEMA = (
+    "image_id string, ok boolean, ahash long, dhash long, phash_dct long, "
+    "sharp_e3 long, clip_e3 long, lat_e7 long, lon_e7 long, "
+    "content_md5 string"
+)
+
+
+def curation_features_full(images: DataFrame) -> DataFrame:
+    """The curate job's ENTIRE checkpointed feature stage in one Arrow
+    crossing and zero shuffle: ``curation_features`` columns + georef
+    (exact-integer latlon_e7_np — bit-identical to cells.with_georef's
+    JVM expressions) + the exact-byte md5 (matches ``F.md5``). Replaces
+    the r5 ``feats.join(ident, "image_id")`` formulation, which scanned
+    the images twice and paid a full self-join shuffle inside the
+    checkpointed stage (guide §2.4: remove shuffles outright). Column set
+    and values are identical to that join's output (schema order included;
+    the r5 stage dropped ``error``)."""
+    from jimmy_spark.functions.georef import latlon_e7_np
+    from jimmy_spark.operators.multimodal import cached_blob_fn
+
+    def _batch(pdf: pd.DataFrame, cache: dict) -> pd.DataFrame:
+        n = len(pdf)
+        cols = {
+            "image_id": pdf["image_id"].to_numpy(),
+            "ok": np.zeros(n, dtype=bool),
+            "ahash": np.zeros(n, dtype=np.int64),
+            "dhash": np.zeros(n, dtype=np.int64),
+            "phash_dct": np.zeros(n, dtype=np.int64),
+            "sharp_e3": np.zeros(n, dtype=np.int64),
+            "clip_e3": np.zeros(n, dtype=np.int64),
+            "content_md5": np.full(n, None, dtype=object),
+        }
+        blobs = pdf["bytes"].to_numpy()
+        fmts = pdf["fmt"].to_numpy()
+        for i in range(n):
+            (
+                cols["ok"][i], _err,
+                cols["ahash"][i], cols["dhash"][i], cols["phash_dct"][i],
+                cols["sharp_e3"][i], cols["clip_e3"][i],
+                cols["content_md5"][i],
+            ) = cached_blob_fn(cache, fmts[i], blobs[i], _curation_row)
+        lat, lon = latlon_e7_np(pdf["phash"].to_numpy(np.int64))
+        cols["lat_e7"] = lat
+        cols["lon_e7"] = lon
+        return pd.DataFrame(cols)[
+            [
+                "image_id", "ok", "ahash", "dhash", "phash_dct",
+                "sharp_e3", "clip_e3", "lat_e7", "lon_e7", "content_md5",
+            ]
+        ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            yield _batch(pdf, cache)
+
+    return images.select("image_id", "bytes", "fmt", "phash").mapInPandas(
+        gen, CURATION_FULL_SCHEMA
     )
 
 

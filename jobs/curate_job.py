@@ -104,7 +104,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from jimmy_spark.operators import cells, fingerprints, imagedup
+    from jimmy_spark.operators import fingerprints, imagedup
     from jimmy_spark.sources.images import read_images
     from jimmy_spark.streaming.checkpoint import StageRunner
 
@@ -122,18 +122,14 @@ def main() -> int:
 
     def featurize(df):
         # per-row pure kernels (bucket-local, hence resumable): decode +
-        # quality ints + ALL THREE perceptual hashes in one Arrow
-        # crossing (operators/fingerprints.curation_features — the
-        # --scene-hash choice is then a column pick, never a re-decode),
-        # georef + the exact-byte md5 as JVM expressions on the same pass
-        feats = fingerprints.curation_features(df).select(
-            "image_id", "ok", "ahash", "dhash", "phash_dct",
-            "sharp_e3", "clip_e3",
-        )
-        ident = cells.with_georef(df.select("image_id", "phash", "bytes")).select(
-            "image_id", "lat_e7", "lon_e7", F.md5("bytes").alias("content_md5")
-        )
-        return feats.join(ident, "image_id")
+        # quality ints + ALL THREE perceptual hashes + georef + exact-byte
+        # md5 in ONE Arrow crossing and ONE scan of the bytes column
+        # (operators/fingerprints.curation_features_full — the
+        # --scene-hash choice is then a column pick, never a re-decode).
+        # r5 computed features and georef/md5 as two scans joined by
+        # image_id — a full shuffle of the stage inside every chunk;
+        # same columns, same values, no join (guide §2.4).
+        return fingerprints.curation_features_full(df)
 
     feats = runner.run_stage(
         "features", images, featurize, f"{args.out}/features", id_col="image_id"
