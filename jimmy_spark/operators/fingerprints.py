@@ -164,11 +164,86 @@ def _fingerprints_row(blob, fmt) -> tuple:
         return (False, str(e), 0, 0, 0)
 
 
+def _int_luma_batch(u83: np.ndarray) -> np.ndarray:
+    """``_int_luma`` over a stack — int32 intermediates (luma <= 255000
+    < 2^31), exactly the int64 per-row values."""
+    a32 = u83.astype(np.int32)
+    return (
+        299 * a32[:, :, :, 0] + 587 * a32[:, :, :, 1] + 114 * a32[:, :, :, 2]
+    ) // 1000
+
+
+def _dhash_batch(luma3: np.ndarray) -> np.ndarray:
+    """``_dhash`` over a stack of same-shape int lumas — pure integer
+    order comparisons, exact by construction."""
+    k, sh, sw = luma3.shape
+    ys = (np.arange(8) * sh) // 8
+    xs = (np.arange(9) * sw) // 9
+    t3 = luma3[:, ys][:, :, xs]
+    bits = (t3[:, :, 1:] > t3[:, :, :-1]).reshape(k, 64)
+    return (bits.astype(np.uint64) @ _W64).view(np.int64)
+
+
+_COSF = _COS.astype(np.float64)
+
+
+def _phash_batch(luma3: np.ndarray) -> np.ndarray:
+    """``_phash`` over a stack. The two DCT passes run as float64 BLAS
+    matmuls, which is EXACT here, not approximate: every operand and
+    every intermediate is an integer below 2^53 (|C| <= 2^14, luma <=
+    255 -> first-pass sums < 2^32, second-pass products < 2^46, sums <
+    2^51), and IEEE addition/multiplication of exactly-representable
+    integers whose results are also exactly representable commits no
+    rounding in ANY summation order — so the float path equals the int64
+    matmul bit-for-bit (asserted batched == per-row in tests), at SIMD
+    speed instead of the scalar integer loop. The median threshold stays
+    pure integer."""
+    k, sh, sw = luma3.shape
+    ys = (np.arange(32) * sh) // 32
+    xs = (np.arange(32) * sw) // 32
+    t3 = luma3[:, ys][:, :, xs].astype(np.float64)
+    u3 = (_COSF @ t3 @ _COSF.T).astype(np.int64)
+    low = u3[:, :8, :8].reshape(k, 64)
+    s = np.sort(low, axis=1)
+    med2 = s[:, 31] + s[:, 32]
+    bits = 2 * low > med2[:, None]
+    return (bits.astype(np.uint64) @ _W64).view(np.int64)
+
+
+def _fingerprints_group(u83: np.ndarray, _extras: list) -> list[tuple]:
+    # aHash stays per-image on views of the batched luma (same NumPy
+    # routine, same layout -> bit-identical by construction; see
+    # multimodal._features_group); dhash/phash are integer-exact batched
+    from jimmy_spark.operators.multimodal import _LUM_W, _ahash
+
+    k = u83.shape[0]
+    luma3 = _int_luma_batch(u83)
+    dh = _dhash_batch(luma3)
+    ph = _phash_batch(luma3)
+    # the float aHash stays per-image from a fresh aligned astype (see
+    # multimodal._features_group: batched float stacks/matmuls drift the
+    # last ulp); the per-image ops are the per-row kernel's verbatim
+    return [
+        (True, None, _ahash(u83[j].astype(np.float64) @ _LUM_W), dh[j], ph[j])
+        for j in range(k)
+    ]
+
+
+def _fingerprints_decode(blob, fmt):
+    return decode_image(blob, fmt), None
+
+
+def _fingerprints_err(msg: str, _blob) -> tuple:
+    return (False, msg, 0, 0, 0)
+
+
 def _fingerprints_batch(pdf: pd.DataFrame, cache: dict | None = None) -> pd.DataFrame:
-    """Per-row kernel (module-level so twins/goldens can run it locally;
-    per-row ops mean batch boundaries cannot change values). ``cache`` is
-    the per-task content-addressed memo (multimodal.cached_blob_fn)."""
-    from jimmy_spark.operators.multimodal import cached_blob_fn
+    """Fingerprint kernel (module-level so twins/goldens can run it
+    locally; per-row-deterministic ops mean batch boundaries cannot
+    change values). Rows resolve through the per-task content-addressed
+    memo and misses compute shape-grouped — both bit-identical to the r5
+    per-row loop (asserted in tests)."""
+    from jimmy_spark.operators.multimodal import grouped_blob_rows
 
     n = len(pdf)
     cols = {
@@ -179,13 +254,15 @@ def _fingerprints_batch(pdf: pd.DataFrame, cache: dict | None = None) -> pd.Data
         "dhash": np.zeros(n, dtype=np.int64),
         "phash_dct": np.zeros(n, dtype=np.int64),
     }
-    blobs = pdf["bytes"].to_numpy()
-    fmts = pdf["fmt"].to_numpy()
-    for i in range(n):
+    rows = grouped_blob_rows(
+        pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy(), cache,
+        _fingerprints_decode, _fingerprints_err, _fingerprints_group,
+    )
+    for i, tup in enumerate(rows):
         (
             cols["ok"][i], cols["error"][i],
             cols["ahash"][i], cols["dhash"][i], cols["phash_dct"][i],
-        ) = cached_blob_fn(cache, fmts[i], blobs[i], _fingerprints_row)
+        ) = tup
     return pd.DataFrame(cols)
 
 
@@ -234,6 +311,55 @@ def _curation_row(blob, fmt) -> tuple:
         return (False, str(e), 0, 0, 0, 0, 0, md5)
 
 
+def _curation_decode(blob, fmt):
+    import hashlib as _hl
+
+    md5 = _hl.md5(blob).hexdigest() if blob is not None else None
+    return decode_image(blob, fmt), md5
+
+
+def _curation_err(msg: str, blob) -> tuple:
+    import hashlib as _hl
+
+    md5 = _hl.md5(blob).hexdigest() if blob is not None else None
+    return (False, msg, 0, 0, 0, 0, 0, md5)
+
+
+def _curation_group(u83: np.ndarray, md5s: list) -> list[tuple]:
+    from jimmy_spark.operators.multimodal import (
+        _LUM_W,
+        _ahash,
+        _quality_ints_batch,
+    )
+
+    k = u83.shape[0]
+    luma3 = _int_luma_batch(u83)
+    dh = _dhash_batch(luma3)
+    ph = _phash_batch(luma3)
+    sharp, clip = _quality_ints_batch(u83)
+    # per-image float aHash from a fresh aligned astype — see
+    # multimodal._features_group for why
+    return [
+        (
+            True, None,
+            _ahash(u83[j].astype(np.float64) @ _LUM_W), dh[j], ph[j],
+            sharp[j], clip[j], md5s[j],
+        )
+        for j in range(k)
+    ]
+
+
+def _curation_rows(pdf: pd.DataFrame, cache: dict | None) -> list[tuple]:
+    """Shape-grouped, cache-resolved 8-tuples (_curation_row semantics)
+    for a batch — shared by ``curation_features`` and the full stage."""
+    from jimmy_spark.operators.multimodal import grouped_blob_rows
+
+    return grouped_blob_rows(
+        pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy(), cache,
+        _curation_decode, _curation_err, _curation_group,
+    )
+
+
 def curation_features(images: DataFrame) -> DataFrame:
     """The curation ladder's feature stage in ONE decode: all three
     perceptual hashes plus the exact-integer quality pair
@@ -243,8 +369,7 @@ def curation_features(images: DataFrame) -> DataFrame:
     a re-decode; shared columns are bit-identical to image_features /
     image_fingerprints (asserted in tests/test_fingerprints.py).
     Identical blobs pay the kernel once per task (content-addressed
-    cache, the fused-map discipline)."""
-    from jimmy_spark.operators.multimodal import cached_blob_fn
+    cache, the fused-map discipline); misses compute shape-grouped."""
 
     def _batch(pdf: pd.DataFrame, cache: dict) -> pd.DataFrame:
         n = len(pdf)
@@ -258,14 +383,12 @@ def curation_features(images: DataFrame) -> DataFrame:
             "sharp_e3": np.zeros(n, dtype=np.int64),
             "clip_e3": np.zeros(n, dtype=np.int64),
         }
-        blobs = pdf["bytes"].to_numpy()
-        fmts = pdf["fmt"].to_numpy()
-        for i in range(n):
+        for i, tup in enumerate(_curation_rows(pdf, cache)):
             (
                 cols["ok"][i], cols["error"][i],
                 cols["ahash"][i], cols["dhash"][i], cols["phash_dct"][i],
                 cols["sharp_e3"][i], cols["clip_e3"][i], _md5,
-            ) = cached_blob_fn(cache, fmts[i], blobs[i], _curation_row)
+            ) = tup
         return pd.DataFrame(cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -296,7 +419,6 @@ def curation_features_full(images: DataFrame) -> DataFrame:
     and values are identical to that join's output (schema order included;
     the r5 stage dropped ``error``)."""
     from jimmy_spark.functions.georef import latlon_e7_np
-    from jimmy_spark.operators.multimodal import cached_blob_fn
 
     def _batch(pdf: pd.DataFrame, cache: dict) -> pd.DataFrame:
         n = len(pdf)
@@ -310,15 +432,13 @@ def curation_features_full(images: DataFrame) -> DataFrame:
             "clip_e3": np.zeros(n, dtype=np.int64),
             "content_md5": np.full(n, None, dtype=object),
         }
-        blobs = pdf["bytes"].to_numpy()
-        fmts = pdf["fmt"].to_numpy()
-        for i in range(n):
+        for i, tup in enumerate(_curation_rows(pdf, cache)):
             (
                 cols["ok"][i], _err,
                 cols["ahash"][i], cols["dhash"][i], cols["phash_dct"][i],
                 cols["sharp_e3"][i], cols["clip_e3"][i],
                 cols["content_md5"][i],
-            ) = cached_blob_fn(cache, fmts[i], blobs[i], _curation_row)
+            ) = tup
         lat, lon = latlon_e7_np(pdf["phash"].to_numpy(np.int64))
         cols["lat_e7"] = lat
         cols["lon_e7"] = lon

@@ -53,6 +53,60 @@ def cached_blob_fn(cache: dict | None, fmt, blob, fn):
         cache[key] = hit
     return hit
 
+
+def _cache_put(cache: dict | None, key, val):
+    if cache is not None:
+        if len(cache) >= _CACHE_CAP:
+            cache.clear()
+        cache[key] = val
+    return val
+
+
+def grouped_blob_rows(
+    blobs, fmts, cache: dict | None, decode_fn, err_fn, group_fn,
+    chunk: int = 256,
+) -> list[tuple]:
+    """Shape-grouped execution of a blob-determined row kernel: resolve
+    cache hits, decode misses per row (codecs are inherently per-blob),
+    then stack SAME-SHAPE decoded arrays and compute the feature math
+    vectorized across the group — tiny images (the common web-corpus
+    case) otherwise pay ~1-3us of NumPy dispatch per op per row, which
+    dominates the actual arithmetic (guide §4.2: hand whole batches to
+    vectorized kernels). ``chunk`` bounds the float64 temporaries per
+    group so executor memory stays flat.
+
+    Protocol: ``decode_fn(blob, fmt) -> (u8_array, extra)`` raising
+    ValueError for corrupt rows; ``err_fn(msg, blob) -> tuple`` builds
+    the error row; ``group_fn(u83, extras) -> list[tuple]`` computes one
+    value tuple per stacked image, REPRODUCING the per-row op order
+    bit-for-bit (tests assert batched == per-row on every kernel).
+    Returns one tuple per input row, all cached like cached_blob_fn.
+    """
+    n = len(blobs)
+    out: list = [None] * n
+    pend: dict[tuple, list] = {}
+    for i in range(n):
+        key = blob_key(fmts[i], blobs[i])
+        if cache is not None:
+            hit = cache.get(key)
+            if hit is not None:
+                out[i] = hit
+                continue
+        try:
+            u8, extra = decode_fn(blobs[i], fmts[i])
+        except ValueError as e:
+            out[i] = _cache_put(cache, key, err_fn(str(e), blobs[i]))
+            continue
+        pend.setdefault(u8.shape, []).append((i, key, u8, extra))
+    for items in pend.values():
+        for c0 in range(0, len(items), chunk):
+            part = items[c0 : c0 + chunk]
+            u83 = np.stack([u for _, _, u, _ in part])
+            rows = group_fn(u83, [x for _, _, _, x in part])
+            for (i, key, _, _), tup in zip(part, rows):
+                out[i] = _cache_put(cache, key, tup)
+    return out
+
 FEATURE_SCHEMA = (
     "image_id string, ok boolean, error string, "
     "mean_r double, mean_g double, mean_b double, "
@@ -147,11 +201,93 @@ def _features_row(blob, fmt) -> tuple:
         return (False, str(e), 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0, 0)
 
 
+def _quality_ints_batch(u83: np.ndarray) -> tuple[list[int], list[int]]:
+    """``_quality_ints`` over a stack of same-shape uint8 images — all
+    integer math, so vectorization is exact by construction; the final
+    variance formula stays in arbitrary-precision Python ints per image
+    (the same no-IEEE contract)."""
+    k, h, w = u83.shape[:3]
+    if h >= 3 and w >= 3:
+        # int32 intermediates: every value is bounded (luma <= 255000,
+        # |lap| <= 1020, lap^2 <= 1,040,400 — all < 2^31) and the sums
+        # accumulate in explicit int64, so results are exactly the int64
+        # per-row kernel's at half the memory traffic
+        a32 = u83.astype(np.int32)
+        luma3 = (
+            299 * a32[:, :, :, 0] + 587 * a32[:, :, :, 1] + 114 * a32[:, :, :, 2]
+        ) // 1000
+        lap3 = (
+            4 * luma3[:, 1:-1, 1:-1]
+            - luma3[:, :-2, 1:-1] - luma3[:, 2:, 1:-1]
+            - luma3[:, 1:-1, :-2] - luma3[:, 1:-1, 2:]
+        )
+        m = int(lap3.shape[1] * lap3.shape[2])
+        s1 = lap3.sum(axis=(1, 2), dtype=np.int64)
+        s2 = (lap3 * lap3).sum(axis=(1, 2), dtype=np.int64)
+        sharp = [
+            (1000 * (m * int(s2[j]) - int(s1[j]) * int(s1[j]))) // (m * m)
+            for j in range(k)
+        ]
+    else:
+        sharp = [0] * k
+    clip3 = ((u83 == 0) | (u83 == 255)).any(axis=3).sum(axis=(1, 2))
+    return sharp, [(1000 * int(c)) // (h * w) for c in clip3]
+
+
+_T16 = np.arange(16)
+
+
+def _features_group(u83: np.ndarray, _extras: list) -> list[tuple]:
+    """Batched ``_features_row`` over a stack of same-shape decoded
+    images. Everything elementwise or integer runs ONE NumPy dispatch
+    per GROUP (astype, luma matmul, diffs, quality ints, thumbnails) —
+    exact in any evaluation order by construction. The six FLOAT
+    reductions (channel means, std, gradient means) and aHash stay
+    per-image, each called on a VIEW of the batched array with exactly
+    the per-row kernel's layout — the same NumPy reduction routine on an
+    identically-laid-out input, so bit-identity holds by construction
+    rather than by reduction-blocking luck (multi-axis batched means
+    were measured to drift in the last ulp at some group sizes)."""
+    k, h, w = u83.shape[:3]
+    sharp, clip = _quality_ints_batch(u83)
+    th3 = u83[:, (_T16 * h) // 16][:, :, (_T16 * w) // 16]
+    out = []
+    for j in range(k):
+        # the FLOAT path stays per-image, starting from a fresh aligned
+        # astype of the image — batched float64 stacks put per-image
+        # views at odd SIMD alignments and batched matmuls reassociate
+        # the 3-term luma dot, both of which drift the last ulp; the
+        # per-image ops below are the per-row kernel's verbatim
+        arr = u83[j].astype(np.float64)
+        lum = arr @ _LUM_W
+        gx = np.abs(np.diff(lum, axis=1)).mean() if w > 1 else 0.0
+        gy = np.abs(np.diff(lum, axis=0)).mean() if h > 1 else 0.0
+        out.append(
+            (
+                True, None,
+                arr[:, :, 0].mean(), arr[:, :, 1].mean(), arr[:, :, 2].mean(),
+                lum.std(), gx + gy, _ahash(lum),
+                zlib.crc32(th3[j].tobytes()), sharp[j], clip[j],
+            )
+        )
+    return out
+
+
+def _features_decode(blob, fmt):
+    return decode_image(blob, fmt), None
+
+
+def _features_err(msg: str, _blob) -> tuple:
+    return (False, msg, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0, 0)
+
+
 def _features_batch(pdf: pd.DataFrame, cache: dict | None = None) -> pd.DataFrame:
-    """Per-row feature kernel (module-level so the golden-oracle generator
-    can run it locally on the same rows — all ops are per-row, so batch
-    boundaries cannot change results). ``cache`` is the per-task
-    content-addressed memo (see module header); None runs uncached."""
+    """Feature kernel (module-level so the golden-oracle generator can
+    run it locally on the same rows — all ops are per-row-deterministic,
+    so batch boundaries cannot change results). Rows resolve through the
+    per-task content-addressed memo (``cache``; None runs uncached), and
+    misses compute shape-grouped (``_features_group``) — both paths
+    bit-identical to the r5 per-row loop."""
     n = len(pdf)
     cols = {
         "image_id": pdf["image_id"].to_numpy(),
@@ -164,16 +300,18 @@ def _features_batch(pdf: pd.DataFrame, cache: dict | None = None) -> pd.DataFram
         "sharp_e3": np.zeros(n, dtype=np.int64),
         "clip_e3": np.zeros(n, dtype=np.int64),
     }
-    blobs = pdf["bytes"].to_numpy()
-    fmts = pdf["fmt"].to_numpy()
-    for i in range(n):
+    rows = grouped_blob_rows(
+        pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy(), cache,
+        _features_decode, _features_err, _features_group,
+    )
+    for i, tup in enumerate(rows):
         (
             cols["ok"][i], cols["error"][i],
             cols["mean_r"][i], cols["mean_g"][i], cols["mean_b"][i],
             cols["std_lum"][i], cols["edge_energy"][i],
             cols["ahash"][i], cols["thumb_crc"][i],
             cols["sharp_e3"][i], cols["clip_e3"][i],
-        ) = cached_blob_fn(cache, fmts[i], blobs[i], _features_row)
+        ) = tup
     return pd.DataFrame(cols)
 
 

@@ -301,3 +301,59 @@ def test_near_dup_lane_finds_planted_pairs(spark):
     assert want <= got
     # unrelated 64-bit fingerprints sit ~32 bits apart; nothing spurious
     assert got == want
+
+
+def test_batched_kernels_bit_identical_to_per_row_and_cache_semantics():
+    """r6 optimization guards: the shape-grouped batch kernels
+    (multimodal._features_group / fingerprints._fingerprints_group /
+    _curation_group, incl. the float64-BLAS DCT) must reproduce the
+    per-row reference kernels bit-for-bit on every corpus shape, corrupt
+    rows included, and the per-task content-addressed cache must be
+    value-transparent (same outputs with and without, error rows
+    replayed from cache like any other)."""
+    from jimmy_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(SEED + 9)
+    rows = []
+    for i in range(120):
+        h, w = [(16, 16), (24, 32), (48, 64), (5, 7)][i % 4]
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fmt = ["png", "bmp", "jpeg"][i % 3]
+        data = encode_image(arr, fmt)
+        if i % 10 == 7:
+            data = data[: max(8, len(data) // 2)]  # corrupt: truncated
+        rows.append((f"img{i:03d}", data, fmt))
+        if i % 6 == 1:  # plant exact byte duplicates -> cache hits
+            rows.append((f"dup{i:03d}", data, fmt))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    # features: per-row reference vs batched, cached vs uncached
+    ref = [mm._features_row(b, f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+    for cache in (None, {}):
+        got = mm._features_batch(pdf, cache)
+        for i, r in enumerate(ref):
+            assert tuple(got.iloc[i, 1:]) == tuple(r), f"features row {i}"
+    # fingerprints
+    refp = [fp._fingerprints_row(b, f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+    for cache in (None, {}):
+        got = fp._fingerprints_batch(pdf, cache)
+        for i, r in enumerate(refp):
+            assert tuple(got.iloc[i, 1:]) == tuple(r), f"fingerprints row {i}"
+    # curation rows (md5 carried on error rows too)
+    refc = [fp._curation_row(b, f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+    for cache in (None, {}):
+        gotc = fp._curation_rows(pdf, cache)
+        assert all(tuple(a) == tuple(b) for a, b in zip(refc, gotc))
+
+    # cache fills with one entry per distinct (fmt, blob) and is reused:
+    # a poisoned cache entry must be read back verbatim (proves hits
+    # short-circuit the kernel)
+    cache = {}
+    mm._features_batch(pdf, cache)
+    n_distinct = len({(f, bytes(b)) for f, b in zip(pdf["fmt"], pdf["bytes"])})
+    assert len(cache) == n_distinct
+    key = mm.blob_key(pdf["fmt"][1], pdf["bytes"][1])
+    poisoned = (True, None, 1.0, 2.0, 3.0, 4.0, 5.0, 6, 7, 8, 9)
+    cache[key] = poisoned
+    again = mm._features_batch(pdf.iloc[[1]], cache)
+    assert tuple(again.iloc[0, 1:]) == poisoned
