@@ -37,6 +37,33 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKET_W = 65_536
 
 
+def q_millis(qs: tuple[float, ...]) -> list[int]:
+    """Validate and convert ``qs`` to the integer milli keys the whole
+    operator family is defined over. The q domain is a CONTRACT, not a
+    convenience: a q that is not an exact multiple of 0.001 (1/3,
+    0.1234) would silently compute a DIFFERENT quantile than asked
+    after rounding, and two qs rounding to the same milli would emit
+    duplicate q_milli rows from the exploded targets frame — so both
+    are rejected here instead (ADVICE r6 fix; applies to
+    group_quantiles, group_quantiles_from_counts, and the DuckDB
+    twin alike)."""
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    ms = []
+    for q in qs:
+        m = round(q * 1000)
+        if abs(q * 1000 - m) > 1e-9:
+            raise ValueError(
+                f"q={q!r} is not a multiple of 0.001 — quantiles are "
+                "keyed in exact milli units (q_milli); pass e.g. 0.333 "
+                "explicitly if that is the quantile you mean"
+            )
+        ms.append(int(m))
+    if len(set(ms)) != len(ms):
+        raise ValueError(f"duplicate q_milli keys in qs={qs}")
+    return ms
+
+
 def group_quantiles(
     df: DataFrame,
     group_cols: list[str],
@@ -61,8 +88,7 @@ def group_quantiles(
     caller can collapse to two by persisting this function's inputs or
     the returned frame's `targets` lineage if the source scan dominates.
     """
-    if not qs or any(not 0 < q <= 1 for q in qs):
-        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    millis = q_millis(qs)
     # floor-div via offset: Spark's div truncates toward zero, so shift
     # values non-negative first (the distjoin/resample discipline); the
     # 2^40 shift admits |val| < 2^40 — two orders past the e7/epoch
@@ -90,7 +116,7 @@ def group_quantiles(
     # source once per quantile. r = ceil(q*n) in PURE INTEGER milli
     # arithmetic: float q*n is a trap (0.9 * 10 = 9.000000000000002 ->
     # ceil 10, off by one).
-    qarr = F.array(*[F.lit(int(round(q * 1000))) for q in qs])
+    qarr = F.array(*[F.lit(m) for m in millis])
     r = F.expr("(q_milli * _tot + 999) div 1000")
     targets = (
         located.withColumn("q_milli", F.explode(qarr))
@@ -141,8 +167,7 @@ def group_quantiles_from_counts(
     (e.g. unfolded state deltas); counts sum. Same rank definition,
     same output schema, and differential-equal to the raw-row operator
     on the histogram of its input (tests/test_quantiles.py)."""
-    if not qs or any(not 0 < q <= 1 for q in qs):
-        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    millis = q_millis(qs)
     shift = 1 << 40
     vals = hist.select(
         *group_cols, F.col(val_col).alias("_v"), F.col(n_col).alias("_hn")
@@ -158,7 +183,7 @@ def group_quantiles_from_counts(
     located = counts.withColumn("_tot", F.sum("_n").over(wg)).withColumn(
         "_before", F.coalesce(F.sum("_n").over(wcum), F.lit(0))
     )
-    qarr = F.array(*[F.lit(int(round(q * 1000))) for q in qs])
+    qarr = F.array(*[F.lit(m) for m in millis])
     r = F.expr("(q_milli * _tot + 999) div 1000")
     targets = (
         located.withColumn("q_milli", F.explode(qarr))
@@ -194,7 +219,7 @@ def duckdb_group_quantiles_sql(
     row_number selection per group (brute-force sort — an oracle, not an
     execution path)."""
     g = ", ".join(group_cols)
-    q_rows = ", ".join(f"({int(round(q * 1000))})" for q in qs)
+    q_rows = ", ".join(f"({m})" for m in q_millis(qs))
     return f"""
 WITH v AS (
   SELECT {g}, {val_col} AS v,

@@ -60,10 +60,15 @@ from pyspark.sql import types as T
 
 from jimmy_spark.operators import distjoin
 
-# int64 sentinel for padded DP cells: larger than any real squared
-# distance (|coord| <= 8e8 keeps dij <= 2*(1.6e9)^2 ~ 5.1e18) yet safe
-# under min/max (no arithmetic ever touches it)
-_SENT = np.int64(2**62)
+# uint64 sentinel for padded DP cells: the DP's distance lattice is
+# uint64 (see _dp_metrics), where the max real squared distance over the
+# FULL engine coordinate domain (|lon_e7| <= 1.8e9, |lat_e7| <=
+# 8.51e8 — the georef contract) is (3.6e9)^2 + (1.71e9)^2 ~ 1.59e19 <
+# 2^64 - 1, so the all-ones sentinel strictly dominates every real
+# distance and no arithmetic ever touches it (min/max only). The r5
+# int64 lattice both overflowed dx*dx for full-range longitudes and
+# used a 2^62 sentinel smaller than its own worst case — ADVICE fix.
+_SENT = np.uint64(2**64 - 1)
 
 
 def track_arrays(segged: DataFrame) -> DataFrame:
@@ -117,17 +122,25 @@ def _dp_metrics(axs, ays, bxs, bys) -> tuple[np.ndarray, np.ndarray]:
     jb = np.arange(m_max)[None, :]
     pad_b = jb >= nb[:, None]  # (P, m) padded B columns
 
-    frechet = np.full(P, -1, dtype=np.int64)
-    haus_ab = np.full(P, -1, dtype=np.int64)  # max_i min_j
-    haus_ba = np.full(P, -1, dtype=np.int64)  # max_j min_i (via running min)
-    min_over_i = np.full((P, m_max), _SENT, dtype=np.int64)
+    # the DP lattice is uint64: coordinate deltas fit int64 (|dx| <=
+    # 3.6e9), their squares are computed mod 2^64 after a two's-
+    # complement reinterpretation — exact, because the true squares and
+    # their sum stay below 2^64 over the full engine coordinate domain.
+    # Every cell is a real distance or the all-ones sentinel; min/max
+    # identities use 0 / _SENT (distances are non-negative, and every
+    # pair has n_pts >= 1 on both sides, so the identities are always
+    # overwritten at the first live row).
+    frechet = np.zeros(P, dtype=np.uint64)
+    haus_ab = np.zeros(P, dtype=np.uint64)  # max_i min_j
+    haus_ba = np.zeros(P, dtype=np.uint64)  # max_j min_i (via running min)
+    min_over_i = np.full((P, m_max), _SENT, dtype=np.uint64)
 
-    c_prev = np.empty((P, m_max), dtype=np.int64)
-    c_cur = np.empty((P, m_max), dtype=np.int64)
+    c_prev = np.empty((P, m_max), dtype=np.uint64)
+    c_cur = np.empty((P, m_max), dtype=np.uint64)
     for i in range(n_max):
-        dx = ax[:, i : i + 1] - bx
-        dy = ay[:, i : i + 1] - by
-        d_row = dx * dx + dy * dy  # (P, m) exact int64
+        dx = (ax[:, i : i + 1] - bx).astype(np.uint64)
+        dy = (ay[:, i : i + 1] - by).astype(np.uint64)
+        d_row = dx * dx + dy * dy  # (P, m) exact uint64 (see above)
         d_row[pad_b] = _SENT
         live = i < na  # pairs whose A still has a row i
         # Hausdorff terms from the same row
@@ -155,7 +168,7 @@ def _dp_metrics(axs, ays, bxs, bys) -> tuple[np.ndarray, np.ndarray]:
         # not advance past the answer row; masked copy keeps them inert)
         adv = live & ~done
         c_prev[adv] = c_cur[adv]
-    min_over_i[pad_b] = -1  # padded columns must not win the max
+    min_over_i[pad_b] = 0  # padded columns must not win the max
     haus_ba = min_over_i.max(axis=1)
     haus2 = np.maximum(haus_ab, haus_ba)
     return frechet, haus2
@@ -236,12 +249,14 @@ def frechet_join(
                     [np.asarray(v, np.int64) for v in ch["b_ys"]],
                 )
                 keep = fr2 <= d2
+                # surviving metrics fit the declared long: haus2 <=
+                # frechet2 <= d^2 (Hausdorff <= Frechet invariant)
                 yield pd.DataFrame(
                     {
                         "a_track": ch["a_id"].to_numpy()[keep],
                         "b_track": ch["b_id"].to_numpy()[keep],
-                        "frechet2": fr2[keep],
-                        "haus2": hs2[keep],
+                        "frechet2": fr2[keep].astype(np.int64),
+                        "haus2": hs2[keep].astype(np.int64),
                     }
                 )
 

@@ -43,9 +43,40 @@ from jimmy_spark.functions import tiles
 from jimmy_spark.operators.raster import TILE_PX, _TILE_SCHEMA, tone_map
 
 
+def _recover_compact(dir_: str) -> None:
+    """Complete a compact_state swap interrupted by a crash. The swap
+    journal is the tombstone name itself: ``_tombstone_b=<i>`` means
+    ``_compact`` (if fully written) is the intended ``b=<i>``; if
+    ``_compact`` is absent or incomplete the tombstone is restored
+    verbatim. Either way exactly one ``b=<i>`` exists afterwards — the
+    accumulated state is never observable as empty (the r5 ordering
+    deleted ``b=<max>`` before renaming ``_compact`` into place, so a
+    crash in between silently dropped ALL accumulated tile counts)."""
+    if not os.path.isdir(dir_):
+        return
+    for e in os.listdir(dir_):
+        if not e.startswith("_tombstone_b="):
+            continue
+        i = e.split("=", 1)[1]
+        compact = f"{dir_}/_compact"
+        # parquet writes drop a _SUCCESS marker; an unmarked _compact is
+        # a half-written overwrite — discard it and keep the tombstone
+        if os.path.exists(f"{compact}/_SUCCESS") and not os.path.isdir(
+            f"{dir_}/b={i}"
+        ):
+            os.rename(compact, f"{dir_}/b={i}")
+        import shutil
+
+        if os.path.isdir(f"{dir_}/{e}") and os.path.isdir(f"{dir_}/b={i}"):
+            shutil.rmtree(f"{dir_}/{e}")
+        elif os.path.isdir(f"{dir_}/{e}"):
+            os.rename(f"{dir_}/{e}", f"{dir_}/b={i}")
+
+
 def _state_ids(dir_: str, below: int | None = None) -> list[int]:
     if not os.path.isdir(dir_):
         return []
+    _recover_compact(dir_)
     ids = [
         int(e.split("=", 1)[1]) for e in os.listdir(dir_) if e.startswith("b=")
     ]
@@ -184,14 +215,22 @@ def compact_state(spark: SparkSession, out_dir: str) -> None:
     long-lived streams."""
     for sub in ("counts", "tiles"):
         dir_ = f"{out_dir}/{sub}"
-        ids = _state_ids(dir_)
+        ids = _state_ids(dir_)  # also completes any interrupted swap
         if len(ids) <= 1:
             continue
         cur = _latest_per_tile(spark, dir_, ids)
         cur.write.mode("overwrite").parquet(f"{dir_}/_compact")
         import shutil
 
+        # crash-safe swap (the r5 order rmtree'd b=<max> BEFORE renaming
+        # _compact into place — a crash in between left no b= dirs and
+        # the next batch folded into empty state): journal the max dir
+        # as a tombstone carrying its id, promote _compact (atomic
+        # rename), and only then delete the tombstone and the older
+        # dirs — the full state is readable at every instant, and a
+        # crash at any point is repaired by _recover_compact.
+        os.rename(f"{dir_}/b={ids[-1]}", f"{dir_}/_tombstone_b={ids[-1]}")
+        os.rename(f"{dir_}/_compact", f"{dir_}/b={ids[-1]}")
+        shutil.rmtree(f"{dir_}/_tombstone_b={ids[-1]}")
         for i in ids[:-1]:
             shutil.rmtree(f"{dir_}/b={i}")
-        shutil.rmtree(f"{dir_}/b={ids[-1]}")
-        os.rename(f"{dir_}/_compact", f"{dir_}/b={ids[-1]}")

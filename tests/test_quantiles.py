@@ -142,3 +142,28 @@ def test_from_counts_equals_raw_row_operator(spark, fixture_pdf, result):
     df = spark.createDataFrame(split.astype({"v": "int64", "n": "int64"}))
     got = qt.group_quantiles_from_counts(df, ["g"], "v", "n", qs=QS)
     assert {(r.g, r.q_milli, r.v) for r in got.collect()} == result
+
+
+def test_q_milli_contract_rejected_not_rounded():
+    """r6 ADVICE fix: qs that are not exact multiples of 0.001 used to
+    be silently rounded (computing a different quantile than asked),
+    and two qs rounding to the same milli emitted duplicate q_milli
+    rows. Both now raise, in every formulation."""
+    import pytest as _pytest
+
+    from jimmy_spark.operators.quantiles import (
+        duckdb_group_quantiles_sql,
+        q_millis,
+    )
+
+    assert q_millis((0.5, 0.9)) == [500, 900]
+    assert q_millis((0.001, 1.0)) == [1, 1000]
+    for bad in ((1 / 3,), (0.1234,), (0.5001, 0.5002)):
+        with _pytest.raises(ValueError):
+            q_millis(bad)
+        with _pytest.raises(ValueError):
+            duckdb_group_quantiles_sql("t", ["g"], "v", qs=bad)
+    with _pytest.raises(ValueError):
+        q_millis((0.5, 0.5))  # duplicate milli key
+    with _pytest.raises(ValueError):
+        q_millis((0.0,))

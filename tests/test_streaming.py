@@ -706,3 +706,82 @@ class TestQuantileStream:
             qs=self.QS, max_files_per_trigger=1,
         )
         assert sstats._state_ids(f"{out}/hist") == ids
+
+
+class TestCompactSwapRecovery:
+    """compact_state's swap must never expose an empty or partial state
+    (r6 fix: the r5 order deleted b=<max> before renaming _compact into
+    place — a crash in the gap silently dropped ALL accumulated tile
+    counts). Each crash window is simulated at the directory level and
+    must repair through _recover_compact on the next read."""
+
+    def _write_state(self, spark, dir_, ids):
+        import os
+
+        os.makedirs(dir_, exist_ok=True)
+        for i in ids:
+            spark.createDataFrame(
+                [(i, i, 0, 0, 10 + i)], "x int, y int, px int, py int, cnt long"
+            ).write.mode("overwrite").parquet(f"{dir_}/b={i}")
+
+    def _tiles(self, spark, dir_):
+        from jimmy_spark.streaming import raster as sraster
+
+        ids = sraster._state_ids(dir_)
+        df = sraster._latest_per_tile(spark, dir_, ids)
+        return {(r.x, r.y): r.cnt for r in df.collect()} if df is not None else {}
+
+    def test_crash_windows_repair_to_full_state(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from jimmy_spark.streaming import raster as sraster
+
+        # crash AFTER tombstone rename, BEFORE promote: _compact complete
+        d = str(tmp_path / "w1")
+        self._write_state(spark, d, [0, 1, 2])
+        full = self._tiles(spark, d)
+        cur = sraster._latest_per_tile(spark, d, [0, 1, 2])
+        cur.write.mode("overwrite").parquet(f"{d}/_compact")
+        os.rename(f"{d}/b=2", f"{d}/_tombstone_b=2")
+        assert self._tiles(spark, d) == full          # read-side repair
+        assert sraster._state_ids(d) == [0, 1, 2]
+        assert not os.path.isdir(f"{d}/_compact")
+
+        # crash AFTER promote, BEFORE tombstone delete
+        d = str(tmp_path / "w2")
+        self._write_state(spark, d, [0, 1])
+        full = self._tiles(spark, d)
+        cur = sraster._latest_per_tile(spark, d, [0, 1])
+        cur.write.mode("overwrite").parquet(f"{d}/_compact")
+        os.rename(f"{d}/b=1", f"{d}/_tombstone_b=1")
+        os.rename(f"{d}/_compact", f"{d}/b=1")
+        assert self._tiles(spark, d) == full
+        assert not any(
+            e.startswith("_tombstone") for e in os.listdir(d)
+        )
+
+        # crash MID-_compact-write (no _SUCCESS): tombstone restored
+        d = str(tmp_path / "w3")
+        self._write_state(spark, d, [0, 1])
+        full = self._tiles(spark, d)
+        cur = sraster._latest_per_tile(spark, d, [0, 1])
+        cur.write.mode("overwrite").parquet(f"{d}/_compact")
+        os.remove(f"{d}/_compact/_SUCCESS")
+        os.rename(f"{d}/b=1", f"{d}/_tombstone_b=1")
+        assert self._tiles(spark, d) == full
+        assert sraster._state_ids(d) == [0, 1]
+
+        # the happy path still folds to one dir with identical state
+        d = str(tmp_path / "w4")
+        self._write_state(spark, f"{d}/counts", [0, 1, 2])
+        self._write_state(spark, f"{d}/tiles", [0, 1, 2])
+        full = self._tiles(spark, f"{d}/counts")
+        sraster.compact_state(spark, d)
+        assert sraster._state_ids(f"{d}/counts") == [2]
+        assert self._tiles(spark, f"{d}/counts") == full
+        leftovers = [
+            e for e in os.listdir(f"{d}/counts") if e.startswith("_")
+        ]
+        assert leftovers == []
+        shutil.rmtree(d)

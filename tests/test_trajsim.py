@@ -205,3 +205,33 @@ class TestFrechetJoin:
         assert out[0]["a_track"] == "1#1" and out[0]["b_track"] == "2#1"
         assert out[0]["frechet2"] == dx * dx + dy * dy
         assert out[0]["haus2"] == dx * dx + dy * dy
+
+
+def test_dp_exact_at_full_coordinate_extremes():
+    """r6 ADVICE fix: the DP lattice is uint64 — globe-spanning tracks
+    (lon -1.8e9..1.8e9) produce off-path cell distances up to ~1.3e19,
+    which overflowed the r5 int64 lattice (numpy wraps silently) and
+    could corrupt haus2/frechet2 for pairs that legitimately survive
+    the gate; the 2^62 sentinel was also smaller than such cells. The
+    arbitrary-precision Python twins are the oracle."""
+    import numpy as np
+
+    from jimmy_spark.operators.trajsim import _dp_metrics
+
+    # A spans the full longitude range; B is A nudged by (7, -3): the
+    # pair survives any d >= ~8, while far-apart vertex pairs produce
+    # squared distances above int64 max
+    lons = np.linspace(-1_800_000_000, 1_800_000_000, 9).astype(np.int64)
+    lats = np.linspace(-850_000_000, 850_000_000, 9).astype(np.int64)
+    a = list(zip(lons.tolist(), lats.tolist()))
+    b = [(x + 7, y - 3) for x, y in a]
+    fr, hs = _dp_metrics(
+        [np.array([p[0] for p in a], np.int64)],
+        [np.array([p[1] for p in a], np.int64)],
+        [np.array([p[0] for p in b], np.int64)],
+        [np.array([p[1] for p in b], np.int64)],
+    )
+    assert int(fr[0]) == _frechet2_py(a, b) == 49 + 9
+    assert int(hs[0]) == _haus2_py(a, b)
+    # an off-path cell really does exceed int64 (the r5 failure mode)
+    assert (a[0][0] - b[-1][0]) ** 2 > 2**63 - 1
