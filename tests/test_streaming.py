@@ -508,6 +508,96 @@ class TestKeepBestStream:
         assert not by_id[victim][1]
         assert by_id[victim][0] == by_id["img_999000000001"][0]
 
+        # r6 dirty-component discipline: the late wave touched ONLY the
+        # victim's cluster — the newest batch dir must contain exactly
+        # that cluster's rows plus the new image, leaving every other
+        # cluster's committed labels unwritten (per-batch cost tracks
+        # the delta, not stream lifetime)
+        import os as _os
+
+        last = max(
+            int(e.split("=", 1)[1])
+            for e in _os.listdir(out)
+            if e.startswith("b=")
+        )
+        written = {
+            r.image_id
+            for r in spark.read.parquet(f"{out}/b={last}").collect()
+        }
+        dirty_cluster = by_id["img_999000000001"][0]
+        expected_dirty = {
+            iid for iid, (cid, _k) in by_id.items() if cid == dirty_cluster
+        }
+        assert written == expected_dirty
+
+    def test_untouched_cluster_rows_stay_unwritten(self, spark, tmp_path):
+        """r6 (VERDICT #3): a wave touching only cluster A must leave
+        cluster B's rows unwritten in the new batch dir — and the folded
+        table still equals the batch operator exactly."""
+        import os
+
+        import pandas as pd
+
+        from jimmy_spark.streaming import spatial
+
+        src = tmp_path / "pts2"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("cur2", "st2", "cp2"))
+
+        def row(i, lat, lon, sharp):
+            return {
+                "image_id": f"img_{i:012d}", "lat_e7": lat, "lon_e7": lon,
+                "ahash": 0, "sharp_e3": sharp, "clip_e3": 0,
+            }
+
+        # cluster A near (0, 0); cluster B ~9 degrees east — far outside
+        # the 50k pair distance
+        w0 = pd.DataFrame([
+            row(1, 0, 0, 10), row(2, 10, 10, 20),
+            row(5, 0, 90_000_000, 30), row(6, 10, 90_000_010, 40),
+        ])
+        w0.to_parquet(src / "w0.parquet")
+
+        def drain():
+            spatial.run_keep_best_stream(
+                spark, str(src), 50_000, 64, out, st, cp,
+                num_id_sql=self.NUM_ID, max_files_per_trigger=1,
+            )
+
+        drain()
+        # wave 2: one sharper shot next to cluster A only
+        pd.DataFrame([row(3, 5, 5, 99)]).to_parquet(src / "w1.parquet")
+        drain()
+        last = max(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(out) if e.startswith("b=")
+        )
+        written = {
+            r.image_id for r in spark.read.parquet(f"{out}/b={last}").collect()
+        }
+        assert written == {"img_000000000001", "img_000000000002",
+                           "img_000000000003"}
+        all_pdf = pd.concat(
+            [w0, pd.DataFrame([row(3, 5, 5, 99)])], ignore_index=True
+        )
+        assert self._latest(spark, out) == self._batch_d(
+            spark, all_pdf, 50_000
+        )
+
+    @classmethod
+    def _batch_d(cls, spark, pdf, d):
+        from pyspark.sql import functions as F
+
+        from jimmy_spark.operators import imagedup
+
+        return {
+            (r.image_id, r.cluster_id, r.keep)
+            for r in imagedup.scene_dedup_keep_best(
+                spark.createDataFrame(pdf), d=d, threshold=64,
+                num_id=F.expr(cls.NUM_ID),
+            ).collect()
+        }
+
 
 class TestHeatTileStream:
     """Continuous heat-tile maintenance (streaming/raster.py): pixel
