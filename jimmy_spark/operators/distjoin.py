@@ -144,8 +144,8 @@ def distance_join_grid(
     functions/hexgrid.py SIZES); for a small ``d`` over a dense hot spot
     every cluster point shares one cell and the hex-disk candidate set
     goes quadratic in the cell population. Here the grid width tracks
-    ``d`` itself (default ``width = d``), so the 3x3 neighborhood area is
-    ~9*d^2 and candidates stay proportional to ``density * d^2`` — the
+    ``d`` itself (default ``width = 2d``, r6 width sweep), so the 3x3
+    neighborhood area is ~36*d^2 and candidates stay proportional to ``density * d^2`` — the
     output-optimal bound for a distance join, at any density. Same
     discipline as pip_join_cells' (gx, gy) cover (operators/pip.py).
 
@@ -163,7 +163,14 @@ def distance_join_grid(
     gate in operators/imagedup.scene_dup_pairs) runs inside the joined
     stage instead of re-shuffling the pair stream through id-joins.
     """
-    w = int(width if width is not None else d)
+    # default width 2d (r6): measured sweep on the bench hot-spot lane
+    # (4M pts, d=100, 8.35M pairs) — w=d 7.1s / 1.5d 6.3 / 2d 6.2-6.8 /
+    # 3d 6.4 / 5d 7.0 / 8d 7.8, identical pairs at every width (blocking
+    # never changes semantics). Same 3x3 explode either way; wider cells
+    # mean fewer distinct join keys and the larger verify set is a
+    # codegen'd int64 filter. Candidates stay proportional to
+    # density*d^2 (the output-proportional contract) at any fixed w/d.
+    w = int(width if width is not None else 2 * d)
     if w < int(d):
         raise ValueError(f"grid width {w} must be >= d {d}")
     gx = F.expr(f"({lon_col} + {_GRID_OFF}) div {w}")
@@ -243,7 +250,7 @@ def distance_join_grid_incremental(
     surface with the NEW point on either side of the final (least,
     greatest) id order, so carried values are swap-aligned to their ids.
     """
-    w = int(width if width is not None else d)
+    w = int(width if width is not None else 2 * d)  # r6 default, see above
     if w < int(d):
         raise ValueError(f"grid width {w} must be >= d {d}")
     gx = F.expr(f"({lon_col} + {_GRID_OFF}) div {w}")
