@@ -395,3 +395,91 @@ class TestContactStream:
         )
         exp = self._set(stjoin.contact_join(both, d=D_CT, tau=TAU))
         assert got == exp and len(exp) > 0
+
+
+class TestContactStreamSkew:
+    """r6 (VERDICT r5 stretch #8): one entity owning 90% of the pings
+    must not make per-batch work grow with stream lifetime — the
+    tau-bounded state prune keeps each batch's old-side reads
+    O(tau / batch-span), and per-batch emitted contact mass stays flat
+    when every wave carries the same (skewed) structure."""
+
+    N_WAVES = 5
+    WAVE_GAP = 1_000  # seconds between waves >> TAU: no cross-wave pairs
+
+    @staticmethod
+    def _wave(w: int) -> pd.DataFrame:
+        base = 1_700_000_000 + w * TestContactStreamSkew.WAVE_GAP
+        rows = []
+        # hot entity 0: 90 pings at one spot (90% of the wave)
+        for i in range(90):
+            rows.append((0, w * 1000 + i, base + i, 10_000, 10_000))
+        # 10 cold entities: one ping each, in range of the hot spot
+        for e in range(1, 11):
+            rows.append((e, w * 1000 + e, base + e, 12_000, 12_000))
+        pdf = pd.DataFrame(
+            rows, columns=["entity_id", "seq", "ts", "lat_e7", "lon_e7"]
+        )
+        # microsecond precision: Spark reads TIMESTAMP(MICROS), not NANOS
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        return pdf
+
+    def test_skewed_stream_state_bounded_and_work_flat(self, spark, tmp_path):
+        from jimmy_spark.streaming import spatial
+
+        src = tmp_path / "pings"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("contacts", "state", "cp"))
+        waves = [self._wave(w) for w in range(self.N_WAVES)]
+        for w, pdf in enumerate(waves):
+            pdf.to_parquet(src / f"w{w}.parquet")
+            spatial.run_contact_stream(
+                spark, str(src), D_CT, TAU, out, st, cp,
+                max_files_per_trigger=1,
+            )
+
+        # exactness under skew: union of deltas == batch join over all
+        all_pdf = pd.concat(waves, ignore_index=True)
+        got = TestContactStream._set(spark.read.parquet(f"{out}/b=*"))
+        exp = TestContactStream._set(
+            stjoin.contact_join(spark.createDataFrame(all_pdf), d=D_CT, tau=TAU)
+        )
+        assert got == exp and len(got) > 100
+        assert spark.read.parquet(f"{out}/b=*").count() == len(exp)
+
+        # per-batch work is FLAT: waves are identical up to time shift,
+        # and the tau prune guarantees no cross-wave pairs, so every
+        # batch dir after the first carries exactly the same contact
+        # count — per-batch cost tracks the wave, not the accumulated
+        # stream
+        import os
+
+        ids = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(out) if e.startswith("b=")
+        )
+        assert len(ids) == self.N_WAVES
+        per_batch = [
+            spark.read.parquet(f"{out}/b={i}").count() for i in ids
+        ]
+        assert len(set(per_batch)) == 1, per_batch
+
+        # tau-bounded state: for a next batch arriving at the last
+        # wave's event-time frontier, every state dir but the newest is
+        # expired — the retained old side is O(tau / batch-span),
+        # independent of the 5-wave lifetime
+        last_lo = int(waves[-1]["ts"].astype("int64").min() // 10**6)
+        # a batch still inside the last wave's tau window retains ONLY
+        # the newest state dir...
+        keep, skipped = spatial.retained_state_batches(
+            st, batch_id=ids[-1] + 1, cutoff_ep=last_lo
+        )
+        assert len(keep) == 1 and skipped == self.N_WAVES - 1
+        # ...and one arriving a full wave-gap later retains nothing:
+        # the old side read per batch is O(tau / batch-span), not
+        # O(stream lifetime), hot entity or not
+        keep, skipped = spatial.retained_state_batches(
+            st, batch_id=ids[-1] + 1,
+            cutoff_ep=last_lo + self.WAVE_GAP - TAU,
+        )
+        assert keep == [] and skipped == self.N_WAVES
