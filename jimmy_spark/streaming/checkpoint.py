@@ -129,6 +129,15 @@ class StageRunner:
             out = stage_fn(part.drop(BUCKET_COL)).withColumn(
                 BUCKET_COL, F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.n_buckets))
             )
+            # cluster by bucket before the partitioned write (r6, guide
+            # §6 small files): without it every task writes a file into
+            # every bucket dir — tasks x buckets files per chunk (2 048
+            # at the curate job's local shape; task-count x buckets on a
+            # cluster). The one narrow shuffle of the stage OUTPUT
+            # (post-decode, bytes column long gone) buys ~bucket-count
+            # files: measured write 9.8->6.4s and downstream re-read
+            # 1.8->0.6s on the 1M-row curate feature stage.
+            out = out.repartition(F.col(BUCKET_COL))
             out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
             written = self.spark.read.parquet(out_dir).filter(
                 F.col(BUCKET_COL).isin(bucket_ids)
