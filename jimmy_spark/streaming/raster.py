@@ -45,19 +45,27 @@ from jimmy_spark.operators.raster import TILE_PX, _TILE_SCHEMA, tone_map
 
 def _recover_compact(dir_: str) -> None:
     """Complete a compact_state swap interrupted by a crash. The swap
-    journal is the tombstone name itself: ``_tombstone_b=<i>`` means
-    ``_compact`` (if fully written) is the intended ``b=<i>``; if
+    journal is the tombstone name itself: ``_tombstone_b=<i>`` means a
+    compaction fold of EVERY existing batch id was in flight, intended
+    as the new ``b=<i>``. If ``_compact`` is fully written (or already
+    promoted to ``b=<i>``), promote it if needed and finish the
+    interrupted cleanup — older b= dirs are folded INTO ``b=<i>``, and
+    union-folded lanes (keep-best points/edges) would double-count any
+    survivor, so the tombstone is only removed once they are gone. If
     ``_compact`` is absent or incomplete the tombstone is restored
-    verbatim. Either way exactly one ``b=<i>`` exists afterwards — the
-    accumulated state is never observable as empty (the r5 ordering
-    deleted ``b=<max>`` before renaming ``_compact`` into place, so a
-    crash in between silently dropped ALL accumulated tile counts)."""
+    verbatim and every older dir kept. Either way exactly one coherent
+    state exists afterwards — the accumulated state is never observable
+    as empty or duplicated (the r5 ordering deleted ``b=<max>`` before
+    renaming ``_compact`` into place, so a crash in between silently
+    dropped ALL accumulated tile counts)."""
     if not os.path.isdir(dir_):
         return
+    import shutil
+
     for e in os.listdir(dir_):
         if not e.startswith("_tombstone_b="):
             continue
-        i = e.split("=", 1)[1]
+        i = int(e.split("=", 1)[1])
         compact = f"{dir_}/_compact"
         # parquet writes drop a _SUCCESS marker; an unmarked _compact is
         # a half-written overwrite — discard it and keep the tombstone
@@ -65,11 +73,16 @@ def _recover_compact(dir_: str) -> None:
             f"{dir_}/b={i}"
         ):
             os.rename(compact, f"{dir_}/b={i}")
-        import shutil
-
-        if os.path.isdir(f"{dir_}/{e}") and os.path.isdir(f"{dir_}/b={i}"):
+        if os.path.isdir(f"{dir_}/b={i}"):
+            # b=<i> can only exist alongside its tombstone via the
+            # promote rename, so the fold is in place: finish the
+            # cleanup, tombstone LAST so a crash here re-enters this
+            # branch with the journal intact
+            for o in os.listdir(dir_):
+                if o.startswith("b=") and int(o.split("=", 1)[1]) < i:
+                    shutil.rmtree(f"{dir_}/{o}")
             shutil.rmtree(f"{dir_}/{e}")
-        elif os.path.isdir(f"{dir_}/{e}"):
+        else:
             os.rename(f"{dir_}/{e}", f"{dir_}/b={i}")
 
 
@@ -208,11 +221,34 @@ def run_heat_tile_stream(
     q.awaitTermination()
 
 
+def _promote_compact(dir_: str, ids: list[int]) -> None:
+    """Crash-safe swap tail shared by every compacting lane: assumes
+    ``<dir_>/_compact`` is a FULLY-written parquet dir holding the folded
+    state for batch ids ``ids``. (The r5 order rmtree'd b=<max> BEFORE
+    renaming _compact into place — a crash in between left no b= dirs and
+    the next batch folded into empty state.) Journal the max dir as a
+    tombstone carrying its id, promote _compact (atomic rename), and only
+    then delete the tombstone and the older dirs — the full state is
+    readable at every instant, and a crash at any point is repaired by
+    ``_recover_compact`` on the next read. The tombstone is deleted
+    LAST: it journals the older-dir cleanup too, which union-folded
+    lanes need completed before the state is read again."""
+    import shutil
+
+    os.rename(f"{dir_}/b={ids[-1]}", f"{dir_}/_tombstone_b={ids[-1]}")
+    os.rename(f"{dir_}/_compact", f"{dir_}/b={ids[-1]}")
+    for i in ids[:-1]:
+        shutil.rmtree(f"{dir_}/b={i}")
+    shutil.rmtree(f"{dir_}/_tombstone_b={ids[-1]}")
+
+
 def compact_state(spark: SparkSession, out_dir: str) -> None:
     """Fold the accumulated batch dirs into single dirs holding the
     latest row per tile (id = highest existing batch). Observationally a
     no-op for ``latest_heat_tiles``; bounds the per-batch state read for
-    long-lived streams."""
+    long-lived streams. Call between drained runs only — never between a
+    crash and its restart, where the checkpoint may replay the highest
+    batch id against state folded INTO that id."""
     for sub in ("counts", "tiles"):
         dir_ = f"{out_dir}/{sub}"
         ids = _state_ids(dir_)  # also completes any interrupted swap
@@ -220,17 +256,4 @@ def compact_state(spark: SparkSession, out_dir: str) -> None:
             continue
         cur = _latest_per_tile(spark, dir_, ids)
         cur.write.mode("overwrite").parquet(f"{dir_}/_compact")
-        import shutil
-
-        # crash-safe swap (the r5 order rmtree'd b=<max> BEFORE renaming
-        # _compact into place — a crash in between left no b= dirs and
-        # the next batch folded into empty state): journal the max dir
-        # as a tombstone carrying its id, promote _compact (atomic
-        # rename), and only then delete the tombstone and the older
-        # dirs — the full state is readable at every instant, and a
-        # crash at any point is repaired by _recover_compact.
-        os.rename(f"{dir_}/b={ids[-1]}", f"{dir_}/_tombstone_b={ids[-1]}")
-        os.rename(f"{dir_}/_compact", f"{dir_}/b={ids[-1]}")
-        shutil.rmtree(f"{dir_}/_tombstone_b={ids[-1]}")
-        for i in ids[:-1]:
-            shutil.rmtree(f"{dir_}/b={i}")
+        _promote_compact(dir_, ids)

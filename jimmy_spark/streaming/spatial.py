@@ -217,8 +217,11 @@ CURATE_SCHEMA = (
 def _curation_ids(out_dir: str, below: int | None = None) -> list[int]:
     import os
 
+    from jimmy_spark.streaming.raster import _recover_compact
+
     if not os.path.isdir(out_dir):
         return []
+    _recover_compact(out_dir)  # complete any interrupted compaction swap
     ids = [
         int(e.split("=", 1)[1])
         for e in os.listdir(out_dir)
@@ -292,7 +295,9 @@ def run_keep_best_stream(
     Idempotence discipline is ``run_proximity_stream``'s: every write is
     keyed by the deterministic batch id and overwrites; a replayed batch
     reads only state strictly below its own id and recomputes its delta
-    and output byte-identically.
+    and output byte-identically. Long streams accumulate one dir per
+    batch in all three families; ``compact_keep_best_state`` folds them
+    into one dir each between drained runs (observationally a no-op).
     """
     import os
 
@@ -300,6 +305,7 @@ def run_keep_best_stream(
         keep_best_from_pairs,
         scene_dup_pairs_incremental,
     )
+    from jimmy_spark.streaming.raster import _recover_compact
 
     pts_dir = f"{state_dir}/points"
     edge_dir = f"{state_dir}/edges"
@@ -307,6 +313,7 @@ def run_keep_best_stream(
     def _older(dir_: str, batch_id: int) -> list[str]:
         if not os.path.isdir(dir_):
             return []
+        _recover_compact(dir_)  # complete any interrupted compaction swap
         return [
             f"{dir_}/b={i}"
             for i in sorted(
@@ -396,6 +403,38 @@ def run_keep_best_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_keep_best_state(
+    spark: SparkSession, out_dir: str, state_dir: str
+) -> None:
+    """Fold the keep-best stream's accumulated batch dirs into single
+    dirs (id = highest existing batch): labels to latest-per-image (the
+    ``latest_curation`` fold), points and edges to their exact row
+    union (each point/pair is written once, at its arrival batch, so
+    the union IS the state). Observationally a no-op for
+    ``latest_curation`` and for the next drain's state reads; bounds the
+    per-batch read fan-in for long-lived streams — without it the
+    edge/point dir count grows with stream lifetime (the heat-tile
+    lane's ``compact_state`` discipline: same crash-safe tombstone swap,
+    same ``_recover_compact`` read-side repair). Call between drained
+    runs only — never between a crash and its restart, where the
+    checkpoint may replay the highest batch id against state folded
+    INTO that id."""
+    from jimmy_spark.streaming.raster import _promote_compact
+
+    ids = _curation_ids(out_dir)  # also completes any interrupted swap
+    if len(ids) > 1:
+        cur = _fold_curation(spark, out_dir, ids)
+        cur.write.mode("overwrite").parquet(f"{out_dir}/_compact")
+        _promote_compact(out_dir, ids)
+    for sub in ("points", "edges"):
+        dir_ = f"{state_dir}/{sub}"
+        ids = _curation_ids(dir_)
+        if len(ids) > 1:
+            rows = spark.read.parquet(*[f"{dir_}/b={i}" for i in ids])
+            rows.write.mode("overwrite").parquet(f"{dir_}/_compact")
+            _promote_compact(dir_, ids)
 
 
 PINGS_SCHEMA = "entity_id long, seq long, ts timestamp, lat_e7 long, lon_e7 long"

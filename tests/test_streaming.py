@@ -599,6 +599,128 @@ class TestKeepBestStream:
         }
 
 
+class TestKeepBestCompaction:
+    """compact_keep_best_state folds the labels/points/edges batch dirs
+    into one dir each: observationally a no-op for latest_curation, the
+    next drain folds new waves against the compacted state exactly
+    (including cross-compaction pairs: a new point must still pair with
+    old compacted points), and an interrupted swap is repaired on the
+    next read — the crash-safe swap is SHARED with the heat-tile lane
+    (raster._promote_compact / _recover_compact), whose crash-window
+    suite covers every interleaving."""
+
+    NUM_ID = "CAST(substring(image_id, 5, 12) AS BIGINT)"
+    D = 50_000
+
+    @staticmethod
+    def _row(i, lat, lon, sharp):
+        return {
+            "image_id": f"img_{i:012d}", "lat_e7": lat, "lon_e7": lon,
+            "ahash": 0, "sharp_e3": sharp, "clip_e3": 0,
+        }
+
+    def _drain(self, spark, src, out, st, cp):
+        from jimmy_spark.streaming import spatial
+
+        spatial.run_keep_best_stream(
+            spark, str(src), self.D, 64, out, st, cp,
+            num_id_sql=self.NUM_ID, max_files_per_trigger=1,
+        )
+
+    def _batch(self, spark, pdf):
+        from pyspark.sql import functions as F
+
+        from jimmy_spark.operators import imagedup
+
+        return {
+            (r.image_id, r.cluster_id, r.keep)
+            for r in imagedup.scene_dedup_keep_best(
+                spark.createDataFrame(pdf), d=self.D, threshold=64,
+                num_id=F.expr(self.NUM_ID),
+            ).collect()
+        }
+
+    @staticmethod
+    def _latest(spark, out):
+        from jimmy_spark.streaming import spatial
+
+        df = spatial.latest_curation(spark, out)
+        assert df is not None
+        return {(r.image_id, r.cluster_id, r.keep) for r in df.collect()}
+
+    def test_compact_noop_continue_and_crash_repair(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from jimmy_spark.streaming import spatial
+
+        src = tmp_path / "pts"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("cur", "st", "cp"))
+
+        # cluster A near (0, 0); cluster B ~9 degrees east, far outside
+        # the 50k pair distance; two waves -> two batch dirs everywhere
+        w0 = pd.DataFrame([
+            self._row(1, 0, 0, 10), self._row(2, 10, 10, 20),
+            self._row(5, 0, 90_000_000, 30),
+            self._row(6, 10, 90_000_010, 40),
+        ])
+        w1 = pd.DataFrame([self._row(3, 5, 5, 99)])
+        w0.to_parquet(src / "w0.parquet")
+        w1.to_parquet(src / "w1.parquet")
+        self._drain(spark, src, out, st, cp)
+
+        def n_dirs(d):
+            return sum(1 for e in os.listdir(d) if e.startswith("b="))
+
+        assert n_dirs(out) > 1  # compaction has something to fold
+        before = self._latest(spark, out)
+        n_pts = spark.read.parquet(f"{st}/points").count()
+        n_edges = spark.read.parquet(f"{st}/edges").count()
+
+        spatial.compact_keep_best_state(spark, out, st)
+
+        for d in (out, f"{st}/points", f"{st}/edges"):
+            assert n_dirs(d) == 1, d
+        # observationally a no-op: fold, point multiset, edge multiset
+        assert self._latest(spark, out) == before
+        assert spark.read.parquet(f"{st}/points").count() == n_pts
+        assert spark.read.parquet(f"{st}/edges").count() == n_edges
+
+        # next drain pairs a NEW point with OLD compacted cluster-B
+        # points (takeover), proving the folded state feeds the
+        # incremental join exactly
+        w2 = pd.DataFrame([self._row(7, 5, 90_000_005, 999)])
+        w2.to_parquet(src / "w2.parquet")
+        self._drain(spark, src, out, st, cp)
+        all_pdf = pd.concat([w0, w1, w2], ignore_index=True)
+        got = self._latest(spark, out)
+        assert got == self._batch(spark, all_pdf)
+        by_id = {iid: (cid, k) for iid, cid, k in got}
+        assert by_id["img_000000000007"][1]  # sharper late shot keeps
+        assert not by_id["img_000000000006"][1]
+
+        # crash window: interrupt a points-dir swap AFTER the tombstone
+        # rename (the _compact copy is complete) — the next drain's
+        # state listing must repair it and fold the late wave exactly
+        pdir = f"{st}/points"
+        ids = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(pdir) if e.startswith("b=")
+        )
+        cur = spark.read.parquet(*[f"{pdir}/b={i}" for i in ids])
+        cur.write.mode("overwrite").parquet(f"{pdir}/_compact")
+        os.rename(f"{pdir}/b={ids[-1]}", f"{pdir}/_tombstone_b={ids[-1]}")
+        w3 = pd.DataFrame([self._row(4, 15, 15, 500)])
+        w3.to_parquet(src / "w3.parquet")
+        self._drain(spark, src, out, st, cp)
+        assert not os.path.isdir(f"{pdir}/_compact")
+        assert self._latest(spark, out) == self._batch(
+            spark, pd.concat([all_pdf, w3], ignore_index=True)
+        )
+
+
 class TestHeatTileStream:
     """Continuous heat-tile maintenance (streaming/raster.py): pixel
     counts are a monoid, so per-batch deltas fold exactly — after any
@@ -835,10 +957,13 @@ class TestCompactSwapRecovery:
         cur.write.mode("overwrite").parquet(f"{d}/_compact")
         os.rename(f"{d}/b=2", f"{d}/_tombstone_b=2")
         assert self._tiles(spark, d) == full          # read-side repair
-        assert sraster._state_ids(d) == [0, 1, 2]
+        # repair also completes the interrupted cleanup (r6: the fold
+        # covers every older id; union-folded lanes would double-count
+        # a surviving older dir)
+        assert sraster._state_ids(d) == [2]
         assert not os.path.isdir(f"{d}/_compact")
 
-        # crash AFTER promote, BEFORE tombstone delete
+        # crash AFTER promote, BEFORE older-dir/tombstone cleanup
         d = str(tmp_path / "w2")
         self._write_state(spark, d, [0, 1])
         full = self._tiles(spark, d)
@@ -847,6 +972,7 @@ class TestCompactSwapRecovery:
         os.rename(f"{d}/b=1", f"{d}/_tombstone_b=1")
         os.rename(f"{d}/_compact", f"{d}/b=1")
         assert self._tiles(spark, d) == full
+        assert sraster._state_ids(d) == [1]
         assert not any(
             e.startswith("_tombstone") for e in os.listdir(d)
         )
