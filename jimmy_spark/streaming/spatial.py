@@ -115,19 +115,15 @@ def run_proximity_stream(
 
     Reference analogue: jimmy's idempotent re-run naming
     (common.py:171-202) — here idempotence comes from source offsets +
-    deterministic batch-keyed overwrite.
+    deterministic batch-keyed overwrite. Long streams accumulate one dir
+    per batch in both families; ``compact_pair_stream_state`` folds them
+    into one dir each between drained runs (observationally a no-op).
     """
-    import os
-
     from jimmy_spark.operators.distjoin import distance_join_grid_incremental
 
     def _process(batch_df, batch_id: int) -> None:
         pts = batch_df.select("image_id", "lat_e7", "lon_e7")
-        older = sorted(
-            int(e.split("=", 1)[1])
-            for e in os.listdir(state_dir)
-            if e.startswith("b=") and int(e.split("=", 1)[1]) < batch_id
-        ) if os.path.isdir(state_dir) else []
+        older = _curation_ids(state_dir, below=batch_id)  # repairs swaps
         if older:
             old = spark.read.parquet(*[f"{state_dir}/b={i}" for i in older])
         else:
@@ -171,22 +167,17 @@ def run_scene_dup_stream(
     ``scene_dup_pairs`` over all images, each pair exactly once.
 
     State/idempotence discipline is ``run_proximity_stream``'s verbatim
-    (batch-id-keyed overwrite, replays read only older state); like that
+    (batch-id-keyed overwrite, replays read only older state,
+    ``compact_pair_stream_state`` between drained runs); like that
     stream — and unlike the tau-bounded contact stream — every old image
     stays relevant forever (a new shot can near-dup any historical one),
     so state is the full point+hash set, 28 bytes/row.
     """
-    import os
-
     from jimmy_spark.operators.imagedup import scene_dup_pairs_incremental
 
     def _process(batch_df, batch_id: int) -> None:
         pts = batch_df.select("image_id", "lat_e7", "lon_e7", "ahash")
-        older = sorted(
-            int(e.split("=", 1)[1])
-            for e in os.listdir(state_dir)
-            if e.startswith("b=") and int(e.split("=", 1)[1]) < batch_id
-        ) if os.path.isdir(state_dir) else []
+        older = _curation_ids(state_dir, below=batch_id)  # repairs swaps
         if older:
             old = spark.read.parquet(*[f"{state_dir}/b={i}" for i in older])
         else:
@@ -429,12 +420,34 @@ def compact_keep_best_state(
         cur.write.mode("overwrite").parquet(f"{out_dir}/_compact")
         _promote_compact(out_dir, ids)
     for sub in ("points", "edges"):
-        dir_ = f"{state_dir}/{sub}"
-        ids = _curation_ids(dir_)
-        if len(ids) > 1:
-            rows = spark.read.parquet(*[f"{dir_}/b={i}" for i in ids])
-            rows.write.mode("overwrite").parquet(f"{dir_}/_compact")
-            _promote_compact(dir_, ids)
+        _compact_union_dir(spark, f"{state_dir}/{sub}")
+
+
+def _compact_union_dir(spark: SparkSession, dir_: str) -> None:
+    """Fold a union-semantics ``b=<id>`` dir family (each row written
+    once, at its arrival batch; state = the exact row union) into one
+    dir at the highest existing id, with the shared crash-safe swap."""
+    from jimmy_spark.streaming.raster import _promote_compact
+
+    ids = _curation_ids(dir_)  # also completes any interrupted swap
+    if len(ids) > 1:
+        rows = spark.read.parquet(*[f"{dir_}/b={i}" for i in ids])
+        rows.write.mode("overwrite").parquet(f"{dir_}/_compact")
+        _promote_compact(dir_, ids)
+
+
+def compact_pair_stream_state(
+    spark: SparkSession, out_dir: str, state_dir: str
+) -> None:
+    """Compaction for ``run_proximity_stream`` / ``run_scene_dup_stream``:
+    both families are union folds — ``out_dir`` is the emitted-pair log
+    (each pair exactly once across the stream), ``state_dir`` the
+    accumulated points. Observationally a no-op for pair readers (they
+    glob ``b=*``) and for the next drain's OLD side; bounds the
+    per-batch read fan-in. Same contract as ``compact_keep_best_state``:
+    call between drained runs only."""
+    _compact_union_dir(spark, out_dir)
+    _compact_union_dir(spark, state_dir)
 
 
 PINGS_SCHEMA = "entity_id long, seq long, ts timestamp, lat_e7 long, lon_e7 long"

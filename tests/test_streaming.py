@@ -226,6 +226,45 @@ class TestProximityStream:
         n_rows = spark.read.parquet(f"{out}/b=*").count()
         assert n_rows == len(exp)
 
+    def test_compaction_is_noop_and_next_wave_exact(self, spark, t2_dir, tmp_path):
+        """compact_pair_stream_state folds the pair log and point state
+        to one dir each: pair multiset unchanged, and the next drain's
+        delta against the compacted OLD side still reproduces the batch
+        join exactly (each pair exactly once)."""
+        import os
+
+        from jimmy_spark.operators import distjoin
+        from jimmy_spark.streaming import spatial
+
+        pts = self._pts_table(spark, t2_dir).toPandas()
+        src = tmp_path / "pts_c"
+        src.mkdir()
+        out, st, cp = (str(tmp_path / n) for n in ("pairs_c", "state_c", "cp_c"))
+        pts.iloc[:800].to_parquet(src / "w0.parquet")
+        pts.iloc[800:1400].to_parquet(src / "w1.parquet")
+        spatial.run_proximity_stream(
+            spark, str(src), self.D, out, st, cp, max_files_per_trigger=1
+        )
+        before = self._pairs(spark, out)
+
+        spatial.compact_pair_stream_state(spark, out, st)
+        for d in (out, st):
+            assert sum(1 for e in os.listdir(d) if e.startswith("b=")) == 1
+        assert self._pairs(spark, out) == before
+        # exactly-once survives compaction in MULTISET terms too
+        assert spark.read.parquet(f"{out}/b=*").count() == len(before)
+
+        pts.iloc[1400:].to_parquet(src / "w2.parquet")
+        spatial.run_proximity_stream(spark, str(src), self.D, out, st, cp)
+        got = self._pairs(spark, out)
+        full = spark.createDataFrame(pts)
+        exp = {
+            (r.a_id, r.b_id, r.dist2)
+            for r in distjoin.distance_join_grid(full, d=self.D).collect()
+        }
+        assert got == exp
+        assert spark.read.parquet(f"{out}/b=*").count() == len(exp)
+
 
 class TestSceneDupStream:
     """Incremental scene near-dup maintenance (streaming/spatial.py
